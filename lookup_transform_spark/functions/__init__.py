@@ -1,0 +1,7 @@
+from lookup_transform_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+__all__ = ["cosine_similarity", "dot_product", "l2_norm"]

@@ -1,0 +1,327 @@
+"""Deduplication tier (SURVEY.md §2.2 B50/B51): exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+- exact dedup is a hash aggregate on the dedup key — one shuffle,
+  map-side partial aggregation for the count variant; the deterministic-
+  survivor variant uses min/max-by, still a single hash agg (NOT a
+  window sort, which would force a full sort per key group).
+- MinHash/SimHash candidate generation is banding + bucket equi-join:
+  cost is O(docs × bands) rows shuffled on small keys, never O(docs²).
+  Pair verification runs only on bucket-colliding candidates.
+- All hashing is JVM-side (``F.hash``/``F.xxhash64`` + arithmetic) —
+  no Python in the hot path, signatures deterministic across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime for universal-hash permutations h_i(x) = (a_i*x + b_i) mod p.
+# 31-bit so that a*h + b stays < 2^63 (Spark 4 runs ANSI mode: long overflow
+# is an error, so the modular arithmetic must provably fit in a long).
+_PRIME = (1 << 31) - 1
+
+
+def dedup_exact(
+    df: DataFrame, key_cols: list[str], tiebreak: str
+) -> DataFrame:
+    """Keep exactly one row per key, the one with the MIN tiebreak value
+    (deterministic survivor — plain ``dropDuplicates`` keeps an arbitrary
+    row, which can't be oracle-checked; SURVEY §7 decision log).
+
+    Implemented as min_by aggregation: single hash aggregate with
+    map-side combine, no per-group sort.
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    aggs = [F.min(tiebreak).alias(tiebreak)] + [
+        F.min_by(c, tiebreak).alias(c) for c in others if c != tiebreak
+    ]
+    out = df.groupBy(*key_cols).agg(*aggs)
+    return out.select(*df.columns)  # restore original column order
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (JVM-side)."""
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    if n == 1:
+        return F.array_distinct(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod PRIME."""
+    params, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_PRIME - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
+) -> F.Column:
+    """MinHash signature as array<long>: element i = min over shingles of
+    (a_i * xxhash64(shingle) + b_i) mod PRIME. All codegen'd."""
+    sh = shingles(text_col, shingle_n)
+    # pmod, not abs+%: abs(Long.MIN_VALUE) overflows under ANSI mode
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    sig_parts = []
+    for a, b in _perm_params(num_hashes, seed):
+        sig_parts.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PRIME),
+                )
+            )
+        )
+    return F.array(*sig_parts)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    shingle → minhash → band → bucket-join (the scale path: candidates
+    come from band-bucket collisions, O(docs·bands) shuffle rows), then
+    candidates are verified with exact shingle-set Jaccard >= threshold.
+    Output: (doc_id_a, doc_id_b, jaccard), a < b, deduplicated.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.col(text_col).alias("__text__"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
+    )
+    banded = sig.select(
+        "__id__",
+        "__text__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("__sig__", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band__"),
+    ).select(
+        "__id__", "__text__", F.col("__band__.band"), F.col("__band__.bucket")
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("doc_id_a"),
+            F.col("b.__id__").alias("doc_id_b"),
+            F.col("a.__text__").alias("__text_a__"),
+            F.col("b.__text__").alias("__text_b__"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    sh_a = shingles("__text_a__", shingle_n)
+    sh_b = shingles("__text_b__", shingle_n)
+    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a blocking
+    key (B51's exact small-block variant; oracle-checkable in DuckDB).
+
+    Blocking bounds the pair count: O(Σ block²), shuffled on block_col.
+    """
+    sel = docs.select(
+        F.col(id_col).alias("__id__"),
+        shingles(text_col, shingle_n).alias("__sh__"),
+        *( [F.col(block_col).alias("__blk__")] if block_col else [F.lit(1).alias("__blk__")] ),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__blk__") == F.col("b.__blk__"))
+        & (F.col("a.__id__") < F.col("b.__id__")),
+    )
+    jac = F.size(F.array_intersect(F.col("a.__sh__"), F.col("b.__sh__"))) / F.size(
+        F.array_union(F.col("a.__sh__"), F.col("b.__sh__"))
+    )
+    return (
+        pairs.select(
+            F.col("a.__id__").alias("doc_id_a"),
+            F.col("b.__id__").alias("doc_id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signature_text(
+    text_col: str, bits: int = 64
+) -> F.Column:
+    """SimHash over word tokens: bit j of the signature is the sign of
+    Σ_tokens (±1 depending on bit j of xxhash64(token)).
+
+    Expressed as one ``aggregate`` over the token array with an
+    array<int> accumulator — stays in codegen, no UDF.
+    """
+    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    zero = F.array_repeat(F.lit(0), bits)
+
+    # bit positions must be Python ints (shiftright takes no Column), so
+    # the per-bit structure is unrolled at plan-build time
+    def step(acc, tok):
+        h = F.xxhash64(tok)
+        bit_votes = F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                for j in range(bits)
+            ]
+        )
+        return F.zip_with(acc, bit_votes, lambda x, y: x + y)
+
+    counters = F.aggregate(tokens, zero, step)
+    # pack sign bits into a long; 1<<63 is Long.MIN_VALUE, kept exact
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(counters, j + 1) >= 0,
+                   F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the signature into ``chunks`` pieces; any
+    pair within distance < chunks must agree on >= 1 chunk, so candidates
+    come from chunk-value equi-joins (no cross product), then exact
+    hamming verification via bit_count(xor).
+    """
+    chunk_bits = bits // chunks
+    sig = docs.select(
+        F.col(id_col).alias("__id__"),
+        simhash_signature_text(text_col, bits).alias("__sig__"),
+    )
+    banded = sig.select(
+        "__id__",
+        "__sig__",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("__sig__", i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("__c__"),
+    ).select("__id__", "__sig__", "__c__.chunk", "__c__.val")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("doc_id_a"),
+            F.col("b.__id__").alias("doc_id_b"),
+            F.col("a.__sig__").alias("__sa__"),
+            F.col("b.__sig__").alias("__sb__"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    hamming = F.bit_count(F.col("__sa__").bitwiseXOR(F.col("__sb__")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold (exact; oracle-checkable).
+
+    Brute-force O(n²) within the join — acceptable for a verification
+    query; the scale path is ``similarity.lsh_bucket_topk``-style
+    banding first.
+    """
+    from lookup_transform_spark.functions.vector import cosine_similarity
+
+    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va__"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb__"))
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    sim = cosine_similarity(F.col("__va__"), F.col("__vb__"))
+    return (
+        pairs.select("vec_id_a", "vec_id_b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis tier (SURVEY.md §2.2 B53): tokenization, counting,
+quality scoring, language ID, fingerprinting.
+
+All column builders — pure ``pyspark.sql.functions`` expressions, fully
+codegen'd, no Python in the row path. Each has a matching ANSI-SQL
+formulation for the DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: word-ish tokens: letter runs, digit runs, single other non-space —
+#: a BPE-ish pre-tokenizer regex that both Spark (Java regex) and the
+#: DuckDB oracle (RE2) interpret identically.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier. Deliberately small and deterministic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Count of TOKEN_RE matches — a BPE-like pre-tokenization proxy."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def char_count(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(c)
+
+
+def punct_ratio(text_col: str | Column) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()-]", ""))
+    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text_col: str | Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(text_col)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Heuristic [0,1] quality score: favors texts of reasonable length,
+    moderate punctuation, and a healthy mean word length — the classic
+    cheap pre-filters of a training-data pipeline.
+
+    score = length_component * (1 - punct_ratio) * word_len_component
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tok = token_count(c)
+    n_chr = char_count(c)
+    mean_word = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
+    length_comp = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    word_comp = F.when(
+        (mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(length_comp * (1.0 - punct_ratio(c)) * word_comp, 6)
+
+
+def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    """Stopword-hit ratio per language — the n-gram-heuristic lang-ID."""
+    n_tok = token_count(text_col)
+    return {
+        lang: F.when(n_tok > 0, stopword_hits(text_col, lang) / n_tok).otherwise(
+            F.lit(0.0)
+        )
+        for lang in STOPWORDS
+    }
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """argmax language by stopword ratio; 'und' (undetermined) when no
+    language scores > 0. Deterministic tiebreak: language name order."""
+    scores = lang_scores(text_col)
+    # struct compare is field-order lexicographic: score first, then a
+    # priority that breaks ties toward the alphabetically FIRST language.
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang"))
+            for i, (lang, s) in enumerate(sorted(scores.items()))
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def content_fingerprint(text_col: str | Column) -> Column:
+    """Exact content fingerprint: md5 of the normalized text (lowercased,
+    whitespace-collapsed). Matching DuckDB: md5(...)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_fingerprint(text_col: str | Column, window: int = 5) -> Column:
+    """Rolling-hash-style robust fingerprint: min xxhash64 over word
+    ``window``-grams — stable under small insertions/deletions
+    (winnowing-lite). JVM-side; rows-only check (engine-specific hash)."""
+    from lookup_transform_spark.operators.dedup import shingles
+
+    if isinstance(text_col, Column):
+        raise TypeError("rolling_fingerprint requires a column name")
+    sh = shingles(text_col, window)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats frame: the standard text-analysis pass."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        char_count(text_col).alias("n_chars_actual"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        content_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,461 @@
+"""The lookup (broadcast enrichment join) operator — the reference's core.
+
+Reference semantics reproduced here (SURVEY.md §2.1 fine print, all
+citations into /root/reference):
+
+- left-outer: lookup stage not required (Lookup.java:207); misses keep
+  the input row with a null output column (LookupTest.java:171-172).
+- broadcast of the lookup side (Lookup.java:208) — here size-gated:
+  unconditional broadcast is wrong at 100 TB, so ``broadcast=False``
+  (or a lookup side above ``broadcast_threshold_rows``) falls back to
+  a plain join and lets AQE pick shuffled-hash / sort-merge.
+- null-unsafe key equality (setNullSafe(false), Lookup.java:224): SQL
+  ``=``, null keys never match.
+- duplicate lookup keys multiply rows (it is a true join, nothing in
+  Lookup.java dedups); ``first_match=True`` opts into deterministic
+  map semantics (min-by-tiebreaker).
+- select-list: ALL input fields in order + exactly the lookup value
+  field(s), aliased (Lookup.java:103-115, 283-295).
+- output column(s) always nullable (Lookup.java:455-457) — Spark's
+  left join gives this for free; ``output_schema()`` asserts it.
+- design-time validation taxonomy of Lookup.java:461-527.
+- macros: any config field may be ``${name}``; validation of macro'd
+  fields is skipped until resolution (Lookup.java:406-409, 468-484).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lookup_transform_spark.errors import (
+    FailureCollector,
+    LookupConfigError,
+    ValidationFailure,
+)
+
+_MACRO_RE = re.compile(r"\$\{([^}]+)\}")
+
+#: Numeric type widening groups for key-compatibility checks, the analog
+#: of CDAP ``Schema.isCompatible`` (Lookup.java:510-514): a join key pair
+#: is compatible when both sides sit in the same group (Spark will upcast).
+_COMPAT_GROUPS: tuple[tuple[type, ...], ...] = (
+    (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+     T.DoubleType, T.DecimalType),
+    (T.StringType,),
+    (T.DateType, T.TimestampType),
+    (T.BooleanType,),
+    (T.BinaryType,),
+)
+
+
+def _compat_group(dt: T.DataType) -> int:
+    for i, group in enumerate(_COMPAT_GROUPS):
+        if isinstance(dt, group):
+            return i
+    return -1
+
+
+def contains_macro(value: Any) -> bool:
+    """True if a config value holds an unresolved ``${...}`` macro
+    (fieldsContainMacros analog, Lookup.java:406-409)."""
+    return isinstance(value, str) and _MACRO_RE.search(value) is not None
+
+
+def resolve_macros(value: str, params: dict[str, str]) -> str:
+    """Substitute ``${name}`` placeholders from runtime params
+    (CDAP macro-resolution analog; unresolved names raise KeyError)."""
+    return _MACRO_RE.sub(lambda m: params[m.group(1)], value)
+
+
+@dataclass(frozen=True)
+class LookupSpec:
+    """Config surface of the reference plugin (Lookup.java:363-371) plus
+    the extension knobs from SURVEY.md §2.2 (B12-B18).
+
+    Fields mirror ``Lookup.Config``: every one may carry a ``${macro}``
+    (all six are @Macro in the reference, Lookup.java:333-360).
+    """
+
+    lookup_dataset: str
+    input_key_field: str | list[str]
+    lookup_key_field: str | list[str]
+    lookup_value_field: str | list[str]
+    output_field: str | list[str] | None = None
+    schema_json: str | None = None
+    # ---- extension knobs (SURVEY §2.2) ----
+    default_value: Any = None          # B12: widget's unshipped defaultValue
+    how: str = "left"                  # B16: "inner" = required-lookup
+    null_safe: bool = False            # B17: <=> instead of =
+    broadcast: bool = True             # B18: False → shuffle join fallback
+    broadcast_threshold_rows: int | None = None  # B18: size gate
+    first_match: bool = False          # B15: dedup lookup side per key
+    first_match_order: str | list[str] | None = None  # deterministic tiebreak
+
+    # -- normalized views ------------------------------------------------
+    @property
+    def input_keys(self) -> list[str]:
+        k = self.input_key_field
+        return [k] if isinstance(k, str) else list(k)
+
+    @property
+    def lookup_keys(self) -> list[str]:
+        k = self.lookup_key_field
+        return [k] if isinstance(k, str) else list(k)
+
+    @property
+    def value_fields(self) -> list[str]:
+        v = self.lookup_value_field
+        return [v] if isinstance(v, str) else list(v)
+
+    @property
+    def output_fields(self) -> list[str]:
+        """Output names; empty/None outputField defaults to the value-field
+        name (Lookup.java:389-391)."""
+        o = self.output_field
+        if o is None or o == "":
+            return self.value_fields
+        out = [o] if isinstance(o, str) else list(o)
+        if len(out) != len(self.value_fields):
+            raise LookupConfigError.__new__(LookupConfigError)  # pragma: no cover
+        return [
+            name if name else value
+            for name, value in zip(out, self.value_fields)
+        ]
+
+    # -- macros -----------------------------------------------------------
+    def macro_fields(self) -> set[str]:
+        """Names of config fields still holding unresolved macros."""
+        out = set()
+        for name in ("lookup_dataset", "input_key_field", "lookup_key_field",
+                     "lookup_value_field", "output_field", "schema_json"):
+            val = getattr(self, name)
+            vals = val if isinstance(val, list) else [val]
+            if any(contains_macro(v) for v in vals):
+                out.add(name)
+        return out
+
+    def resolve(self, params: dict[str, str]) -> "LookupSpec":
+        """Return a copy with all macros substituted (runtime binding)."""
+        def r(v):
+            if isinstance(v, list):
+                return [r(x) for x in v]
+            return resolve_macros(v, params) if contains_macro(v) else v
+
+        return replace(
+            self,
+            lookup_dataset=r(self.lookup_dataset),
+            input_key_field=r(self.input_key_field),
+            lookup_key_field=r(self.lookup_key_field),
+            lookup_value_field=r(self.lookup_value_field),
+            output_field=r(self.output_field),
+            schema_json=r(self.schema_json),
+        )
+
+    # -- design-time validation (Lookup.java:461-527) ----------------------
+    def validate(self, inputs: dict[str, T.StructType]) -> T.StructType | None:
+        """Pre-flight validation against input schemas; returns the output
+        schema, or None when macro'd fields defer resolution.
+
+        Reproduces the reference's error taxonomy:
+          missing required config   (Lookup.java:411-428)
+          != 2 inputs               (Lookup.java:471-480)
+          lookup not among inputs   (Lookup.java:485-489)
+          lookup key/value absent   (Lookup.java:490-501)
+          input key absent          (Lookup.java:502-509)
+          key type incompatibility  (Lookup.java:510-514)
+          output-name collision     (Lookup.java:515-518)
+        """
+        fc = FailureCollector()
+        macros = self.macro_fields()
+
+        # required-field presence (validate(), Lookup.java:411-428)
+        for prop, val in (
+            ("lookup_dataset", self.lookup_dataset),
+            ("input_key_field", self.input_key_field),
+            ("lookup_key_field", self.lookup_key_field),
+            ("lookup_value_field", self.lookup_value_field),
+        ):
+            if prop in macros:
+                continue
+            vals = val if isinstance(val, list) else [val]
+            if not vals or any(v is None or v == "" for v in vals):
+                fc.add(
+                    f"Missing required field {prop}.",
+                    f"Set {prop} in the lookup config.",
+                    prop,
+                )
+        fc.raise_if_any()
+
+        # structural checks are skippable only for the macro'd parts
+        # (Lookup.java:468-484)
+        if len(inputs) != 2:
+            fc.add(
+                f"Expected exactly 2 inputs, got {len(inputs)}.",
+                "Connect exactly one input stage and one lookup stage.",
+            )
+            fc.raise_if_any()
+
+        if "lookup_dataset" in macros:
+            return None  # cannot identify sides yet → defer (Lookup.java:193-195)
+
+        if self.lookup_dataset not in inputs:
+            fc.add(
+                f"Lookup dataset '{self.lookup_dataset}' is not an input.",
+                f"Set lookup_dataset to one of: {sorted(inputs)}.",
+                "lookup_dataset",
+            )
+            fc.raise_if_any()
+
+        lookup_schema = inputs[self.lookup_dataset]
+        (input_name,) = [n for n in inputs if n != self.lookup_dataset]
+        input_schema = inputs[input_name]
+
+        lk_names = set(lookup_schema.fieldNames())
+        in_names = set(input_schema.fieldNames())
+
+        if "lookup_key_field" not in macros:
+            for k in self.lookup_keys:
+                if k not in lk_names:
+                    fc.add(
+                        f"Lookup key field '{k}' is not in lookup dataset "
+                        f"'{self.lookup_dataset}'.",
+                        "Set lookup_key_field to a column of the lookup dataset.",
+                        "lookup_key_field",
+                    )
+        if "lookup_value_field" not in macros:
+            for v in self.value_fields:
+                if v not in lk_names:
+                    fc.add(
+                        f"Lookup value field '{v}' is not in lookup dataset "
+                        f"'{self.lookup_dataset}'.",
+                        "Set lookup_value_field to a column of the lookup dataset.",
+                        "lookup_value_field",
+                    )
+        if "input_key_field" not in macros:
+            for k in self.input_keys:
+                if k not in in_names:
+                    fc.add(
+                        f"Input key field '{k}' is not in input '{input_name}'.",
+                        "Set input_key_field to a column of the input dataset.",
+                        "input_key_field",
+                    )
+        fc.raise_if_any()
+
+        # key type compatibility (Schema.isCompatible analog, Lookup.java:510-514)
+        if "input_key_field" not in macros and "lookup_key_field" not in macros:
+            if len(self.input_keys) != len(self.lookup_keys):
+                fc.add(
+                    "input_key_field and lookup_key_field must have the same "
+                    "number of columns.",
+                    "",
+                    "input_key_field",
+                )
+                fc.raise_if_any()
+            for ik, lk in zip(self.input_keys, self.lookup_keys):
+                it = input_schema[ik].dataType
+                lt = lookup_schema[lk].dataType
+                gi, gl = _compat_group(it), _compat_group(lt)
+                if gi == -1 or gl == -1 or gi != gl:
+                    fc.add(
+                        f"Input key '{ik}' of type {it.simpleString()} is not "
+                        f"compatible with lookup key '{lk}' of type "
+                        f"{lt.simpleString()}.",
+                        "Key fields must have compatible types.",
+                        "input_key_field",
+                    )
+
+        # output-name collision (Lookup.java:515-518)
+        if "output_field" not in macros and "lookup_value_field" not in macros:
+            for out in self.output_fields:
+                if out in in_names:
+                    fc.add(
+                        f"Output field '{out}' already exists in input "
+                        f"'{input_name}'.",
+                        "Set output_field to a name not present in the input.",
+                        "output_field",
+                    )
+        fc.raise_if_any()
+
+        if macros:
+            return None  # some config late-bound → schema not yet known
+        return self.output_schema(input_schema, lookup_schema)
+
+    # -- schema derivation (generateOutputSchema, Lookup.java:438-459) ------
+    def output_schema(
+        self, input_schema: T.StructType, lookup_schema: T.StructType
+    ) -> T.StructType:
+        """Input fields verbatim + appended output fields forced nullable
+        (nullable-of analog, Lookup.java:455-457)."""
+        if self.schema_json is not None:
+            return self.parse_schema_json(self.schema_json)
+        fields = list(input_schema.fields)
+        for value_field, out_name in zip(self.value_fields, self.output_fields):
+            vt = lookup_schema[value_field].dataType
+            fields.append(T.StructField(out_name, vt, nullable=True))
+        return T.StructType(fields)
+
+    @staticmethod
+    def parse_schema_json(schema_json: str) -> T.StructType:
+        """Explicit output-schema override: parse-or-config-error
+        (Lookup.java:393-404)."""
+        try:
+            parsed = T.StructType.fromJson(json.loads(schema_json))
+        except Exception as exc:
+            # "Unable to parse schema" failure attached to the schema
+            # property, as in Lookup.java:398-403.
+            raise LookupConfigError(
+                [
+                    ValidationFailure(
+                        f"Unable to parse schema: {exc}",
+                        "Provide a valid StructType JSON.",
+                        "schema",
+                    )
+                ]
+            ) from exc
+        return parsed
+
+    # -- plan construction (define → JoinDefinition, Lookup.java:186-257) ---
+    def apply(self, input_df: DataFrame, lookup_df: DataFrame) -> DataFrame:
+        """Assemble the enrichment-join plan.
+
+        The Catalyst logical plan is our JoinDefinition IR: prune the
+        lookup side to keys+values (explicit column pruning, the
+        reference's one-field select-list — Lookup.java:113,293,315),
+        alias everything to dodge ambiguous-column traps, hint broadcast
+        per policy, join, and project input.* + outputs.
+        """
+        if self.macro_fields():
+            raise LookupConfigError(
+                [
+                    ValidationFailure(
+                        "Config still contains unresolved macros: "
+                        f"{sorted(self.macro_fields())}.",
+                        "Call resolve(params) before apply().",
+                    )
+                ]
+            )
+        input_name = "__input__" if self.lookup_dataset != "__input__" else "__input2__"
+        self.validate(
+            {input_name: input_df.schema, self.lookup_dataset: lookup_df.schema}
+        )
+
+        key_aliases = [f"__lk_key_{i}__" for i in range(len(self.lookup_keys))]
+        out_names = self.output_fields
+        pruned = lookup_df.select(
+            *[F.col(k).alias(a) for k, a in zip(self.lookup_keys, key_aliases)],
+            *[
+                F.col(v).alias(o)
+                for v, o in zip(self.value_fields, out_names)
+            ],
+        )
+
+        if self.first_match:
+            # B15: deterministic map semantics — min-by-tiebreaker per key.
+            order_cols = (
+                [self.first_match_order]
+                if isinstance(self.first_match_order, str)
+                else list(self.first_match_order or out_names)
+            )
+            w = Window.partitionBy(*key_aliases).orderBy(
+                *[F.col(c).asc_nulls_last() for c in order_cols]
+            )
+            pruned = (
+                pruned.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+
+        use_broadcast = self.broadcast
+        if use_broadcast and self.broadcast_threshold_rows is not None:
+            # B18 size gate: a cheap pruned-side count beats shipping an
+            # oversized table to every executor at scale. AQE will still
+            # convert to broadcast at runtime if the side turns out tiny.
+            if pruned.count() > self.broadcast_threshold_rows:
+                use_broadcast = False
+        right = F.broadcast(pruned) if use_broadcast else pruned
+
+        eq = (
+            (lambda a, b: a.eqNullSafe(b))
+            if self.null_safe
+            else (lambda a, b: a == b)
+        )
+        cond = None
+        for ik, ka in zip(self.input_keys, key_aliases):
+            clause = eq(input_df[ik], right[ka])
+            cond = clause if cond is None else (cond & clause)
+
+        joined = input_df.join(right, cond, self.how)
+
+        outs = []
+        for o in out_names:
+            col = right[o]
+            if self.default_value is not None:
+                # B12: the widget's declared-but-unshipped defaultValue
+                # (widgets/Lookup-batchjoiner.json:44-51)
+                col = F.coalesce(col, F.lit(self.default_value))
+            outs.append(col.alias(o))
+
+        result = joined.select(*[input_df[c] for c in input_df.columns], *outs)
+
+        if self.schema_json is not None:
+            expected = self.parse_schema_json(self.schema_json)
+            self._check_schema(expected, result.schema)
+        return result
+
+    @staticmethod
+    def _check_schema(expected: T.StructType, actual: T.StructType) -> None:
+        """Explicit-schema enforcement: names+types must line up
+        (Lookup.java:226-230 applied schema; mismatch = config error)."""
+        exp = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+        act = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+        if exp != act:
+            raise LookupConfigError(
+                [
+                    ValidationFailure(
+                        f"Output schema mismatch: expected {exp}, got {act}.",
+                        "Align the provided schema with the generated plan schema.",
+                        "schema",
+                    )
+                ]
+            )
+
+    # -- lineage (prepareRun, Lookup.java:83-95, 134-184) --------------------
+    def lineage(
+        self, input_schema: T.StructType, input_name: str = "input"
+    ) -> dict[str, dict[str, Any]]:
+        """Field-level lineage: one Join op over the key columns, one
+        Identity op per passthrough column, one Rename op when the lookup
+        value is re-aliased (Lookup.java:148-150, 168-171, 177-180)."""
+        ops: dict[str, dict[str, Any]] = {}
+        key_cols = set(self.input_keys)
+        for name in input_schema.fieldNames():
+            if name in key_cols:
+                ops[name] = {
+                    "operation": "Join",
+                    "description": "Joined on key fields",
+                    "inputs": sorted(
+                        {f"{input_name}.{k}" for k in self.input_keys}
+                        | {f"{self.lookup_dataset}.{k}" for k in self.lookup_keys}
+                    ),
+                }
+            else:
+                ops[name] = {
+                    "operation": "Identity",
+                    "description": "Copied from input",
+                    "inputs": [f"{input_name}.{name}"],
+                }
+        for value_field, out in zip(self.value_fields, self.output_fields):
+            op = "Identity" if out == value_field else "Rename"
+            ops[out] = {
+                "operation": op,
+                "description": f"{op} of lookup value field",
+                "inputs": [f"{self.lookup_dataset}.{value_field}"],
+            }
+        return ops

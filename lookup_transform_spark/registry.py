@@ -1,0 +1,967 @@
+"""Query registry: every SURVEY.md §2 operator as a (spark, sf_dir) ->
+DataFrame callable plus, where SQL-expressible, a DuckDB oracle string.
+
+Cross-engine determinism rules (so the driver's value-hash matches):
+- double aggregates go through DECIMAL(38,6): the per-row double math is
+  IEEE-identical in both engines, the decimal sum is exact (order-free),
+  and the final cast back to double is a single deterministic rounding.
+- timestamps never appear raw in outputs: epoch seconds/micros (bigint)
+  or DATE casts only. The events fixture is ns-precision parquet; Spark
+  truncates to micros, so oracle comparisons use epoch_us/floor(epoch).
+- every window/top-k has a total ordering (unique-key tiebreak).
+- aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lookup_transform_spark.operators import dedup as DD
+from lookup_transform_spark.operators import text as TX
+from lookup_transform_spark.operators.asof import asof_join, range_join
+from lookup_transform_spark.operators.sessionize import sessionize
+from lookup_transform_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from lookup_transform_spark.plans.lookup import LookupSpec
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                       if "__file__" in globals() else "/root/repo", ".scratch")
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture is ns-precision parquet, which Spark 4 refuses
+    by default; read nanos as long, then truncate to a µs timestamp —
+    the same truncation DuckDB's epoch_us() applies in the oracles."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _t(spark, sf_dir, "events")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _dec(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)")
+
+
+def _sumd(col, alias: str):
+    """Deterministic double sum: exact decimal accumulation, one final cast."""
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# B10-B20: the lookup family (reference-faithful variants first)
+# ---------------------------------------------------------------------------
+
+_ORDERS_COLS = """o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority"""
+
+
+@_q(
+    "lookup",
+    f"""SELECT {_ORDERS_COLS}, c.c_mktsegment AS segment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q_lookup(spark, sf):
+    """B10/A1 flagship: reference shape — fact + broadcast dim, left-outer,
+    one value column, alias (Lookup.java:186-257)."""
+    spec = LookupSpec("customer", "o_custkey", "c_custkey", "c_mktsegment", "segment")
+    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority", "segment",
+    )
+
+
+@_q(
+    "lookup_default_alias",
+    """SELECT o.o_orderkey, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q_lookup_default_alias(spark, sf):
+    """B11/A3: outputField omitted → defaults to the value-field name
+    (Lookup.java:389-391)."""
+    spec = LookupSpec("customer", "o_custkey", "c_custkey", "c_mktsegment")
+    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+    return out.select("o_orderkey", "c_mktsegment")
+
+
+@_q(
+    "lookup_default_on_miss",
+    """SELECT o.o_orderkey, COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+ON o.o_custkey = c.c_custkey""",
+)
+def q_lookup_default_on_miss(spark, sf):
+    """B12: the widget's declared-but-unshipped defaultValue
+    (widgets/Lookup-batchjoiner.json:44-51) → coalesce on miss."""
+    lkp = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    spec = LookupSpec(
+        "customer", "o_custkey", "c_custkey", "c_mktsegment", "segment",
+        default_value="UNKNOWN",
+    )
+    return spec.apply(_t(spark, sf, "orders"), lkp).select("o_orderkey", "segment")
+
+
+@_q(
+    "lookup_multi_key",
+    """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
+       b.l_extendedprice AS matched_price
+FROM lineitem a LEFT JOIN lineitem b
+ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber""",
+)
+def q_lookup_multi_key(spark, sf):
+    """B13: composite join key (fact-fact, so no broadcast — the B18
+    policy in the same plan)."""
+    li = _t(spark, sf, "lineitem")
+    spec = LookupSpec(
+        "lineitem_lkp",
+        ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        "matched_price",
+        broadcast=False,
+    )
+    inp = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    return spec.apply(inp, li)
+
+
+@_q(
+    "lookup_multi_value",
+    """SELECT o.o_orderkey, c.c_mktsegment AS segment, c.c_acctbal AS acctbal
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q_lookup_multi_value(spark, sf):
+    """B14: N value columns in one pass."""
+    spec = LookupSpec(
+        "customer", "o_custkey", "c_custkey",
+        ["c_mktsegment", "c_acctbal"], ["segment", "acctbal"],
+    )
+    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
+    return out.select("o_orderkey", "segment", "acctbal")
+
+
+@_q(
+    "lookup_first_match",
+    """SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+       f.o_orderkey, f.o_totalprice
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+    FROM orders) WHERE rn = 1) f
+ON c.c_custkey = f.o_custkey""",
+)
+def q_lookup_first_match(spark, sf):
+    """B15: map semantics — deterministic first match (min o_orderkey)
+    instead of the reference's row-multiplying join (SURVEY §7 decision)."""
+    spec = LookupSpec(
+        "orders", "c_custkey", "o_custkey",
+        ["o_orderkey", "o_totalprice"],
+        first_match=True, first_match_order=["o_orderkey"],
+    )
+    return spec.apply(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
+
+
+@_q(
+    "lookup_inner",
+    """SELECT o.o_orderkey, c.c_mktsegment AS segment
+FROM orders o JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+ON o.o_custkey = c.c_custkey""",
+)
+def q_lookup_inner(spark, sf):
+    """B16: required-lookup variant — drop misses (how='inner')."""
+    lkp = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    spec = LookupSpec(
+        "customer", "o_custkey", "c_custkey", "c_mktsegment", "segment",
+        how="inner",
+    )
+    return spec.apply(_t(spark, sf, "orders"), lkp).select("o_orderkey", "segment")
+
+
+@_q(
+    "lookup_null_safe",
+    """SELECT o.o_orderkey, NULLIF(o.o_custkey % 7, 0) AS k, n.n_name
+FROM orders o LEFT JOIN nation n
+ON NULLIF(o.o_custkey % 7, 0) IS NOT DISTINCT FROM NULLIF(n.n_nationkey % 7, 0)""",
+)
+def q_lookup_null_safe(spark, sf):
+    """B17: <=> key equality — null keys DO match (vs. the reference's
+    null-unsafe default, Lookup.java:224)."""
+    inp = _t(spark, sf, "orders").select(
+        "o_orderkey", F.expr("nullif(o_custkey % 7, 0)").alias("k")
+    )
+    lkp = _t(spark, sf, "nation").select(
+        F.expr("nullif(cast(n_nationkey as bigint) % 7, 0)").alias("k2"), "n_name"
+    )
+    spec = LookupSpec("nation", "k", "k2", "n_name", null_safe=True)
+    return spec.apply(inp, lkp)
+
+
+@_q(
+    "lookup_big",
+    """SELECT o.o_orderkey, o.o_totalprice, l.l_extendedprice AS price,
+       l.l_discount AS discount
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
+)
+def q_lookup_big(spark, sf):
+    """B18: lookup side too big to broadcast → plain join, AQE decides
+    (the 100 TB correction of the reference's unconditional broadcast,
+    Lookup.java:208)."""
+    spec = LookupSpec(
+        "lineitem", "o_orderkey", "l_orderkey",
+        ["l_extendedprice", "l_discount"], ["price", "discount"],
+        broadcast=False,
+    )
+    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+    return out.select("o_orderkey", "o_totalprice", "price", "discount")
+
+
+@_q(
+    "lookup_asof",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def q_lookup_asof(spark, sf):
+    """B19 as-of: latest click at-or-before each purchase, per user.
+    Union-sort formulation — no range-join explosion (operators/asof.py)."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_fields=["last_click_value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "last_click_value",
+    )
+
+
+@_q(
+    "lookup_range",
+    """SELECT e.event_id, e.value, b.band
+FROM events e LEFT JOIN (
+  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 1000.0, 'high')
+) b(lo, hi, band) ON e.value >= b.lo AND e.value < b.hi""",
+)
+def q_lookup_range(spark, sf):
+    """B19 range: value ∈ [lo, hi) banding via broadcast nested-loop —
+    the fact side is never shuffled for a banding."""
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    ev = _events(spark, sf).select("event_id", "value")
+    return range_join(ev, bands, "value", "lo", "hi", ["band"])
+
+
+@_q(
+    "lookup_chain",
+    """SELECT o.o_orderkey, c.c_nationkey AS cust_nationkey,
+       n.n_name AS nation_name, r.r_name AS region_name
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def q_lookup_chain(spark, sf):
+    """B20: multi-stage star-schema denormalization — chained B10s
+    (the data-mart use case of docs/Lookup-batchjoiner.md:9-13)."""
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    s1 = LookupSpec("customer", "o_custkey", "c_custkey", "c_nationkey",
+                    "cust_nationkey")
+    s2 = LookupSpec("nation", "cust_nationkey", "n_nationkey",
+                    ["n_name", "n_regionkey"], ["nation_name", "rkey"])
+    s3 = LookupSpec("region", "rkey", "r_regionkey", "r_name", "region_name")
+    out = s1.apply(orders, _t(spark, sf, "customer"))
+    out = s2.apply(out, _t(spark, sf, "nation"))
+    out = s3.apply(out, _t(spark, sf, "region"))
+    return out.select("o_orderkey", "cust_nationkey", "nation_name", "region_name")
+
+
+# ---------------------------------------------------------------------------
+# B30-B39: relational scaffolding
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf):
+    """B32 hash aggregate: TPC-H Q1-shaped pricing summary."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sumd("l_quantity", "sum_qty"),
+        _sumd("l_extendedprice", "sum_base_price"),
+        F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
+        F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_agg_rollup(spark, sf):
+    """B33 rollup (grouping sets)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _sumd("l_quantity", "sum_qty"))
+    )
+
+
+@_q(
+    "agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def q_agg_cube(spark, sf):
+    """B33 cube."""
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _sumd("o_totalprice", "sum_price"))
+    )
+
+
+@_q(
+    "agg_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_agg_distinct(spark, sf):
+    """B32 count-distinct (exact)."""
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "window_topk",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3""",
+)
+def q_window_topk(spark, sf):
+    """B34/B35: top-k per group via window row_number."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "window_running",
+    """SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+       LAG(event_id) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_event_id
+FROM events""",
+)
+def q_window_running(spark, sf):
+    """B34: running aggregate + lag with a deterministic total order."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long").asc(), F.col("event_id").asc()
+    )
+    return _events(spark, sf).select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@_q(
+    "setops_except",
+    """SELECT c_custkey AS custkey FROM customer
+EXCEPT SELECT o_custkey FROM orders""",
+)
+def q_setops_except(spark, sf):
+    """B36: EXCEPT DISTINCT — customers with no orders."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@_q(
+    "setops_intersect",
+    """SELECT c_custkey AS custkey FROM customer
+INTERSECT SELECT o_custkey FROM orders""",
+)
+def q_setops_intersect(spark, sf):
+    """B36: INTERSECT DISTINCT."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@_q(
+    "setops_union",
+    """SELECT s_nationkey AS nationkey FROM supplier
+UNION SELECT c_nationkey FROM customer""",
+)
+def q_setops_union(spark, sf):
+    """B36: UNION DISTINCT."""
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return s.union(c).distinct()
+
+
+@_q(
+    "join_semi",
+    """SELECT o_orderkey FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+)
+def q_join_semi(spark, sf):
+    """B37: left-semi (EXISTS)."""
+    o = _t(spark, sf, "orders")
+    big = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        big, o["o_orderkey"] == big["l_orderkey"], "left_semi"
+    ).select("o_orderkey")
+
+
+@_q(
+    "join_anti",
+    """SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
+)
+def q_join_anti(spark, sf):
+    """B37: left-anti (NOT EXISTS)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
+    ).select("o_orderkey")
+
+
+@_q(
+    "filter_predicates",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderstatus IN ('O', 'F') AND o_totalprice BETWEEN 1000 AND 5000
+  AND o_orderpriority LIKE '3%' AND o_custkey IS NOT NULL""",
+)
+def q_filter_predicates(spark, sf):
+    """B30: predicate surface (in/between/like/null-check) — all pushed
+    to the parquet scan."""
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 5000)
+        & F.col("o_orderpriority").like("3%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@_q(
+    "scalar_funcs",
+    """SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_type, 1, 5) AS type5,
+       round(p_retailprice * 1.1, 2) AS adj_price,
+       abs(p_size - 25) AS size_dev,
+       concat_ws('#', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part""",
+)
+def q_scalar_funcs(spark, sf):
+    """B38: string/math scalar functions."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("adj_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@_q(
+    "date_funcs",
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
+         AS days_to_y2k
+FROM orders""",
+)
+def q_date_funcs(spark, sf):
+    """B38: date/time scalar functions."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
+    )
+
+
+@_q(
+    "json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events""",
+)
+def q_json_extract(spark, sf):
+    """B55: typed extraction from JSON strings."""
+    return _events(spark, sf).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B56 + B60-63 batch twins: sessionization & time windows
+# ---------------------------------------------------------------------------
+
+_SESSION_CTE = """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), l AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                   OR ts_us - LAG(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS flag
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), s AS (
+  SELECT event_id, user_id, ts_us,
+         CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM l
+)"""
+
+
+@_q(
+    "sessionize",
+    _SESSION_CTE + "\nSELECT event_id, user_id, session_id FROM s",
+)
+def q_sessionize(spark, sf):
+    """B56: gap-based sessionization (30-min gap), µs precision."""
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    out = sessionize(ev, key="user_id", ts="ts_us",
+                     gap_seconds=1800 * 1_000_000, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
+@_q(
+    "session_window_agg",
+    _SESSION_CTE
+    + """
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM s GROUP BY user_id, session_id""",
+)
+def q_session_window_agg(spark, sf):
+    """B61 session-window batch twin: per-session aggregates."""
+    ev = _events(spark, sf).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    s = sessionize(ev, key="user_id", ts="ts_us",
+                   gap_seconds=1800 * 1_000_000, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@_q(
+    "window_tumbling",
+    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
+         AS w_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2""",
+)
+def q_window_tumbling(spark, sf):
+    """B61 tumbling-window batch twin (streaming twin in streaming/)."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sumd("value", "sum_value"))
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@_q(
+    "window_sliding",
+    """WITH x AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type FROM events
+), w AS (
+  SELECT b AS ws, event_type FROM x
+  UNION ALL
+  SELECT b - INTERVAL '5 minutes' AS ws, event_type FROM x
+)
+SELECT CAST(floor(epoch(ws)) AS BIGINT) AS w_start, event_type,
+       COUNT(*) AS n_events
+FROM w GROUP BY 1, 2""",
+)
+def q_window_sliding(spark, sf):
+    """B61 sliding-window batch twin: 10-min window, 5-min slide."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("w_start"),
+            "event_type", "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B50-B55: LLM-data-pipeline tier
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) WHERE rn = 1""",
+)
+def q_dedup_exact(spark, sf):
+    """B50: exact dedup by key with deterministic survivor (min event_id),
+    as a single hash aggregate (min_by), not a window sort."""
+    ev = _events(spark, sf).select("user_id", "event_id", "event_type", "value")
+    return DD.dedup_exact(ev, ["user_id"], "event_id")
+
+
+@_q(
+    "dedup_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_dedup_distinct(spark, sf):
+    """B50/B36: full-row distinct."""
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@_q(
+    "text_stats",
+    """WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
+         CAST(length(text) AS INTEGER) AS n_chr,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
+              ELSE 0.0 END AS praw
+  FROM documents)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       n_chr AS n_chars_actual,
+       ROUND(praw, 6) AS punct_ratio,
+       ROUND(LEAST(n_tok / 20.0, 1.0) * (1.0 - praw)
+             * CASE WHEN n_tok > 0 AND n_chr::DOUBLE / n_tok >= 3.0
+                         AND n_chr::DOUBLE / n_tok <= 12.0
+                    THEN 1.0 ELSE 0.5 END, 6) AS quality,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM t""",
+)
+def q_text_stats(spark, sf):
+    """B53: token counts, punctuation ratio, quality score, fingerprint."""
+    return TX.text_stats(_t(spark, sf, "documents"))
+
+
+@_q(
+    "lang_stats",
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang""",
+)
+def q_lang_stats(spark, sf):
+    """B53: per-language corpus stats."""
+    return _t(spark, sf, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _lang_list_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> "
+        f"list_contains([{words}], x)))::DOUBLE / len(toks) ELSE 0.0 END"
+    )
+
+
+@_q(
+    "lang_id",
+    f"""WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         {_lang_list_sql('de')} AS s_de,
+         {_lang_list_sql('en')} AS s_en,
+         {_lang_list_sql('es')} AS s_es,
+         {_lang_list_sql('fr')} AS s_fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s""",
+)
+def q_lang_id(spark, sf):
+    """B53: stopword-heuristic language ID (ties → alphabetically first)."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.lang_id("text").alias("lang_pred")
+    )
+
+
+@_q(
+    "ngram_jaccard",
+    """WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
+  FROM documents)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.2""",
+)
+def q_ngram_jaccard(spark, sf):
+    """B51: exact n-gram Jaccard near-dup pairs, source-blocked."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), block_col="source", shingle_n=3, threshold=0.2
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    """SELECT vec_id_a, vec_id_b, sim FROM (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+WHERE sim >= 0.4""",
+)
+def q_embedding_near_dup(spark, sf):
+    """B51: embedding-cosine near-duplicate pairs (exact)."""
+    return DD.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "simsearch_cosine",
+    """SELECT query_id, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rn
+  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+  WHERE c.vec_id <> q.vec_id)
+WHERE rn <= 10""",
+)
+def q_simsearch_cosine(spark, sf):
+    """B52: exact brute-force cosine top-k (queries broadcast, corpus
+    scanned once; the oracle-checkable ANN baseline)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=10)
+
+
+# ---- rows-only (approximate / hash-seeded / engine-specific) --------------
+
+@_q("dedup_minhash")
+def q_dedup_minhash(spark, sf):
+    """B51: MinHash-LSH near-dup (shingle→minhash→band→bucket-join→verify).
+    Rows-only: signature hashing is engine-specific; verified pairs are
+    exact-Jaccard filtered so results are data-true."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@_q("dedup_simhash")
+def q_dedup_simhash(spark, sf):
+    """B51: SimHash near-dup with pigeonhole banding (hamming <= 3)."""
+    return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+@_q("fingerprint_rolling")
+def q_fingerprint_rolling(spark, sf):
+    """B53: winnowing-style rolling fingerprint (min 5-gram xxhash64)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", TX.rolling_fingerprint("text", window=5).alias("rfp")
+    )
+
+
+@_q("simsearch_lsh")
+def q_simsearch_lsh(spark, sf):
+    """B52 scale path: random-hyperplane LSH bucketing → candidate
+    equi-join → exact re-score (approximate recall)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucket_topk(emb, queries, k=10, n_planes=8)
+
+
+@_q("simsearch_ivf")
+def q_simsearch_ivf(spark, sf):
+    """B52 scale path: IVF-style centroid probing (approximate)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# B54: multimodal columns; B1-B3: sources & sinks
+# ---------------------------------------------------------------------------
+
+@_q(
+    "multimodal_payload",
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_len,
+       md5(text) AS payload_md5, source
+FROM documents""",
+)
+def q_multimodal_payload(spark, sf):
+    """B54: opaque binary payload + typed metadata travel through the
+    plan untouched; integrity checked by md5 over the bytes."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct("lang", "n_chars").alias("meta"),
+        "source",
+    )
+    return d.select(
+        "doc_id",
+        F.length("payload").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+        "source",
+    )
+
+
+@_q(
+    "scan_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_roundtrip(spark, sf):
+    """B2: CSV sink+scan with explicit schema (no inference)."""
+    path = f"{SCRATCH}/nation_csv_{os.path.basename(sf)}"
+    nation = _t(spark, sf, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(path)
+
+
+@_q(
+    "scan_json_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_scan_json_roundtrip(spark, sf):
+    """B2: JSON-lines sink+scan with explicit schema."""
+    path = f"{SCRATCH}/supplier_json_{os.path.basename(sf)}"
+    supplier = _t(spark, sf, "supplier")
+    supplier.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(path).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@_q(
+    "sink_partitioned",
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def q_sink_partitioned(spark, sf):
+    """B3: partitioned parquet sink, then partition-pruned scan-back."""
+    path = f"{SCRATCH}/orders_part_{os.path.basename(sf)}"
+    orders = _t(spark, sf, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))

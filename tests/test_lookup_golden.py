@@ -1,0 +1,192 @@
+"""The reference's canonical golden test, reproduced (FIXTURES.md §1).
+
+Source fixture: LookupTest.java:56-73 (schemas), :128-155 (rows),
+:157-176 (expected output incl. the null-on-miss row). Unlike the
+reference's order-dependent compare (LookupTest.java:174-176) we sort
+by key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+from pyspark.sql import types as T
+
+from lookup_transform_spark import LookupConfigError, LookupSpec
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.IntegerType(), False),
+        T.StructField("first_name", T.StringType(), False),
+        T.StructField("last_name", T.StringType(), False),
+    ]
+)
+PHONE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("customer_id", T.IntegerType(), False),
+        T.StructField("phone_number", T.StringType(), False),
+    ]
+)
+
+SPEC = LookupSpec(
+    lookup_dataset="phone_numbers",
+    input_key_field="customer_id",
+    lookup_key_field="customer_id",
+    lookup_value_field="phone_number",
+    output_field="phone",
+)
+
+
+@pytest.fixture(scope="module")
+def customers(spark):
+    return spark.createDataFrame(
+        [(1, "John", "Doe"), (2, "Jane", "Doe")], CUSTOMER_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def phones(spark):
+    return spark.createDataFrame([(1, 1, "555-555-555")], PHONE_SCHEMA)
+
+
+def test_golden_lookup(customers, phones):
+    out = SPEC.apply(customers, phones)
+    rows = sorted(out.collect(), key=lambda r: r.customer_id)
+    assert out.columns == ["customer_id", "first_name", "last_name", "phone"]
+    assert len(rows) == 2  # LookupTest.java:173
+    assert rows[0].asDict() == {
+        "customer_id": 1, "first_name": "John", "last_name": "Doe",
+        "phone": "555-555-555",
+    }
+    # miss row survives with null phone (LookupTest.java:171-172)
+    assert rows[1].asDict() == {
+        "customer_id": 2, "first_name": "Jane", "last_name": "Doe", "phone": None,
+    }
+
+
+def test_output_column_forced_nullable(customers, phones):
+    # Lookup.java:455-457: output col nullable even though source is not
+    out = SPEC.apply(customers, phones)
+    assert out.schema["phone"].nullable is True
+    assert SPEC.output_schema(CUSTOMER_SCHEMA, PHONE_SCHEMA)["phone"].nullable is True
+
+
+def test_duplicate_lookup_keys_multiply(spark, customers):
+    # SURVEY §2.1 fine print 3: true join semantics, no dedup
+    phones2 = spark.createDataFrame(
+        [(1, 1, "555-555-555"), (2, 1, "555-123-456")], PHONE_SCHEMA
+    )
+    out = SPEC.apply(customers, phones2)
+    assert out.count() == 3
+
+
+def test_null_keys_never_match(spark, phones):
+    # SURVEY §2.1 fine print 2: null-unsafe equality (Lookup.java:224)
+    schema = T.StructType(
+        [
+            T.StructField("customer_id", T.IntegerType(), True),
+            T.StructField("first_name", T.StringType(), False),
+            T.StructField("last_name", T.StringType(), False),
+        ]
+    )
+    customers = spark.createDataFrame([(None, "Nul", "Key")], schema)
+    phones_null = spark.createDataFrame([(9, None, "999")], T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("customer_id", T.IntegerType(), True),
+            T.StructField("phone_number", T.StringType(), False),
+        ]
+    ))
+    out = SPEC.apply(customers, phones_null).collect()
+    assert len(out) == 1 and out[0].phone is None
+
+
+def test_output_field_defaults_to_value_name(customers, phones):
+    # Lookup.java:389-391
+    spec = LookupSpec(
+        lookup_dataset="phone_numbers",
+        input_key_field="customer_id",
+        lookup_key_field="customer_id",
+        lookup_value_field="phone_number",
+    )
+    out = spec.apply(customers, phones)
+    assert out.columns[-1] == "phone_number"
+
+
+def test_collision_rejected(customers, phones):
+    # Lookup.java:515-518
+    spec = replace(SPEC, output_field="first_name")
+    with pytest.raises(LookupConfigError, match="already exists"):
+        spec.apply(customers, phones)
+
+
+def test_validation_taxonomy():
+    inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
+    # missing required field (Lookup.java:411-428)
+    with pytest.raises(LookupConfigError, match="Missing required"):
+        LookupSpec("phone_numbers", "", "customer_id", "phone_number").validate(inputs)
+    # != 2 inputs (Lookup.java:471-480)
+    with pytest.raises(LookupConfigError, match="exactly 2 inputs"):
+        SPEC.validate({"customer": CUSTOMER_SCHEMA})
+    # lookup not among inputs (Lookup.java:485-489)
+    with pytest.raises(LookupConfigError, match="not an input"):
+        LookupSpec("nope", "customer_id", "customer_id", "phone_number").validate(inputs)
+    # absent fields (Lookup.java:490-509)
+    with pytest.raises(LookupConfigError, match="Lookup key field"):
+        LookupSpec("phone_numbers", "customer_id", "zzz", "phone_number").validate(inputs)
+    with pytest.raises(LookupConfigError, match="Lookup value field"):
+        LookupSpec("phone_numbers", "customer_id", "customer_id", "zzz").validate(inputs)
+    with pytest.raises(LookupConfigError, match="Input key field"):
+        LookupSpec("phone_numbers", "zzz", "customer_id", "phone_number").validate(inputs)
+    # type incompatibility (Lookup.java:510-514)
+    with pytest.raises(LookupConfigError, match="not compatible"):
+        LookupSpec("phone_numbers", "first_name", "customer_id", "phone_number").validate(inputs)
+    # happy path returns the derived schema
+    schema = SPEC.validate(inputs)
+    assert schema.fieldNames() == ["customer_id", "first_name", "last_name", "phone"]
+
+
+def test_macros_defer_validation():
+    inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
+    spec = LookupSpec(
+        "phone_numbers", "${key}", "customer_id", "phone_number", "phone"
+    )
+    assert spec.macro_fields() == {"input_key_field"}
+    assert spec.validate(inputs) is None  # deferred (Lookup.java:193-195)
+    resolved = spec.resolve({"key": "customer_id"})
+    assert resolved.macro_fields() == set()
+    assert resolved.validate(inputs) is not None
+
+
+def test_schema_json_override(customers, phones):
+    schema = SPEC.output_schema(CUSTOMER_SCHEMA, PHONE_SCHEMA)
+    spec = replace(SPEC, schema_json=schema.json())
+    out = spec.apply(customers, phones)
+    assert out.count() == 2
+    # mismatched schema is a config error (Lookup.java:226-230, 393-404)
+    bad = T.StructType([T.StructField("x", T.IntegerType())])
+    spec_bad = replace(SPEC, schema_json=bad.json())
+    with pytest.raises(LookupConfigError, match="mismatch"):
+        spec_bad.apply(customers, phones)
+    with pytest.raises(LookupConfigError, match="Unable to parse"):
+        LookupSpec.parse_schema_json("{not json")
+
+
+def test_lineage(customers, phones):
+    ops = SPEC.lineage(CUSTOMER_SCHEMA, "customer")
+    assert ops["customer_id"]["operation"] == "Join"
+    assert "phone_numbers.customer_id" in ops["customer_id"]["inputs"]
+    assert ops["first_name"] == {
+        "operation": "Identity",
+        "description": "Copied from input",
+        "inputs": ["customer.first_name"],
+    }
+    assert ops["phone"]["operation"] == "Rename"
+    assert ops["phone"]["inputs"] == ["phone_numbers.phone_number"]
+
+
+def test_broadcast_hint_in_plan(customers, phones):
+    plan = SPEC.apply(customers, phones)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

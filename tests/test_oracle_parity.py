@@ -1,0 +1,84 @@
+"""Mirror of the driver's correctness gate: run every registry query on
+Spark AND its DuckDB oracle over the same parquet, compare row count,
+column names, and (column-name-sorted, row-sorted) values exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from lookup_transform_spark import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, then rows; make values hashable/comparable."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr), [columns[i] for i in order]
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = registry.QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(registry.ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_norm, cols = _normalize(spark_rows, spark_cols)
+    d_norm, _ = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3 "
+        f"(cols {cols}): {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = registry.QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
