@@ -15,8 +15,11 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Mersenne prime for universal-hash permutations h_i(x) = (a_i*x + b_i) mod p.
 # 31-bit so that a*h + b stays < 2^63 (Spark 4 runs ANSI mode: long overflow
@@ -72,7 +75,10 @@ def minhash_signature(
     text_col: str, num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
 ) -> F.Column:
     """MinHash signature as array<long>: element i = min over shingles of
-    (a_i * xxhash64(shingle) + b_i) mod PRIME. All codegen'd."""
+    (a_i * xxhash64(shingle) + b_i) mod PRIME. All codegen'd — but the
+    k-permutation min is interpreted per element; prefer
+    ``minhash_signature_pandas`` on wide corpora (same math, Arrow
+    batch + numpy)."""
     sh = shingles(text_col, shingle_n)
     # pmod, not abs+%: abs(Long.MIN_VALUE) overflows under ANSI mode
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
@@ -87,6 +93,34 @@ def minhash_signature(
             )
         )
     return F.array(*sig_parts)
+
+
+def minhash_signature_pandas(
+    text_col: str, num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
+) -> F.Column:
+    """Same signature as ``minhash_signature`` (bit-identical math), with
+    shingle hashing JVM-side (xxhash64, codegen) and the k-permutation
+    min vectorized in numpy over Arrow batches — the sanctioned slow
+    path for work Spark's built-ins can't express efficiently."""
+    params = np.array(_perm_params(num_hashes, seed), dtype=np.int64)
+    a_vec, b_vec = params[:, 0], params[:, 1]
+
+    @pandas_udf("array<long>")
+    def _perm_min(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append(np.full(num_hashes, _PRIME, dtype=np.int64))
+                continue
+            # (a*h + b) % p fits in int64: a,h < 2^31 → product < 2^62
+            sig = ((a_vec[:, None] * arr[None, :] + b_vec[:, None]) % _PRIME)
+            out.append(sig.min(axis=1))
+        return pd.Series(out)
+
+    sh = shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    return _perm_min(base)
 
 
 def minhash_lsh_pairs(
@@ -107,10 +141,16 @@ def minhash_lsh_pairs(
     Output: (doc_id_a, doc_id_b, jaccard), a < b, deduplicated.
     """
     rows_per_band = num_hashes // bands
+    # spread signature computation across cores: a small parquet arrives
+    # as one input split, but the per-doc hashing is the expensive part.
+    # Explicit partition count — AQE would coalesce by byte size and
+    # serialize this CPU-bound stage otherwise.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col(id_col))
     sig = docs.select(
         F.col(id_col).alias("__id__"),
         F.col(text_col).alias("__text__"),
-        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
+        minhash_signature_pandas(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
     )
     banded = sig.select(
         "__id__",
@@ -177,27 +217,54 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs within a blocking
     key (B51's exact small-block variant; oracle-checkable in DuckDB).
 
-    Blocking bounds the pair count: O(Σ block²), shuffled on block_col.
+    Formulated as explode → shingle equi-join → pair count aggregate
+    (|A∩B| from matches, |A∪B| = |A|+|B|-|A∩B|), which stays entirely
+    in whole-stage codegen and shuffles on (block, shingle) — never
+    materializing pairwise arrays. Pairs sharing zero shingles have
+    jaccard 0 and are below any positive threshold, so the equi-join
+    losing them is exact.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    # parallelize shingle building; explicit count so AQE keeps it wide
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    blk = F.col(block_col) if block_col else F.lit(1)
     sel = docs.select(
         F.col(id_col).alias("__id__"),
+        blk.alias("__blk__"),
         shingles(text_col, shingle_n).alias("__sh__"),
-        *( [F.col(block_col).alias("__blk__")] if block_col else [F.lit(1).alias("__blk__")] ),
+    ).select(
+        "__id__", "__blk__",
+        F.size("__sh__").alias("__n__"),
+        F.explode("__sh__").alias("__s__"),
     )
-    a, b = sel.alias("a"), sel.alias("b")
-    pairs = a.join(
+    a = sel.select(
+        F.col("__id__").alias("doc_id_a"), F.col("__blk__").alias("__blk_a__"),
+        F.col("__n__").alias("__na__"), F.col("__s__").alias("__sa__"),
+    )
+    b = sel.select(
+        F.col("__id__").alias("doc_id_b"), F.col("__blk__").alias("__blk_b__"),
+        F.col("__n__").alias("__nb__"), F.col("__s__").alias("__sb__"),
+    )
+    matches = a.join(
         b,
-        (F.col("a.__blk__") == F.col("b.__blk__"))
-        & (F.col("a.__id__") < F.col("b.__id__")),
+        (F.col("__sa__") == F.col("__sb__"))
+        & (F.col("__blk_a__") == F.col("__blk_b__"))
+        & (F.col("doc_id_a") < F.col("doc_id_b")),
     )
-    jac = F.size(F.array_intersect(F.col("a.__sh__"), F.col("b.__sh__"))) / F.size(
-        F.array_union(F.col("a.__sh__"), F.col("b.__sh__"))
+    pairs = matches.groupBy("doc_id_a", "doc_id_b").agg(
+        F.count(F.lit(1)).alias("__common__"),
+        F.first("__na__").alias("__na__"),
+        F.first("__nb__").alias("__nb__"),
+    )
+    jac = F.col("__common__") / (
+        F.col("__na__") + F.col("__nb__") - F.col("__common__")
     )
     return (
         pairs.select(
-            F.col("a.__id__").alias("doc_id_a"),
-            F.col("b.__id__").alias("doc_id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -241,6 +308,30 @@ def simhash_signature_text(
     return sig
 
 
+def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
+    """Bit-identical to ``simhash_signature_text`` with token hashing
+    JVM-side and the bit-vote accumulation vectorized in numpy."""
+    @pandas_udf("long")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        js = np.arange(bits, dtype=np.uint64)
+        weights = np.uint64(1) << js
+        out = []
+        for h in hashes:
+            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
+                votes = np.zeros(bits, dtype=np.int64)
+            else:
+                bitm = ((arr[:, None] >> js[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bitm - 1).sum(axis=0)
+            sig = int(weights[votes >= 0].sum(dtype=np.uint64))
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="int64")
+
+    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    return _sig(hashes)
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -257,9 +348,11 @@ def simhash_pairs(
     hamming verification via bit_count(xor).
     """
     chunk_bits = bits // chunks
-    sig = docs.select(
+    sig = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
         F.col(id_col).alias("__id__"),
-        simhash_signature_text(text_col, bits).alias("__sig__"),
+        simhash_signature_text_pandas(text_col, bits).alias("__sig__"),
     )
     banded = sig.select(
         "__id__",
@@ -311,17 +404,38 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold (exact; oracle-checkable).
 
-    Brute-force O(n²) within the join — acceptable for a verification
-    query; the scale path is ``similarity.lsh_bucket_topk``-style
-    banding first.
+    Block-nested-loop via a broadcast numpy matrix: the corpus matrix is
+    broadcast to executors (like a broadcast join side — requires one
+    side to fit in executor memory), and each corpus partition computes
+    its block of the similarity matrix with one float64 matmul inside
+    ``mapInPandas``. O(n²) work is inherent to exact all-pairs; the
+    scale path is LSH prefiltering (``simhash``/``lsh_bucket_topk``)
+    before the exact re-score.
     """
-    from lookup_transform_spark.functions.vector import cosine_similarity
+    sel = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    corpus = sel.toPandas()
+    ids_all = corpus["vec_id"].to_numpy()
+    mat = np.stack(corpus["vec"].to_numpy()).astype(np.float64)
+    norms_all = np.sqrt((mat * mat).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat, norms_all))
 
-    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va__"))
-    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb__"))
-    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-    sim = cosine_similarity(F.col("__va__"), F.col("__vb__"))
-    return (
-        pairs.select("vec_id_a", "vec_id_b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    def block_sims(batches):
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            an = np.sqrt((a * a).sum(axis=1))
+            sims = np.round((a @ mat_b.T) / np.outer(an, norms_b), 6)
+            aid = pdf["vec_id"].to_numpy()
+            keep = (aid[:, None] < ids_b[None, :]) & (sims >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": aid[ai],
+                    "vec_id_b": ids_b[bj],
+                    "sim": sims[ai, bj],
+                }
+            )
+
+    return sel.mapInPandas(block_sims, "vec_id_a long, vec_id_b long, sim double")
