@@ -1,0 +1,69 @@
+"""UDF/UDAF/UDTF surface (SURVEY.md §2.2 B39) — the sanctioned Python
+extension points, all Arrow-batched (never row-at-a-time Python in a
+hot path):
+
+- scalar pandas UDF (vectorized per batch)
+- grouped-aggregate via applyInPandas (exact median — order-independent,
+  so it stays oracle-checkable)
+- table function via mapInPandas
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def sigmoid(v: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: 1/(1+e^-x), one numpy pass per Arrow batch.
+    Per-row IEEE ops → bit-identical to the SQL formulation."""
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+def grouped_median(
+    df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "median_value"
+) -> DataFrame:
+    """Grouped-aggregate UDAF via applyInPandas: exact median per group.
+
+    Median is selection-based, hence independent of row order within
+    the group — deterministic across partitionings and engines (the
+    property that makes a Python UDAF oracle-checkable at all).
+    """
+    group_schema = ", ".join(
+        f"{c} {t}" for c, t in df.select(*group_cols).dtypes
+    )
+    schema = f"{group_schema}, {out_col} double"
+
+    def _median(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf[group_cols].iloc[:1].copy()
+        head[out_col] = float(pdf[value_col].median())
+        return head
+
+    return df.groupBy(*group_cols).applyInPandas(_median, schema)
+
+
+def explode_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """UDTF-shaped table function via mapInPandas: one output row per
+    token. (The built-in equivalent is explode(split(...)) — this is
+    the extension shape for tokenizers that aren't expressible as
+    column functions, e.g. a real BPE.)"""
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, toks, pos = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                for j, w in enumerate(str(t).lower().split()):
+                    ids.append(i)
+                    toks.append(w)
+                    pos.append(j)
+            yield pd.DataFrame({id_col: ids, "token": toks, "pos": pos})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _tok, f"{id_col} long, token string, pos int"
+    )

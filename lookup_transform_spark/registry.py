@@ -965,3 +965,177 @@ def q_sink_partitioned(spark, sf):
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# B39: UDF / UDAF / UDTF surface
+# ---------------------------------------------------------------------------
+
+@_q(
+    "udf_sigmoid",
+    """SELECT event_id, ROUND(1.0 / (1.0 + exp(-value)), 6) AS sig_value
+FROM events""",
+)
+def q_udf_sigmoid(spark, sf):
+    """B39: scalar pandas UDF (Arrow-batched numpy), vs the SQL twin."""
+    from lookup_transform_spark.functions.udfs import sigmoid
+
+    return _events(spark, sf).select(
+        "event_id", F.round(sigmoid(F.col("value")), 6).alias("sig_value")
+    )
+
+
+@_q(
+    "udaf_median",
+    "SELECT user_id, median(value) AS median_value FROM events GROUP BY user_id",
+)
+def q_udaf_median(spark, sf):
+    """B39: grouped-aggregate UDAF via applyInPandas — exact median is
+    selection-based (order-independent), hence oracle-checkable."""
+    from lookup_transform_spark.functions.udfs import grouped_median
+
+    ev = _events(spark, sf).select("user_id", "value")
+    return grouped_median(ev, ["user_id"], "value")
+
+
+@_q(
+    "udtf_tokens",
+    """WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d
+)
+SELECT doc_id, toks[i] AS token, CAST(i - 1 AS INTEGER) AS pos FROM e""",
+)
+def q_udtf_tokens(spark, sf):
+    """B39: UDTF-shaped table function (mapInPandas) — one row per token."""
+    from lookup_transform_spark.functions.udfs import explode_tokens
+
+    return explode_tokens(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "pivot_status",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_pivot_status(spark, sf):
+    """B33: pivot (explicit value list so the plan is a single pass)."""
+    out = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@_q(
+    "grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets(spark, sf):
+    """B33: grouping sets via the SQL surface."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@_q("agg_approx_distinct")
+def q_agg_approx_distinct(spark, sf):
+    """B32: approx_count_distinct (HLL++; deterministic for fixed data
+    but engine-specific → rows-only)."""
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B54 multimodal pipeline; B60-B63 streaming execution (rows-only)
+# ---------------------------------------------------------------------------
+
+@_q("multimodal_features")
+def q_multimodal_features(spark, sf):
+    """B54: binary payload → mapInPandas feature extraction (decode step
+    stubbed with a deterministic fake; plumbing is real)."""
+    from lookup_transform_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    frame = attach_payload(
+        _t(spark, sf, "documents"), "doc_id", "text", ["lang", "n_chars"]
+    )
+    return extract_features(frame)
+
+
+@_q("stream_lookup")
+def q_stream_lookup(spark, sf):
+    """B60: stream-static lookup, executed availableNow → memory sink."""
+    from lookup_transform_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_lookup,
+    )
+
+    ev = read_events_stream(spark, sf).select("event_id", "user_id")
+    spec = LookupSpec("customer", "user_id", "c_custkey", "c_mktsegment", "segment")
+    out = stream_static_lookup(ev, _t(spark, sf, "customer"), spec)
+    return run_to_memory(out, "mem_stream_lookup")
+
+
+@_q("stream_tumbling")
+def q_stream_tumbling(spark, sf):
+    """B61/B62: streaming tumbling window + watermark (batch twin:
+    window_tumbling)."""
+    from lookup_transform_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stream_tumbling_window,
+    )
+
+    ev = read_events_stream(spark, sf)
+    return run_to_memory(
+        stream_tumbling_window(ev), "mem_stream_tumbling", output_mode="complete"
+    )
+
+
+@_q("stream_session")
+def q_stream_session(spark, sf):
+    """B61: native streaming session windows."""
+    from lookup_transform_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stream_session_window,
+    )
+
+    ev = read_events_stream(spark, sf)
+    return run_to_memory(
+        stream_session_window(ev), "mem_stream_session", output_mode="complete"
+    )
+
+
+@_q("stream_dedup")
+def q_stream_dedup(spark, sf):
+    """B63: stateful streaming dedup within the watermark horizon."""
+    from lookup_transform_spark.streaming import (
+        read_events_stream,
+        run_to_memory,
+        stream_dedup_within_watermark,
+    )
+
+    ev = read_events_stream(spark, sf).select("event_id", "user_id", "ts")
+    out = stream_dedup_within_watermark(ev, ["user_id"])
+    return run_to_memory(out, "mem_stream_dedup").select("event_id", "user_id")
