@@ -932,12 +932,11 @@ def q_multimodal_payload(spark, sf):
 )
 def q_scan_csv_roundtrip(spark, sf):
     """B2: CSV sink+scan with explicit schema (no inference)."""
+    from lookup_transform_spark.sources import read_csv, write_csv
+
     path = f"{SCRATCH}/nation_csv_{os.path.basename(sf)}"
-    nation = _t(spark, sf, "nation")
-    nation.write.mode("overwrite").option("header", True).csv(path)
-    return spark.read.schema(
-        "n_nationkey int, n_name string, n_regionkey int"
-    ).option("header", True).csv(path)
+    write_csv(_t(spark, sf, "nation"), path)
+    return read_csv(spark, path, "n_nationkey int, n_name string, n_regionkey int")
 
 
 @_q(
@@ -946,12 +945,13 @@ def q_scan_csv_roundtrip(spark, sf):
 )
 def q_scan_json_roundtrip(spark, sf):
     """B2: JSON-lines sink+scan with explicit schema."""
+    from lookup_transform_spark.sources import read_json, write_json
+
     path = f"{SCRATCH}/supplier_json_{os.path.basename(sf)}"
-    supplier = _t(spark, sf, "supplier")
-    supplier.write.mode("overwrite").json(path)
-    return spark.read.schema(
-        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
-    ).json(path).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    write_json(_t(spark, sf, "supplier"), path)
+    return read_json(
+        spark, path, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
 @_q(
@@ -960,9 +960,12 @@ def q_scan_json_roundtrip(spark, sf):
 )
 def q_sink_partitioned(spark, sf):
     """B3: partitioned parquet sink, then partition-pruned scan-back."""
+    from lookup_transform_spark.sources import write_parquet_partitioned
+
     path = f"{SCRATCH}/orders_part_{os.path.basename(sf)}"
-    orders = _t(spark, sf, "orders")
-    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    write_parquet_partitioned(
+        _t(spark, sf, "orders"), path, partition_by=["o_orderstatus"]
+    )
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
@@ -1139,3 +1142,134 @@ def q_stream_dedup(spark, sf):
     ev = read_events_stream(spark, sf).select("event_id", "user_id", "ts")
     out = stream_dedup_within_watermark(ev, ["user_id"])
     return run_to_memory(out, "mem_stream_dedup").select("event_id", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# B30/B35/B38 breadth: sort/limit, regexp, case, having, subquery, arrays
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sort_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def q_sort_limit(spark, sf):
+    """B35: global top-N (TakeOrderedAndProject — no full sort)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@_q(
+    "string_regexp",
+    """SELECT p_partkey,
+       regexp_extract(p_type, '^\\w+') AS type_head,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       regexp_matches(p_type, 'ED$') AS type_ends_ed
+FROM part""",
+)
+def q_string_regexp(spark, sf):
+    """B38: regexp extract/replace/match."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^\w+", 0).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_type").rlike("ED$").alias("type_ends_ed"),
+    )
+
+
+@_q(
+    "case_when",
+    """SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'S'
+            WHEN o_totalprice < 200000 THEN 'M'
+            ELSE 'L' END AS size_class
+FROM orders""",
+)
+def q_case_when(spark, sf):
+    """B38: conditional bucketing."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "S")
+        .when(F.col("o_totalprice") < 200000, "M")
+        .otherwise("L")
+        .alias("size_class"),
+    )
+
+
+@_q(
+    "agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+)
+def q_agg_having(spark, sf):
+    """B32: post-aggregation predicate (HAVING)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@_q(
+    "subquery_scalar",
+    """SELECT o_orderkey FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  FROM orders)""",
+)
+def q_subquery_scalar(spark, sf):
+    """B37: scalar subquery through the SQL surface."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """SELECT o_orderkey FROM orders_sq
+           WHERE o_totalprice > (
+             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*)
+             FROM orders_sq)"""
+    )
+
+
+@_q(
+    "array_funcs",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       toks[1] AS first_tok,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_toks,
+       list_contains(toks, 'the') AS has_the
+FROM t""",
+)
+def q_array_funcs(spark, sf):
+    """B38: array functions (element_at / distinct / contains)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+@_q(
+    "null_funcs",
+    """SELECT o_orderkey,
+       NULLIF(o_custkey % 5, 0) AS k5,
+       COALESCE(NULLIF(o_custkey % 5, 0), -1) AS k5_filled
+FROM orders""",
+)
+def q_null_funcs(spark, sf):
+    """B38: null plumbing (nullif / coalesce)."""
+    o = _t(spark, sf, "orders")
+    k5 = F.expr("nullif(o_custkey % 5, 0)")
+    return o.select(
+        "o_orderkey",
+        k5.alias("k5"),
+        F.coalesce(k5, F.lit(-1)).alias("k5_filled"),
+    )

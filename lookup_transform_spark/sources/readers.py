@@ -1,0 +1,38 @@
+"""Sources (SURVEY.md §2.2 B1/B2): parquet / CSV / JSON scans.
+
+Schemas are always supplied explicitly for text formats — schema
+inference is a full extra pass over the data, which is never acceptable
+at scale, and inferred types drift between runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; select early so Catalyst prunes at the reader."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .options(**options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options
+) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)

@@ -1,0 +1,34 @@
+"""Sinks (SURVEY.md §2.2 B3): parquet (partitioned) / CSV / JSON.
+
+Partition-aware writes are the scale contract: a 100 TB table written
+``partitionBy`` on its natural pruning key turns downstream scans into
+partition-pruned reads. ``max_records_per_file`` guards against the
+small-files problem on high-cardinality partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
