@@ -1273,3 +1273,84 @@ def q_null_funcs(spark, sf):
         k5.alias("k5"),
         F.coalesce(k5, F.lit(-1)).alias("k5_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew & bucketing join strategies (result-invariant; oracle = plain join)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lookup_skew_salted",
+    """SELECT o.o_orderkey, (o.o_custkey % 3) AS hot_key, c.n_in_bucket
+FROM orders o LEFT JOIN (
+  SELECT (c_custkey % 3) AS k, COUNT(*) AS n_in_bucket
+  FROM customer GROUP BY (c_custkey % 3)) c
+ON (o.o_custkey % 3) = c.k""",
+)
+def q_lookup_skew_salted(spark, sf):
+    """Skew mitigation: a 3-value hot key would hash every row into 3
+    tasks; salting spreads each hot key across 16. Salting is
+    result-invariant — the oracle is the plain join."""
+    from lookup_transform_spark.operators.skew import salted_join
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 3).alias("hot_key")
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy((F.col("c_custkey") % 3).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    return salted_join(
+        o, c, "hot_key", "k", salt=16, how="left", salt_source="o_orderkey"
+    )
+
+
+@_q(
+    "bucketed_join",
+    """SELECT o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS lineitem_total
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice""",
+)
+def q_bucketed_join(spark, sf):
+    """Bucketed co-located fact-fact join: both sides pre-bucketed by the
+    join key -> no Exchange in the join (the 100 TB shuffle killer)."""
+    from lookup_transform_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf).replace(".", "_")
+    ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    write_bucketed(
+        _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        ot, "o_orderkey", 8, path=f"{SCRATCH}/{ot}",
+    )
+    write_bucketed(
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice"),
+        lt, "l_orderkey", 8, path=f"{SCRATCH}/{lt}",
+    )
+    j = bucketed_join(spark, ot, lt, "o_orderkey", "l_orderkey", how="inner")
+    return j.groupBy("o_orderkey", "o_totalprice").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("lineitem_total")
+    )
+
+
+@_q(
+    "percentiles",
+    """SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY event_type""",
+)
+def q_percentiles(spark, sf):
+    """B32: exact interpolated percentiles (selection-based ->
+    order-independent and oracle-checkable)."""
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )

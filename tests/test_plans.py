@@ -87,3 +87,20 @@ def test_window_topk_single_shuffle(spark):
     df = registry.QUERIES["window_topk"](spark, SF)
     plan = explain_str(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed by the join key → SMJ reads buckets directly;
+    # the only acceptable Exchange is AQE's post-agg coalesce, never a
+    # hashpartitioning of either scan side before the join
+    df = registry.QUERIES["bucketed_join"](spark, SF)
+    plan = explain_str(df, "simple")
+    join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    df = registry.QUERIES["lookup_skew_salted"](spark, SF)
+    plan = explain_str(df, "simple")
+    # join condition includes the salt column
+    assert "__salt__" in plan
