@@ -1,0 +1,114 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-duplicate PAIRS (minhash/simhash output) become dedup CLUSTERS via
+connected components — the standard final step of a corpus dedup
+pipeline (keep one doc per component).
+
+Implementation: alternating large-star/small-star-style min-label
+propagation expressed as DataFrame joins, iterated to a fixpoint. Each
+iteration is one shuffle join + aggregate; ``localCheckpoint`` truncates
+the growing lineage so plans stay bounded (mandatory for iterative
+algorithms at scale). Converges in O(log n) iterations on real graphs.
+
+This operator is inherently non-SQL-expressible (iterative), so its
+registry entry is rows-only; correctness is pinned by tests against a
+pure-Python union-find on the same edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is fine).
+    """
+    # node set with initial label = own id
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+
+    # symmetric edge list
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # propagate: each node takes min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: component ← component(component). Without
+        # this, convergence is O(diameter) (a path graph needs one round
+        # per hop); with it, O(log n) rounds.
+        jump = updated.select(
+            F.col("node").alias("__c_node__"),
+            F.col("component").alias("__c_comp__"),
+        )
+        updated = (
+            updated.join(
+                jump, updated["component"] == jump["__c_node__"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__c_comp__"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        # fixpoint check on a bounded aggregate, not a full collect
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint()  # truncate lineage each round
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters; output one row per member
+    with its cluster id (min doc id in the component) and a keep flag
+    for the canonical representative."""
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -877,6 +877,7 @@ def q_dedup_simhash(spark, sf):
 def q_fingerprint_rolling(spark, sf):
     """B53: winnowing-style rolling fingerprint (min 5-gram xxhash64)."""
     d = _t(spark, sf, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     return d.select(
         "doc_id", TX.rolling_fingerprint("text", window=5).alias("rfp")
     )
@@ -1353,4 +1354,199 @@ def q_percentiles(spark, sf):
         F.percentile("value", 0.25).alias("p25"),
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# More window funcs, unpivot, analytic multi-joins, dedup clustering
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_rank",
+    """SELECT o_orderpriority, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       LEAD(o_orderkey) OVER w AS next_okey,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def q_window_rank(spark, sf):
+    """B34: rank / dense_rank / lead / ntile over a total order."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lead("o_orderkey").over(w).alias("next_okey"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "window_range_frame",
+    """SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+FROM orders""",
+)
+def q_window_range_frame(spark, sf):
+    """B34: RANGE frame — trailing-30-day spend per customer."""
+    o = _t(spark, sf, "orders").withColumn(
+        "__day__",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1990-01-01").cast("date")).cast("long"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("__day__").asc())
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+    )
+
+
+@_q(
+    "unpivot_part",
+    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""",
+)
+def q_unpivot_part(spark, sf):
+    """B31: unpivot/melt wide metrics to long form."""
+    p = _t(spark, sf, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return p.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
+    )
+
+
+@_q(
+    "tpch_q3_shipping",
+    """SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)""",
+)
+def q_tpch_q3_shipping(spark, sf):
+    """B37: selective multi-join + aggregate (TPC-H Q3 shape) — Catalyst
+    pushes every filter to its scan and broadcasts the filtered dim."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            li["l_orderkey"],
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@_q(
+    "tpch_q5_local_supplier",
+    """SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name""",
+)
+def q_tpch_q5_local_supplier(spark, sf):
+    """B37: six-table star join (TPC-H Q5 shape) with a cross-dimension
+    equality (customer nation = supplier nation)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+    )
+
+
+@_q("dedup_clusters")
+def q_dedup_clusters(spark, sf):
+    """B51 final step: near-dup pairs -> connected components -> one
+    canonical doc per cluster (iterative; non-SQL-expressible)."""
+    from lookup_transform_spark.operators.graph import dedup_clusters
+
+    pairs = DD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+    return dedup_clusters(pairs)
+
+
+@_q(
+    "json_struct",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       (CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL) AS has_k
+FROM events""",
+)
+def q_json_struct(spark, sf):
+    """B55/B38: schema-enforced JSON parse (from_json -> struct), vs the
+    path-extraction twin json_extract."""
+    ev = _events(spark, sf)
+    parsed = F.from_json("props", "k int")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["k"].isNotNull().alias("has_k"),
+    )
+
+
+@_q(
+    "map_funcs",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map
+FROM events""",
+)
+def q_map_funcs(spark, sf):
+    """B38: MapType plumbing — JSON -> map<string,int> -> element_at."""
+    ev = _events(spark, sf)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id", F.element_at(m, "k").alias("k_via_map")
     )

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): LookupSpec.apply must agree with a
+pure-Python nested-loop reference join on arbitrary small datasets —
+including null keys, duplicate keys, and empty sides. This covers the
+semantic fine print (SURVEY §2.1) over the whole input space instead of
+hand-picked fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from lookup_transform_spark import LookupSpec
+
+KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+VALS = st.text(alphabet="abc", max_size=2)
+
+INPUT_ROWS = st.lists(st.tuples(KEYS, VALS), max_size=8)
+LOOKUP_ROWS = st.lists(st.tuples(KEYS, VALS), max_size=8)
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), True),
+        T.StructField("payload", T.StringType(), False),
+    ]
+)
+LOOKUP_SCHEMA = T.StructType(
+    [
+        T.StructField("lk", T.IntegerType(), True),
+        T.StructField("v", T.StringType(), False),
+    ]
+)
+
+SPEC = LookupSpec("lkp", "k", "lk", "v", "out")
+
+
+def reference_join(input_rows, lookup_rows, null_safe=False, how="left"):
+    """The reference semantics in 20 lines of Python: left-outer,
+    null-unsafe equality, duplicate keys multiply."""
+    out = []
+    for k, payload in input_rows:
+        matches = [
+            v
+            for lk, v in lookup_rows
+            if (k is not None and lk == k)
+            or (null_safe and k is None and lk is None)
+        ]
+        if matches:
+            out.extend((k, payload, m) for m in matches)
+        elif how == "left":
+            out.append((k, payload, None))
+    return sorted(out, key=repr)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(input_rows=INPUT_ROWS, lookup_rows=LOOKUP_ROWS)
+def test_lookup_matches_reference(spark, input_rows, lookup_rows):
+    inp = spark.createDataFrame(input_rows, INPUT_SCHEMA)
+    lkp = spark.createDataFrame(lookup_rows, LOOKUP_SCHEMA)
+    got = sorted((tuple(r) for r in SPEC.apply(inp, lkp).collect()), key=repr)
+    assert got == reference_join(input_rows, lookup_rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(input_rows=INPUT_ROWS, lookup_rows=LOOKUP_ROWS)
+def test_lookup_null_safe_matches_reference(spark, input_rows, lookup_rows):
+    import dataclasses
+
+    spec = dataclasses.replace(SPEC, null_safe=True)
+    inp = spark.createDataFrame(input_rows, INPUT_SCHEMA)
+    lkp = spark.createDataFrame(lookup_rows, LOOKUP_SCHEMA)
+    got = sorted((tuple(r) for r in spec.apply(inp, lkp).collect()), key=repr)
+    assert got == reference_join(input_rows, lookup_rows, null_safe=True)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(input_rows=INPUT_ROWS, lookup_rows=LOOKUP_ROWS)
+def test_lookup_inner_matches_reference(spark, input_rows, lookup_rows):
+    import dataclasses
+
+    spec = dataclasses.replace(SPEC, how="inner")
+    inp = spark.createDataFrame(input_rows, INPUT_SCHEMA)
+    lkp = spark.createDataFrame(lookup_rows, LOOKUP_SCHEMA)
+    got = sorted((tuple(r) for r in spec.apply(inp, lkp).collect()), key=repr)
+    assert got == reference_join(input_rows, lookup_rows, how="inner")

@@ -65,3 +65,60 @@ def test_stream_session_windows_merge(spark):
         (F.col("n_events") < 1) | (F.col("session_end") <= F.col("session_start"))
     )
     assert bad.count() == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """B62: events arriving far behind the watermark are dropped by the
+    stateful aggregation. Spark's late-row filter uses the watermark as
+    of the batch before the previous one, so the late file is staged as
+    the THIRD micro-batch behind two on-time batches."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = registry._events(spark, SF).select("event_id", "ts", "event_type")
+    newest = base.orderBy(F.col("ts").desc()).limit(300)
+    b0 = newest.orderBy(F.col("ts").asc()).limit(150)
+    b1 = newest.orderBy(F.col("ts").desc()).limit(150)
+    late = base.orderBy(F.col("ts").asc()).limit(100)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # distinct mtimes order the files into separate micro-batches
+    for i, part in enumerate([b0, b1, late]):
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        (pfile,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(pfile, f"{src}/batch{i}.parquet")
+        now = time.time() + i * 10
+        os.utime(f"{src}/batch{i}.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped >= 90, f"expected most of the 100 late rows dropped, got {dropped}"
+    assert spark.table("t_late").count() > 0
