@@ -1,0 +1,194 @@
+"""CDAP-config compatibility: run the reference plugin's own config on
+Spark, unchanged.
+
+A user of the reference configures the Lookup stage with these exact
+property names (Lookup.Config fields, Lookup.java:333-371; same names in
+widgets/Lookup-batchjoiner.json):
+
+    lookupDataset, inputKeyField, lookupKeyField, lookupValueField,
+    outputField (optional), schema (optional, Avro-style JSON)
+
+``spec_from_cdap_config`` maps that dict — macros (``${...}``) and all —
+onto a LookupSpec, including converting the CDAP/Avro record schema
+(the format produced by ``Schema.toString()`` and parsed at
+Lookup.java:396) into a Spark StructType. ``run_pipeline`` executes a
+minimal CDAP-shaped pipeline description (sources → lookup stages) so a
+migrating user can keep their stage configs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from lookup_transform_spark.errors import LookupConfigError, ValidationFailure
+from lookup_transform_spark.plans.lookup import LookupSpec
+
+#: Avro primitive → Spark type (the subset CDAP Schema supports;
+#: LookupTest.java uses int + string)
+_AVRO_PRIMITIVES: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def _avro_type(t: Any) -> tuple[T.DataType, bool]:
+    """Avro type node → (Spark type, nullable). Nullability is a union
+    with "null", exactly CDAP's ``Schema.nullableOf`` encoding
+    (Lookup.java:456-457)."""
+    if isinstance(t, str):
+        if t == "null":
+            return T.NullType(), True
+        if t in _AVRO_PRIMITIVES:
+            return _AVRO_PRIMITIVES[t], False
+        raise ValueError(f"unsupported avro primitive: {t}")
+    if isinstance(t, list):  # union — nullable iff "null" is a member
+        non_null = [x for x in t if x != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported avro union: {t}")
+        dt, _ = _avro_type(non_null[0])
+        return dt, len(non_null) != len(t)
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "record":
+            return avro_record_to_struct(t), False
+        if kind == "array":
+            dt, item_null = _avro_type(t["items"])
+            return T.ArrayType(dt, containsNull=item_null), False
+        if kind == "map":
+            dt, val_null = _avro_type(t["values"])
+            return T.MapType(T.StringType(), dt, valueContainsNull=val_null), False
+        if kind in _AVRO_PRIMITIVES:
+            return _AVRO_PRIMITIVES[kind], False
+    raise ValueError(f"unsupported avro type node: {t!r}")
+
+
+def avro_record_to_struct(record: dict) -> T.StructType:
+    """Avro record schema → StructType (field order preserved)."""
+    if record.get("type") != "record":
+        raise ValueError("expected an avro record schema")
+    fields = []
+    for f in record.get("fields", []):
+        dt, nullable = _avro_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def parse_cdap_schema(schema_json: str) -> T.StructType:
+    """Parse either a CDAP/Avro record schema or a Spark StructType JSON
+    (the reference parses with Schema.parseJson at Lookup.java:396;
+    failures become config errors on the 'schema' property)."""
+    try:
+        parsed = json.loads(schema_json)
+    except Exception as exc:
+        raise LookupConfigError(
+            [ValidationFailure(f"Unable to parse schema: {exc}",
+                               "Provide valid schema JSON.", "schema")]
+        ) from exc
+    try:
+        if isinstance(parsed, dict) and parsed.get("type") == "record":
+            return avro_record_to_struct(parsed)
+        return T.StructType.fromJson(parsed)
+    except Exception as exc:
+        raise LookupConfigError(
+            [ValidationFailure(f"Unable to parse schema: {exc}",
+                               "Provide an avro record or StructType JSON.",
+                               "schema")]
+        ) from exc
+
+
+def spec_from_cdap_config(config: dict[str, Any]) -> LookupSpec:
+    """The reference's config dict → LookupSpec. Unknown properties are
+    rejected (the reference's UI would not produce them)."""
+    known = {
+        "lookupDataset", "inputKeyField", "lookupKeyField",
+        "lookupValueField", "outputField", "schema",
+    }
+    unknown = set(config) - known
+    if unknown:
+        raise LookupConfigError(
+            [ValidationFailure(f"Unknown config properties: {sorted(unknown)}.",
+                               f"Valid properties: {sorted(known)}.")]
+        )
+    schema_json = config.get("schema")
+    if schema_json is not None and "${" not in schema_json:
+        # normalize avro → StructType JSON once, so LookupSpec's own
+        # schema handling (Spark-native) applies downstream
+        schema_json = parse_cdap_schema(schema_json).json()
+    return LookupSpec(
+        lookup_dataset=config["lookupDataset"],
+        input_key_field=config["inputKeyField"],
+        lookup_key_field=config["lookupKeyField"],
+        lookup_value_field=config["lookupValueField"],
+        output_field=config.get("outputField"),
+        schema_json=schema_json,
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pipeline: dict[str, Any],
+    tables: dict[str, DataFrame] | None = None,
+    macros: dict[str, str] | None = None,
+) -> DataFrame:
+    """Execute a minimal CDAP-shaped batch pipeline description:
+
+    {"stages": [
+        {"name": "src",  "type": "parquet-source", "config": {"path": ...}},
+        {"name": "lkp",  "type": "parquet-source", "config": {"path": ...}},
+        {"name": "join", "type": "Lookup", "inputs": ["src", "lkp"],
+         "config": {...reference property names...}},
+    ], "sink": "join"}
+
+    ``tables`` pre-binds named DataFrames (the MockSource analog from
+    ETLBatchTestBase); ``macros`` resolves ${...} placeholders at run
+    time, mirroring CDAP's macro evaluation order (Lookup.java:468-484).
+    """
+    bound: dict[str, DataFrame] = dict(tables or {})
+    sink = pipeline.get("sink")
+    for stage in pipeline["stages"]:
+        name, stype = stage["name"], stage["type"]
+        cfg = stage.get("config", {})
+        if stype == "parquet-source":
+            bound[name] = spark.read.parquet(cfg["path"])
+        elif stype == "table-source":
+            if name not in bound:
+                raise LookupConfigError(
+                    [ValidationFailure(f"table-source '{name}' not bound.",
+                                       "Pass it via tables=.")]
+                )
+        elif stype == "Lookup":
+            inputs = stage["inputs"]
+            if len(inputs) != 2:
+                raise LookupConfigError(
+                    [ValidationFailure(
+                        f"Expected exactly 2 inputs, got {len(inputs)}.",
+                        "Wire one input and one lookup stage.")]
+                )
+            spec = spec_from_cdap_config(cfg)
+            if macros:
+                spec = spec.resolve(macros)
+            lookup_name = spec.lookup_dataset
+            if lookup_name not in inputs:
+                raise LookupConfigError(
+                    [ValidationFailure(
+                        f"Lookup dataset '{lookup_name}' is not an input.",
+                        f"Set lookupDataset to one of {inputs}.",
+                        "lookup_dataset")]
+                )
+            (input_name,) = [i for i in inputs if i != lookup_name]
+            bound[name] = spec.apply(bound[input_name], bound[lookup_name])
+        else:
+            raise LookupConfigError(
+                [ValidationFailure(f"Unknown stage type '{stype}'.",
+                                   "Use parquet-source/table-source/Lookup.")]
+            )
+    return bound[sink if sink else pipeline["stages"][-1]["name"]]

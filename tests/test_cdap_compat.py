@@ -1,0 +1,141 @@
+"""Migration-path tests: the reference plugin's own config JSON — exact
+property names (Lookup.java:333-371), Avro schemas, ${macros} — runs
+unchanged on this engine, reproducing the golden docs example
+(docs/Lookup-batchjoiner.md:29-59)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from lookup_transform_spark import LookupConfigError
+from lookup_transform_spark.plans.cdap_compat import (
+    avro_record_to_struct,
+    parse_cdap_schema,
+    run_pipeline,
+    spec_from_cdap_config,
+)
+
+# the docs' own example config (docs/Lookup-batchjoiner.md:33-51)
+DOCS_CONFIG = {
+    "lookupDataset": "phone_numbers",
+    "inputKeyField": "customer_id",
+    "lookupKeyField": "customer_id",
+    "lookupValueField": "phone_number",
+    "outputField": "phone",
+}
+
+AVRO_OUT_SCHEMA = """{
+  "type": "record", "name": "join.output", "fields": [
+    {"name": "customer_id", "type": "int"},
+    {"name": "first_name", "type": "string"},
+    {"name": "last_name", "type": "string"},
+    {"name": "phone", "type": ["string", "null"]}
+  ]}"""
+
+
+@pytest.fixture(scope="module")
+def fixture_tables(spark):
+    customers = spark.createDataFrame(
+        [(1, "John", "Doe"), (2, "Jane", "Doe")],
+        T.StructType([
+            T.StructField("customer_id", T.IntegerType(), False),
+            T.StructField("first_name", T.StringType(), False),
+            T.StructField("last_name", T.StringType(), False),
+        ]),
+    )
+    phones = spark.createDataFrame(
+        [(1, 1, "555-555-555")],
+        T.StructType([
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("customer_id", T.IntegerType(), False),
+            T.StructField("phone_number", T.StringType(), False),
+        ]),
+    )
+    return {"customers": customers, "phone_numbers": phones}
+
+
+def test_docs_example_runs_unchanged(spark, fixture_tables):
+    pipeline = {
+        "stages": [
+            {"name": "customers", "type": "table-source"},
+            {"name": "phone_numbers", "type": "table-source"},
+            {"name": "lookup", "type": "Lookup",
+             "inputs": ["customers", "phone_numbers"], "config": DOCS_CONFIG},
+        ],
+        "sink": "lookup",
+    }
+    out = run_pipeline(spark, pipeline, tables=fixture_tables)
+    rows = sorted(out.collect(), key=lambda r: r.customer_id)
+    assert [r.phone for r in rows] == ["555-555-555", None]
+    assert out.columns == ["customer_id", "first_name", "last_name", "phone"]
+
+
+def test_avro_schema_parses():
+    st = parse_cdap_schema(AVRO_OUT_SCHEMA)
+    assert st.fieldNames() == ["customer_id", "first_name", "last_name", "phone"]
+    assert st["phone"].nullable is True and st["customer_id"].nullable is False
+    assert isinstance(st["customer_id"].dataType, T.IntegerType)
+
+
+def test_avro_schema_enforced_in_config(spark, fixture_tables):
+    cfg = dict(DOCS_CONFIG, schema=AVRO_OUT_SCHEMA)
+    spec = spec_from_cdap_config(cfg)
+    out = spec.apply(fixture_tables["customers"], fixture_tables["phone_numbers"])
+    assert out.count() == 2
+
+
+def test_macro_config_resolves(spark, fixture_tables):
+    cfg = dict(DOCS_CONFIG, lookupValueField="${value.field}")
+    spec = spec_from_cdap_config(cfg)
+    assert spec.macro_fields() == {"lookup_value_field"}
+    resolved = spec.resolve({"value.field": "phone_number"})
+    out = resolved.apply(
+        fixture_tables["customers"], fixture_tables["phone_numbers"]
+    )
+    assert out.columns[-1] == "phone"
+
+
+def test_unknown_property_rejected():
+    with pytest.raises(LookupConfigError, match="Unknown config"):
+        spec_from_cdap_config(dict(DOCS_CONFIG, bogus="x"))
+
+
+def test_avro_nested_types():
+    st = avro_record_to_struct(
+        {
+            "type": "record", "name": "r", "fields": [
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "props", "type": {"type": "map", "values": ["long", "null"]}},
+                {"name": "nested", "type": {
+                    "type": "record", "name": "n",
+                    "fields": [{"name": "x", "type": "double"}]}},
+            ],
+        }
+    )
+    assert isinstance(st["tags"].dataType, T.ArrayType)
+    assert isinstance(st["props"].dataType, T.MapType)
+    assert st["props"].dataType.valueContainsNull is True
+    assert isinstance(st["nested"].dataType, T.StructType)
+
+
+def test_pipeline_validation_errors(spark, fixture_tables):
+    with pytest.raises(LookupConfigError, match="exactly 2 inputs"):
+        run_pipeline(
+            spark,
+            {"stages": [
+                {"name": "customers", "type": "table-source"},
+                {"name": "l", "type": "Lookup", "inputs": ["customers"],
+                 "config": DOCS_CONFIG}]},
+            tables=fixture_tables,
+        )
+    with pytest.raises(LookupConfigError, match="not an input"):
+        run_pipeline(
+            spark,
+            {"stages": [
+                {"name": "customers", "type": "table-source"},
+                {"name": "phones2", "type": "table-source"},
+                {"name": "l", "type": "Lookup",
+                 "inputs": ["customers", "phones2"], "config": DOCS_CONFIG}]},
+            tables={**fixture_tables, "phones2": fixture_tables["phone_numbers"]},
+        )
