@@ -84,7 +84,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # fixpoint check on a bounded aggregate, not a full collect
+        # checkpoint FIRST (truncates lineage and materializes), then run
+        # the fixpoint probe against the cached result — otherwise the
+        # probe re-executes the whole iteration's joins
+        updated = updated.localCheckpoint()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), on="node")
@@ -92,7 +95,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = updated.localCheckpoint()  # truncate lineage each round
+        labels = updated
         if changed == 0:
             break
     return labels

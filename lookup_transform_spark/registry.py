@@ -1550,3 +1550,91 @@ def q_map_funcs(spark, sf):
     return ev.select(
         "event_id", F.element_at(m, "k").alias("k_via_map")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery-heavy analytic shapes (Catalyst decorrelation surface)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "correlated_subquery",
+    """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(*))
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+)
+def q_correlated_subquery(spark, sf):
+    """B37: correlated scalar subquery (TPC-H Q17 shape) — Catalyst
+    decorrelates it into an aggregate + join."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_cs")
+    return spark.sql(
+        """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+           FROM lineitem_cs l
+           WHERE l.l_quantity < (
+             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                           / COUNT(*))
+             FROM lineitem_cs l2 WHERE l2.l_partkey = l.l_partkey)"""
+    )
+
+
+@_q(
+    "q13_custdist",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count""",
+)
+def q_q13_custdist(spark, sf):
+    """B32/B37: two-level aggregation over an outer join (TPC-H Q13)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "not_in_subquery",
+    """SELECT s_suppkey FROM supplier
+WHERE s_suppkey NOT IN (
+  SELECT l_suppkey FROM lineitem WHERE l_quantity > 49 AND l_orderkey % 20 = 0)""",
+)
+def q_not_in_subquery(spark, sf):
+    """B37: NOT IN (null-aware anti-join) through the SQL surface."""
+    _t(spark, sf, "supplier").createOrReplaceTempView("supplier_ni")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_ni")
+    return spark.sql(
+        """SELECT s_suppkey FROM supplier_ni
+           WHERE s_suppkey NOT IN (
+             SELECT l_suppkey FROM lineitem_ni WHERE l_quantity > 49 AND l_orderkey % 20 = 0)"""
+    )
+
+
+@_q(
+    "q18_volume",
+    """SELECT o.o_orderkey, o.o_custkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_custkey
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 150""",
+)
+def q_q18_volume(spark, sf):
+    """B32: join + aggregate + HAVING on the aggregate (TPC-H Q18)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q__"))
+        .filter(F.col("__q__") > 150)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("__q__").cast("double").alias("total_qty"),
+        )
+    )
