@@ -1638,3 +1638,21 @@ def q_q18_volume(spark, sf):
             F.col("__q__").cast("double").alias("total_qty"),
         )
     )
+
+
+@_q("stream_sessionize_stateful")
+def q_stream_sessionize_stateful(spark, sf):
+    """B63 extension: custom stateful operator (applyInPandasWithState)
+    — per-user session state machine emitting closed sessions."""
+    from lookup_transform_spark.streaming import read_events_stream
+    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
+    from lookup_transform_spark.streaming.stateful import (
+        stream_sessionize_stateful,
+    )
+
+    ev = read_events_stream(spark, sf).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return run_to_memory(
+        stream_sessionize_stateful(ev, gap_seconds=1800), "mem_state_sess"
+    )

@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator (SURVEY.md §2.2 B63 extension):
+per-key session tracking via ``applyInPandasWithState``.
+
+This is the extension point for stateful logic that windowed aggregates
+can't express — here, a running per-user session accumulator that emits
+one summary row per CLOSED session (closed by gap timeout relative to
+the stream's progress). State per key is O(1): the open session's
+(start, last_ts, count, sum) only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, sum_value double"
+)
+STATE_SCHEMA = (
+    "session_start_us long, last_ts_us long, n_events long, sum_value double"
+)
+
+
+def _track_sessions_factory(gap_us: int):
+    def track(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        closed = []
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        for ts, val in zip(rows["ts_us"], rows["value"]):
+            ts = int(ts)
+            if start is None:
+                start, last, n, sv = ts, ts, 1, float(val)
+            elif ts - last > gap_us:
+                closed.append((start, last, n, sv))
+                start, last, n, sv = ts, ts, 1, float(val)
+            else:
+                last, n, sv = ts, n + 1, sv + float(val)
+        state.update((start, last, n, sv))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return track
+
+
+def stream_sessionize_stateful(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Input: streaming frame with (user_id, event_id, ts_us, value).
+    Output: one row per closed session; each key's final (possibly
+    still-open) session stays in state — on an unbounded stream it
+    closes when a later event exceeds the gap. Custom state machine per
+    key — the shape ``applyInPandasWithState`` exists for. (A
+    processing-time timeout variant would flush trailing sessions, but
+    it keeps availableNow drains alive waiting for wall-clock timeouts,
+    so the bounded-execution path uses NoTimeout.)"""
+    return (
+        stream_df.groupBy("user_id")
+        .applyInPandasWithState(
+            _track_sessions_factory(gap_seconds * 1_000_000),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -122,3 +122,62 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     assert dropped >= 90, f"expected most of the 100 late rows dropped, got {dropped}"
     assert spark.table("t_late").count() > 0
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState session tracker: closed sessions must
+    agree with the batch sessionize twin (sessions that are still open
+    when the stream drains are withheld, pending the state timeout)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sessionize import sessionize
+    from lookup_transform_spark.streaming import read_events_stream
+    from lookup_transform_spark.streaming.stateful import (
+        stream_sessionize_stateful,
+    )
+
+    ev = read_events_stream(spark, SF).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    q = (
+        stream_sessionize_stateful(ev, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("t_state_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_state_sess")
+
+    batch_ev = registry._events(spark, SF).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    want = (
+        sessionize(batch_ev, key="user_id", ts="ts_us",
+                   gap_seconds=1800 * 1_000_000, order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in got.collect()
+    }
+    want_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in want.collect()
+    }
+    # every emitted (closed) session matches the batch result exactly
+    assert got_rows, "no sessions closed"
+    for k, v in got_rows.items():
+        assert want_rows.get(k) == v, (k, v, want_rows.get(k))
+    # the only sessions withheld are each user's LAST (possibly open) one
+    missing = set(want_rows) - set(got_rows)
+    last_per_user = {}
+    for (u, start), _ in want_rows.items():
+        last_per_user[u] = max(last_per_user.get(u, 0), start)
+    assert all(start == last_per_user[u] for u, start in missing)
