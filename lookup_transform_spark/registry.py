@@ -1656,3 +1656,47 @@ def q_stream_sessionize_stateful(spark, sf):
     return run_to_memory(
         stream_sessionize_stateful(ev, gap_seconds=1800), "mem_state_sess"
     )
+
+
+@_q(
+    "text_redact",
+    """SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
+FROM documents""",
+)
+def q_text_redact(spark, sf):
+    """B53: PII-style regex redaction (emails, phone patterns) — the
+    cheap scrubbing pass of a training-data pipeline."""
+    d = _t(spark, sf, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+@_q(
+    "repetition_filter",
+    """WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+       ROUND(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS rep_ratio,
+       (1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) < 0.7 AS keep
+FROM t""",
+)
+def q_repetition_filter(spark, sf):
+    """B53: token-repetition quality filter (1 - distinct/total) — the
+    standard boilerplate/spam pre-filter."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    rep = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.round(rep, 6).alias("rep_ratio"),
+        (rep < 0.7).alias("keep"),
+    )

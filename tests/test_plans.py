@@ -104,3 +104,16 @@ def test_salted_join_spreads_hot_key(spark):
     plan = explain_str(df, "simple")
     # join condition includes the salt column
     assert "__salt__" in plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
+    from lookup_transform_spark.sources import write_parquet_partitioned
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    write_parquet_partitioned(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter("o_orderstatus = 'O'")
+    plan = explain_str(back)
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line][0]
+    # the status predicate prunes whole directories, it never reaches rows
+    assert "o_orderstatus" in pf
