@@ -1700,3 +1700,31 @@ def q_repetition_filter(spark, sf):
         F.round(rep, 6).alias("rep_ratio"),
         (rep < 0.7).alias("keep"),
     )
+
+
+@_q(
+    "setops_except_all",
+    """SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 10
+EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 10""",
+)
+def q_setops_except_all(spark, sf):
+    """B36: EXCEPT ALL (multiplicity-preserving difference)."""
+    li = _t(spark, sf, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select(F.col("l_orderkey").alias("okey"))
+    b = li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 10)).select(
+        F.col("l_orderkey").alias("okey")
+    )
+    return a.exceptAll(b)
+
+
+@_q(
+    "intersect_all",
+    """SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
+)
+def q_intersect_all(spark, sf):
+    """B36: INTERSECT ALL (multiplicity-preserving)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ckey"))
+    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("ckey"))
+    return a.intersectAll(b)
