@@ -26,7 +26,10 @@ STATE_SCHEMA = (
 def _track_sessions_factory(gap_us: int):
     def track(key, pdfs, state: GroupState):
         (user_id,) = key
-        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        rows = pd.concat(parts).sort_values(["ts_us", "event_id"])
         closed = []
         if state.exists:
             start, last, n, sv = state.get
