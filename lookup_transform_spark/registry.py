@@ -1728,3 +1728,126 @@ def q_intersect_all(spark, sf):
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ckey"))
     b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("ckey"))
     return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline + remaining TPC-H shapes
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pipeline_curate",
+    """WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
+              ELSE 0.0 END AS praw,
+         1.0 - len(list_distinct(string_split_regex(lower(text), '\\s+')))::DOUBLE
+             / len(string_split_regex(lower(text), '\\s+')) AS rep,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, fp,
+         ROUND(LEAST(n_tok / 20.0, 1.0) * (1.0 - praw)
+               * CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 3.0
+                           AND n_chars::DOUBLE / n_tok <= 12.0
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality,
+         rep
+  FROM scored
+  WHERE lang IN ('en', 'es', 'de')
+), filtered AS (
+  SELECT * FROM q WHERE quality >= 0.5 AND rep < 0.7
+), deduped AS (
+  SELECT doc_id, lang, quality FROM (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.quality, e.label
+FROM deduped d LEFT JOIN embeddings e ON d.doc_id = e.vec_id""",
+)
+def q_pipeline_curate(spark, sf):
+    """End-to-end training-data curation: language filter -> quality
+    score -> repetition filter -> fingerprint dedup -> embedding-label
+    enrichment (LookupSpec). The realistic composition every tier
+    feeds into; fully deterministic, hence oracle-checked."""
+    d = _t(spark, sf, "documents")
+    scored = d.filter(F.col("lang").isin("en", "es", "de")).select(
+        "doc_id", "lang",
+        TX.quality_score("text").alias("quality"),
+        (1.0 - F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
+         / F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("rep"),
+        TX.content_fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("rep") < 0.7))
+    deduped = DD.dedup_exact(
+        filtered.select("fp", "doc_id", "lang", "quality"), ["fp"], "doc_id"
+    ).select("doc_id", "lang", "quality")
+    spec = LookupSpec("embeddings", "doc_id", "vec_id", "label")
+    return spec.apply(deduped, _t(spark, sf, "embeddings"))
+
+
+@_q(
+    "q10_returned",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name""",
+)
+def q_q10_returned(spark, sf):
+    """B37: returned-item revenue per customer (TPC-H Q10 shape)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "q7_volume_shipping",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INTEGER)""",
+)
+def q_q7_volume_shipping(spark, sf):
+    """B37: cross-border trade volume (TPC-H Q7 shape) — two aliases of
+    the same dimension joined under different roles."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+    )

@@ -96,3 +96,61 @@ def test_lookup_inner_matches_reference(spark, input_rows, lookup_rows):
     lkp = spark.createDataFrame(lookup_rows, LOOKUP_SCHEMA)
     got = sorted((tuple(r) for r in spec.apply(inp, lkp).collect()), key=repr)
     assert got == reference_join(input_rows, lookup_rows, how="inner")
+
+
+# ---- as-of join vs pure-Python reference -----------------------------------
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=10
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+    min_size=0,
+    max_size=10,
+)
+
+
+def reference_asof(left_rows, right_rows):
+    """For each left (key, ts): value of the right row with the greatest
+    right_ts <= ts in the same key group; ties on right_ts broken toward
+    the later-sorted (value) for determinism parity with the union-sort
+    (last-within-frame) formulation."""
+    out = []
+    for i, (k, ts) in enumerate(left_rows):
+        cands = [(rts, v) for rk, rts, v in right_rows if rk == k and rts <= ts]
+        if cands:
+            best = max(cands, key=lambda c: (c[0], c[1]))
+            out.append((i, k, ts, best[1]))
+        else:
+            out.append((i, k, ts, None))
+    return sorted(out, key=repr)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_rows=ASOF_LEFT, right_rows=ASOF_RIGHT)
+def test_asof_matches_reference(spark, left_rows, right_rows):
+    from lookup_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left_rows)],
+        "row_id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in right_rows], "k long, ts long, v long"
+    )
+    # deterministic tie handling: collapse equal (k, ts) right rows to
+    # their max value, matching the reference's tie rule
+    import pyspark.sql.functions as F
+
+    right = right.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", value_fields=["v"]
+    )
+    got = sorted(
+        ((r.row_id, r.k, r.ts, r.v) for r in out.collect()), key=repr
+    )
+    assert got == reference_asof(left_rows, right_rows)
