@@ -25,9 +25,30 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _oracle_timings(sf_dir: str) -> dict[str, float]:
+    """Time each DuckDB oracle on the same parquet — the per-query
+    baseline the ≤2× target in BASELINE.md refers to."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name, sql in sorted(registry.ORACLES.items()):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 4)
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
     spark = get_spark("lookup_transform_spark-bench")
 
     # warmup: spin up executors / codegen paths once
@@ -50,17 +71,18 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if with_oracle:
+        oracle = _oracle_timings(sf_dir)
+        payload["oracle_duckdb_sec"] = oracle
+        payload["oracle_total_sec"] = round(sum(oracle.values()), 4)
+    print(json.dumps(payload))
     spark.stop()
 
 
