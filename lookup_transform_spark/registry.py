@@ -394,7 +394,7 @@ def q_agg_distinct(spark, sf):
 
 @_q(
     "window_topk",
-    """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -1364,10 +1364,10 @@ def q_percentiles(spark, sf):
 @_q(
     "window_rank",
     """SELECT o_orderpriority, o_orderkey,
-       RANK() OVER w AS rnk,
-       DENSE_RANK() OVER w AS drnk,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
        LEAD(o_orderkey) OVER w AS next_okey,
-       NTILE(4) OVER w AS quartile
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice DESC, o_orderkey)""",
