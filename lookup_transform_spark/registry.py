@@ -1851,3 +1851,30 @@ def q_q7_volume_shipping(spark, sf):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
     )
+
+
+@_q("stream_stream_join")
+def q_stream_stream_join(spark, sf):
+    """Streaming extension: stream-stream interval join (purchases x
+    preceding clicks within 1h per user), state bounded by watermarks
+    + the time-range predicate."""
+    from lookup_transform_spark.streaming import read_events_stream
+    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
+    from lookup_transform_spark.streaming.stream_stream import (
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        lookback="1 hour",
+    ).select("p_id", "c_id")
+    return run_to_memory(joined, "mem_stream_stream")

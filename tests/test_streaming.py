@@ -231,3 +231,49 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert final.count() == base.count()
     # exactly once: no event id appears twice
     assert final.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream interval join (purchases x preceding clicks within
+    1h per user) must equal the equivalent batch range join."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.streaming import read_events_stream
+    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
+    from lookup_transform_spark.streaming.stream_stream import (
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, SF)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_stream_interval_join(
+        purchases.withColumnRenamed("p_user", "user_id"),
+        clicks.withColumnRenamed("c_user", "user_id"),
+        key="user_id", left_ts="p_ts", right_ts="c_ts", lookback="1 hour",
+    ).select("p_id", "c_id")
+    got = run_to_memory(joined, "t_ss")
+
+    bev = registry._events(spark, SF)
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    bc = bev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = bp.join(
+        bc,
+        (bp["user_id"] == bc["c_user"])
+        & (bc["c_ts"] >= bp["p_ts"] - F.expr("INTERVAL 1 hour"))
+        & (bc["c_ts"] <= bp["p_ts"]),
+    ).select("p_id", "c_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
