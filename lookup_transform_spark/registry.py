@@ -1878,3 +1878,54 @@ def q_stream_stream_join(spark, sf):
         lookback="1 hour",
     ).select("p_id", "c_id")
     return run_to_memory(joined, "mem_stream_stream")
+
+
+@_q(
+    "tfidf_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored) WHERE rn <= 5""",
+)
+def q_tfidf_top_terms(spark, sf):
+    """B53: TF-IDF top-5 terms per document. Ranking uses the ROUNDED
+    score + term tiebreak so mathematically-equal scores computed via
+    different ln() paths order identically in both engines."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )

@@ -117,3 +117,19 @@ def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line][0]
     # the status predicate prunes whole directories, it never reaches rows
     assert "o_orderstatus" in pf
+
+
+def test_compaction_bounds_file_count(spark, tmp_path):
+    import glob
+
+    from lookup_transform_spark.operators.compaction import compact_parquet
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    fragmented = str(tmp_path / "fragmented")
+    orders.repartition(50).write.mode("overwrite").parquet(fragmented)
+    assert len(glob.glob(f"{fragmented}/part-*.parquet")) == 50
+
+    compacted = str(tmp_path / "compacted")
+    back = compact_parquet(spark, fragmented, compacted, target_files=4)
+    assert len(glob.glob(f"{compacted}/part-*.parquet")) == 4
+    assert back.count() == orders.count()
