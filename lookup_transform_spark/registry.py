@@ -1929,3 +1929,74 @@ def q_tfidf_top_terms(spark, sf):
         .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@_q(
+    "embedding_centroids",
+    """WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+)
+SELECT label, CAST(idx AS INTEGER) AS idx,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS centroid_val
+FROM e GROUP BY label, idx""",
+)
+def q_embedding_centroids(spark, sf):
+    """B52 support: per-class centroid, element-wise (posexplode ->
+    decimal-sum mean). Long form (label, idx, value) so the oracle
+    compare is scalar, not array-typed."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
+        .agg(
+            # float -> double FIRST: engines disagree on float->decimal
+            # (shortest-repr vs exact-binary); double->decimal matches
+            (F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+             .cast("double") / F.count(F.lit(1))).alias("centroid_val")
+        )
+    )
+
+
+@_q(
+    "knn_classify",
+    """WITH scored AS (
+  SELECT q.vec_id AS query_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rn
+  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+  WHERE c.vec_id <> q.vec_id
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n FROM scored WHERE rn <= 15
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label FROM (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, label) AS r
+  FROM votes) WHERE r = 1""",
+)
+def q_knn_classify(spark, sf):
+    """B52 end-use: kNN majority-vote classification over the exact
+    cosine top-k (k=15), deterministic tiebreak toward the smaller
+    label."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nn = cosine_topk(emb, queries, k=15)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(labels, on="neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
