@@ -1939,7 +1939,7 @@ def q_tfidf_top_terms(spark, sf):
   FROM embeddings
 )
 SELECT label, CAST(idx AS INTEGER) AS idx,
-       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS centroid_val
+       ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 5) AS centroid_val
 FROM e GROUP BY label, idx""",
 )
 def q_embedding_centroids(spark, sf):
@@ -1952,9 +1952,13 @@ def q_embedding_centroids(spark, sf):
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
         .agg(
             # float -> double FIRST: engines disagree on float->decimal
-            # (shortest-repr vs exact-binary); double->decimal matches
-            (F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
-             .cast("double") / F.count(F.lit(1))).alias("centroid_val")
+            # (shortest-repr vs exact-binary). Even double->decimal can
+            # differ by 1 decimal-ulp on boundary values, so the final
+            # mean is rounded to 5 decimals on both sides.
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+                .cast("double") / F.count(F.lit(1)), 5
+            ).alias("centroid_val")
         )
     )
 
