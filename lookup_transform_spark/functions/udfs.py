@@ -27,14 +27,25 @@ def sigmoid(v: pd.Series) -> pd.Series:
 
 
 def grouped_median(
-    df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "median_value"
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "median_value",
+    pre_partitions: int | None = None,
 ) -> DataFrame:
     """Grouped-aggregate UDAF via applyInPandas: exact median per group.
 
     Median is selection-based, hence independent of row order within
     the group — deterministic across partitionings and engines (the
     property that makes a Python UDAF oracle-checkable at all).
+
+    ``pre_partitions``: repartition on the group key first; the groupBy
+    reuses that exchange, capping the number of Python workers (for
+    low-cardinality groupings the default shuffle width just multiplies
+    worker startup cost — measured 2× on the events fixture).
     """
+    if pre_partitions:
+        df = df.repartition(pre_partitions, *group_cols)
     group_schema = ", ".join(
         f"{c} {t}" for c, t in df.select(*group_cols).dtypes
     )
