@@ -77,13 +77,43 @@ def range_join(
     hi_col: str,
     band_fields: list[str],
     how: str = "left",
+    strategy: str = "case",
 ) -> DataFrame:
     """Half-open range lookup: input.value ∈ [band.lo, band.hi).
 
-    The bands side is broadcast (it is a dimension by construction), so
-    this is a BroadcastNestedLoopJoin — fine for small band tables at any
-    fact-side scale; never shuffle the fact side for a banding.
+    strategy="case" (default): collect the band table (a dimension by
+    construction — if it doesn't fit on the driver it isn't a banding)
+    and compile it into a chained CASE expression — a pure projection,
+    whole-stage codegen, zero join. First matching band wins, so bands
+    must be disjoint (asserted).
+
+    strategy="bnlj": broadcast nested-loop join — keeps multiplicity on
+    overlapping bands, at interpreted-predicate cost.
     """
+    if strategy == "case":
+        rows = bands.select(lo_col, hi_col, *band_fields).collect()
+        rows.sort(key=lambda r: r[lo_col])
+        for prev, cur in zip(rows, rows[1:]):
+            if cur[lo_col] < prev[hi_col]:
+                raise ValueError(
+                    "case strategy requires disjoint bands; use strategy='bnlj'"
+                )
+        v = input_df[value_col]
+        outs = []
+        for b in band_fields:
+            expr = None
+            for r in rows:
+                clause = (v >= F.lit(r[lo_col])) & (v < F.lit(r[hi_col]))
+                expr = (
+                    F.when(clause, F.lit(r[b]))
+                    if expr is None
+                    else expr.when(clause, F.lit(r[b]))
+                )
+            outs.append(expr.alias(b))
+        result = input_df.select(*[input_df[c] for c in input_df.columns], *outs)
+        if how == "inner":
+            result = result.filter(F.col(band_fields[0]).isNotNull())
+        return result
     pruned = bands.select(
         F.col(lo_col).alias("__lo__"),
         F.col(hi_col).alias("__hi__"),

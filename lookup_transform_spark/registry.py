@@ -277,8 +277,9 @@ FROM events e LEFT JOIN (
 ) b(lo, hi, band) ON e.value >= b.lo AND e.value < b.hi""",
 )
 def q_lookup_range(spark, sf):
-    """B19 range: value ∈ [lo, hi) banding via broadcast nested-loop —
-    the fact side is never shuffled for a banding."""
+    """B19 range: value ∈ [lo, hi) banding compiled to a chained CASE
+    projection (disjoint bands) — pure codegen, no join, and the fact
+    side is never shuffled for a banding."""
     bands = spark.createDataFrame(
         [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
         "lo double, hi double, band string",
@@ -2004,3 +2005,60 @@ def q_knn_classify(spark, sf):
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("predicted_label"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits; type-widening lookup
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 4)) AS INTEGER)"
+
+
+@_q(
+    "dataset_split",
+    f"""SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL.format(k='doc_id')} < 52428 THEN 'train'
+            WHEN {_BUCKET_SQL.format(k='doc_id')} < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents""",
+)
+def q_dataset_split(spark, sf):
+    """Training-pipeline: reproducible train/val/test split by content
+    hash — a document keeps its split across runs and engines."""
+    from lookup_transform_spark.operators.sampling import dataset_split
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return dataset_split(d, "doc_id", train=0.8, val=0.1)
+
+
+@_q(
+    "stratified_sample",
+    f"""SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_BUCKET_SQL.format(k='doc_id')}, doc_id) AS rn
+  FROM documents) WHERE rn <= 10""",
+)
+def q_stratified_sample(spark, sf):
+    """Training-pipeline: exactly 10 docs per language, hash-ordered
+    (deterministic stratified sampling)."""
+    from lookup_transform_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("lang", "doc_id")
+    return stratified_sample(d, "lang", 10, "doc_id")
+
+
+@_q(
+    "lookup_type_widening",
+    """SELECT o.o_orderkey, CAST(o.o_custkey AS INTEGER) AS ck32, c.c_mktsegment AS segment
+FROM orders o LEFT JOIN customer c ON CAST(o.o_custkey AS INTEGER) = c.c_custkey""",
+)
+def q_lookup_type_widening(spark, sf):
+    """A6 key-compatibility in action: int32 input key joins a bigint
+    lookup key — Schema.isCompatible's widening analog
+    (Lookup.java:510-514), Spark upcasts in the join."""
+    inp = _t(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("ck32")
+    )
+    spec = LookupSpec("customer", "ck32", "c_custkey", "c_mktsegment", "segment")
+    return spec.apply(inp, _t(spark, sf, "customer"))
