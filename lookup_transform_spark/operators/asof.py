@@ -71,7 +71,7 @@ def asof_join(
 
 def range_join(
     input_df: DataFrame,
-    bands: DataFrame,
+    bands: "DataFrame | list[dict]",
     value_col: str,
     lo_col: str,
     hi_col: str,
@@ -81,6 +81,11 @@ def range_join(
 ) -> DataFrame:
     """Half-open range lookup: input.value ∈ [band.lo, band.hi).
 
+    ``bands`` may be a DataFrame or a plain list of dicts (keys
+    ``lo_col``/``hi_col``/each band field) — the literal form compiles
+    with zero Spark jobs, which matters when the banding is defined in
+    application code rather than stored as a table.
+
     strategy="case" (default): collect the band table (a dimension by
     construction — if it doesn't fit on the driver it isn't a banding)
     and compile it into a chained CASE expression — a pure projection,
@@ -88,10 +93,15 @@ def range_join(
     must be disjoint (asserted).
 
     strategy="bnlj": broadcast nested-loop join — keeps multiplicity on
-    overlapping bands, at interpreted-predicate cost.
+    overlapping bands, at interpreted-predicate cost (DataFrame bands
+    only).
     """
     if strategy == "case":
-        rows = bands.select(lo_col, hi_col, *band_fields).collect()
+        if isinstance(bands, list):
+            rows = list(bands)
+        else:
+            rows = [r.asDict() for r in
+                    bands.select(lo_col, hi_col, *band_fields).collect()]
         rows.sort(key=lambda r: r[lo_col])
         for prev, cur in zip(rows, rows[1:]):
             if cur[lo_col] < prev[hi_col]:

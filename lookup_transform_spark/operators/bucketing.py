@@ -30,6 +30,39 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def ensure_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+) -> None:
+    """Idempotent bucketed materialization: write once, then re-register.
+
+    Bucketing is an ingest-time LAYOUT decision — the write cost is paid
+    once and amortized over every co-located join after. If the layout
+    already exists on disk (``_SUCCESS`` marker), a fresh session just
+    re-attaches it to the catalog with external-table DDL (bucket
+    metadata lives in the catalog, so a bare ``read.parquet`` would lose
+    the no-shuffle property).
+    """
+    import os
+
+    if spark.catalog.tableExists(table):
+        return
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                         for f in df.schema.fields)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{bucket_col}`) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return
+    write_bucketed(df, table, bucket_col, n_buckets, path=path)
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

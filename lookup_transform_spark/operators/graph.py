@@ -31,15 +31,9 @@ def connected_components(
 
     ``edges`` is undirected input (each pair once is fine).
     """
-    # node set with initial label = own id
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.select("node", F.col("node").alias("component"))
-
-    # symmetric edge list
+    # symmetric edge list — checkpoint FIRST so the (possibly expensive)
+    # upstream pair-generation pipeline executes exactly once; everything
+    # below, including the node set, derives from the materialized edges.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -47,6 +41,12 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # node set with initial label = own id (sym is symmetric, so one side
+    # covers every endpoint)
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+
+    prev_sum = None
     for _ in range(max_iterations):
         # propagate: each node takes min(own label, neighbors' labels)
         neighbor_min = (
@@ -88,16 +88,17 @@ def connected_components(
         # the fixpoint probe against the cached result — otherwise the
         # probe re-executes the whole iteration's joins
         updated = updated.localCheckpoint()
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
+        # fixpoint probe: labels only ever decrease, so the label sum
+        # strictly decreases iff anything changed — one cheap aggregate
+        # over the materialized result instead of a self-join. Decimal
+        # sum: immune to ANSI long overflow at any node-id magnitude.
+        new_sum = updated.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = updated
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -280,10 +280,11 @@ def q_lookup_range(spark, sf):
     """B19 range: value ∈ [lo, hi) banding compiled to a chained CASE
     projection (disjoint bands) — pure codegen, no join, and the fact
     side is never shuffled for a banding."""
-    bands = spark.createDataFrame(
-        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
-        "lo double, hi double, band string",
-    )
+    bands = [
+        {"lo": 0.0, "hi": 50.0, "band": "low"},
+        {"lo": 50.0, "hi": 200.0, "band": "mid"},
+        {"lo": 200.0, "hi": 1000.0, "band": "high"},
+    ]
     ev = _events(spark, sf).select("event_id", "value")
     return range_join(ev, bands, "value", "lo", "hi", ["band"])
 
@@ -1320,16 +1321,17 @@ def q_bucketed_join(spark, sf):
     join key -> no Exchange in the join (the 100 TB shuffle killer)."""
     from lookup_transform_spark.operators.bucketing import (
         bucketed_join,
-        write_bucketed,
+        ensure_bucketed,
     )
 
     tag = os.path.basename(sf).replace(".", "_")
     ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
-    write_bucketed(
-        _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+    ensure_bucketed(
+        spark, _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
         ot, "o_orderkey", 8, path=f"{SCRATCH}/{ot}",
     )
-    write_bucketed(
+    ensure_bucketed(
+        spark,
         _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice"),
         lt, "l_orderkey", 8, path=f"{SCRATCH}/{lt}",
     )

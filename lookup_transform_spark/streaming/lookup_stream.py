@@ -54,18 +54,40 @@ def stream_static_lookup(
 
 
 def run_to_memory(
-    df: DataFrame, name: str | None = None, output_mode: str = "append"
+    df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming plan to completion (availableNow trigger) into
     a memory sink; returns the result as a batch DataFrame. This is how
-    the rows-only streaming queries execute under the driver harness."""
+    the rows-only streaming queries execute under the driver harness.
+
+    ``state_partitions`` bounds the state-store count for the run:
+    stateful operators allocate one store per shuffle partition, and an
+    oversized default (tuned for batch scans) turns micro-batch commits
+    into pure store-bookkeeping overhead. The partition count of a
+    stateful streaming query is FIXED at its first run by the
+    checkpoint, so this is a per-query deployment decision, not a
+    session conf — size it to expected state volume, not batch width.
+    Pass ``None`` to inherit the session default.
+    """
+    spark = df.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
     table = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(table)
+    prev = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, prev)
+    return spark.table(table)
