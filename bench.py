@@ -36,18 +36,24 @@ def _oracle_timings(sf_dir: str) -> dict[str, float]:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     out: dict[str, float] = {}
     for name, sql in sorted(registry.ORACLES.items()):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        out[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        out[name] = round(samples[len(samples) // 2], 4)
     con.close()
     return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # BASELINE.md protocol: warm session, median of 3 per query
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
     spark = get_spark("lookup_transform_spark-bench")
 
@@ -57,13 +63,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        best = None
+        samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
