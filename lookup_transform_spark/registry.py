@@ -2064,3 +2064,174 @@ def q_lookup_type_widening(spark, sf):
     )
     spec = LookupSpec("customer", "ck32", "c_custkey", "c_mktsegment", "segment")
     return spec.apply(inp, _t(spark, sf, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: EXISTS, pure filter-agg, conditional-agg ratio,
+# disjunctive pushdown, scalar-threshold + anti-join
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q4_priority",
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority""",
+)
+def q_tpch_q4_priority(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a
+    non-equi residual (l_shipdate > o_orderdate) alongside the key."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"]
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q6_forecast",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def q_tpch_q6_forecast(spark, sf):
+    """TPC-H Q6: pure filter + global agg — every predicate must reach
+    the parquet scan (PushedFilters), no shuffle beyond the final
+    single-row combine."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "tpch_q14_promo",
+    """SELECT ROUND(
+  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+  6) AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+)
+def q_tpch_q14_promo(spark, sf):
+    """TPC-H Q14: conditional-aggregate ratio (promo revenue share).
+    part is a broadcast dim; both sums accumulate exact decimal so the
+    double ratio is bit-identical across engines."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_type")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(38,6)")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue")
+    )
+
+
+@_q(
+    "tpch_q19_disjunctive",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def q_tpch_q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
+    extracts the single-side conjuncts (brand/size, quantity bounds)
+    below the join, so each scan is pre-filtered before the broadcast
+    hash join evaluates the residual disjunction."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(disj).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "tpch_q22_dormant",
+    """SELECT n.n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name""",
+)
+def q_tpch_q22_dormant(spark, sf):
+    """TPC-H Q22 shape: above-average balance (scalar agg threshold,
+    broadcast single row) + never-ordered (anti join), rolled up by
+    nation."""
+    c = _t(spark, sf, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+            .alias("__avg_bal__")
+        )
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal__"))
+    dormant = rich.join(
+        _t(spark, sf, "orders").select(F.col("o_custkey")),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        dormant.join(F.broadcast(n), dormant["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _sumd("c_acctbal", "totacctbal"),
+        )
+    )
