@@ -2235,3 +2235,336 @@ def q_tpch_q22_dormant(spark, sf):
             _sumd("c_acctbal", "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth II (adapted to fixture schema: no partsupp, no
+# commit/receipt dates — lateness is modeled as l_shipdate far past
+# o_orderdate): market share, profit rollup, value concentration,
+# late-line priority split, top supplier, small-quantity revenue,
+# waiting-supplier exists/not-exists
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+         n2.n_name AS nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) GROUP BY o_year""",
+)
+def q_tpch_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (market share): one fact scan, five broadcast
+    dims, conditional-share ratio by year. All dims are broadcast so
+    the only shuffle is the final tiny groupBy on year."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    )
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_profit",
+    """SELECT nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+           - CAST(0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,6)) AS amount
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) GROUP BY nation, o_year""",
+)
+def q_tpch_q9_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit): supplycost proxied as
+    10% of p_retailprice per unit (fixture has no partsupp). LIKE
+    filter prunes part before the broadcast; profit rolls up by
+    supplier nation x order year."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    amount = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _dec(
+        0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@_q(
+    "tpch_q11_value_conc",
+    """WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, part_value FROM pv
+WHERE part_value > (
+  SELECT 1.3 * CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  FROM pv)""",
+)
+def q_tpch_q11_value_conc(spark, sf):
+    """TPC-H Q11 shape (value concentration): per-key aggregate kept
+    only where it exceeds 1.3x the mean per-key value. The threshold is
+    scale-free (a fixed fraction of the total empties out as the key
+    count grows), and the mean re-accumulates the per-part doubles
+    through decimal so both engines compute the identical scalar. The
+    one-row threshold is broadcast; the per-part agg is computed once."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(_sumd("l_extendedprice", "part_value"))
+    thresh = per_part.agg(
+        (
+            1.3 * F.sum(_dec("part_value")).cast("double") / F.count(F.lit(1))
+        ).alias("__thresh__")
+    )
+    return (
+        per_part.join(F.broadcast(thresh), F.col("part_value") > F.col("__thresh__"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@_q(
+    "tpch_q12_late_priority",
+    """SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l.l_linestatus""",
+)
+def q_tpch_q12_late_priority(spark, sf):
+    """TPC-H Q12 shape (shipping-mode priority split): join with a
+    cross-table residual (shipped >90 days after order), conditional
+    counts by priority class. Counts are exact longs — no decimal
+    plumbing needed."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def q_tpch_q15_top_supplier(spark, sf):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the argmax row(s) via a one-row broadcast of MAX(revenue). Equality
+    on double is safe cross-engine because both totals are the same
+    exact-decimal sum cast once."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max_rev__"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("__max_rev__"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "tpch_q17_small_qty",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+)
+def q_tpch_q17_small_qty(spark, sf):
+    """TPC-H Q17 (small-quantity revenue): correlated per-part average
+    decorrelated into a groupBy + re-join. The per-part average is
+    computed only over the brand-filtered keys (semantically identical:
+    the correlated scalar is only evaluated for those rows)."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    per_part = (
+        brand_li.groupBy(F.col("l_partkey").alias("__pk__"))
+        .agg(
+            (
+                0.5
+                * F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__half_avg__")
+        )
+    )
+    return (
+        brand_li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk__"))
+        .filter(F.col("l_quantity") < F.col("__half_avg__"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "tpch_q21_waiting",
+    """SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name""",
+)
+def q_tpch_q21_waiting(spark, sf):
+    """TPC-H Q21 shape (waiting supplier): the exists/not-exists pair
+    over sibling lineitems collapses into one window pass per order —
+    distinct-supplier count and the set of late suppliers — instead of
+    two extra self-joins of the fact table. Lateness = shipped >60 days
+    after the order date (fixture has no commit/receipt dates)."""
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = lo.select(
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp__"),
+        F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w).alias(
+            "__late_supps__"
+        ),
+    ).filter(
+        (F.col("late") == 1)
+        & (F.col("__n_supp__") >= 2)
+        & (F.size("__late_supps__") == 1)
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(s), flagged["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
