@@ -2568,3 +2568,121 @@ def q_tpch_q21_waiting(spark, sf):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@_q(
+    "tpch_q2_min_cost",
+    """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 15
+  AND s.s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE l2.l_partkey = p.p_partkey)""",
+)
+def q_tpch_q2_min_cost(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
+    decorrelates into a per-part window minimum over the distinct
+    (part, supplier) pairs — supplycost proxied by s_acctbal since the
+    fixture has no partsupp. No arithmetic, so double equality is safe."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    pairs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.withColumn("__min_bal__", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__min_bal__"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@_q(
+    "tpch_q16_supplier_cnt",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size""",
+)
+def q_tpch_q16_supplier_cnt(spark, sf):
+    """TPC-H Q16 shape (supplier count by part attributes): negated
+    filters + IN-list on the dim, complaint suppliers (negative
+    balance, standing in for the LIKE '%Complaints%' comment scan)
+    removed by an anti join before the distinct count."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    complaints = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q20_promotion",
+    """SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+    HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300.0)""",
+)
+def q_tpch_q20_promotion(spark, sf):
+    """TPC-H Q20 shape (promotion candidates): IN over a grouped
+    HAVING subquery — heavy shipper of red parts in 1997 (availqty
+    threshold proxied by shipped quantity; no partsupp in fixture).
+    Compiles to agg -> filter -> left-semi join."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("__qty__"))
+        .filter(F.col("__qty__") > 300.0)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(F.broadcast(heavy), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
