@@ -2686,3 +2686,96 @@ def q_tpch_q20_promotion(spark, sf):
         s.join(F.broadcast(heavy), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus curation: benchmark decontamination, context-window
+# packing
+# ---------------------------------------------------------------------------
+
+#: stand-in for a benchmark-suite n-gram blocklist (eval contamination)
+DECONTAM_TRIGRAMS = (
+    "big order scan", "window fast query", "table key filter",
+    "stream table hash", "sort table scan", "part filter scan",
+    "row value spark", "group slow spark",
+)
+
+@_q(
+    "decontaminate",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS u(i)),
+bad AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE g IN ('big order scan','window fast query','table key filter',
+              'stream table hash','sort table scan','part filter scan',
+              'row value spark','group slow spark'))
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+)
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: drop any document containing a
+    blocklisted token 3-gram (the standard eval-set-overlap removal in
+    training-corpus pipelines). Scale path: docs explode to 3-grams,
+    the blocklist (small even for full benchmark suites) broadcasts
+    into a semi join, and the contaminated-id set anti-joins back —
+    no shuffle of the corpus itself."""
+    docs = _t(spark, sf, "documents")
+    d2 = docs.withColumn("__toks__", F.split("text", " "))
+    grams = F.when(
+        F.size("__toks__") >= 3,
+        F.expr(
+            "transform(sequence(0, size(__toks__)-3), "
+            "i -> concat_ws(' ', __toks__[i], __toks__[i+1], __toks__[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gdf = d2.select("doc_id", F.explode(grams).alias("g"))
+    block = spark.createDataFrame(
+        [(g,) for g in DECONTAM_TRIGRAMS], "g string"
+    )
+    contaminated = (
+        gdf.join(F.broadcast(block), "g", "left_semi").select("doc_id").distinct()
+    )
+    return docs.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "pack_sequences",
+    """WITH t AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT source, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, SUM(n_chars) AS fill_chars
+FROM t GROUP BY source, bin_id""",
+)
+def q_pack_sequences(spark, sf):
+    """Context-window packing: deterministic contiguous fill — docs in
+    doc_id order drop into 4096-char bins per source (bin = floor of
+    the chars consumed before the doc / budget). Partitioned by source
+    so the running sum never needs a global single-partition sort; at
+    100 TB any hash bucket column serves the same role."""
+    docs = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chars").over(w)
+    bin_id = F.floor((cum - F.col("n_chars")) / F.lit(4096.0))
+    return (
+        docs.select(
+            "source", "n_chars", bin_id.alias("bin_id")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("fill_chars"),
+        )
+    )
