@@ -39,6 +39,32 @@ def dataset_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling at a per-stratum rate — the
+    corpus-mixing / domain-reweighting step of a training-data pipeline
+    (e.g. keep 100% of English, 25% of zh, 10% of everything else).
+
+    Keep iff hash_bucket(key) < rate * 65536: pure narrow filter (no
+    shuffle, no state), reproducible across runs and engines, and a
+    row's keep/drop decision is stable under reprocessing. Rates arrive
+    as a literal CASE expression, so at 100 TB this is a single
+    codegen'd predicate evaluated inside the scan."""
+    thresh: Column | None = None
+    for stratum, rate in sorted(rates.items()):
+        pred = F.col(strata_col) == stratum
+        lit = F.lit(int(BUCKETS * rate))
+        thresh = F.when(pred, lit) if thresh is None else thresh.when(pred, lit)
+    default = F.lit(int(BUCKETS * default_rate))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(hash_bucket(key_col) < thresh)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2050,6 +2050,64 @@ def q_stratified_sample(spark, sf):
     return stratified_sample(d, "lang", 10, "doc_id")
 
 
+#: corpus-mix rates per language (scale-free; lang set is fixed across SFs)
+_MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+@_q(
+    "corpus_mix",
+    f"""SELECT doc_id, lang, source FROM documents
+WHERE {_BUCKET_SQL.format(k='doc_id')} <
+      CASE lang WHEN 'de' THEN 32768 WHEN 'en' THEN 65536
+                WHEN 'es' THEN 32768 WHEN 'fr' THEN 32768
+                WHEN 'zh' THEN 16384 ELSE 6553 END""",
+)
+def q_corpus_mix(spark, sf):
+    """Training-pipeline: domain/language reweighting — keep 100% of en,
+    50% of de/es/fr, 25% of zh, 10% otherwise, by deterministic
+    hash-Bernoulli (reprocessing-stable; a pure codegen'd filter)."""
+    from lookup_transform_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return weighted_sample(d, "lang", _MIX_RATES, "doc_id", _MIX_DEFAULT)
+
+
+@_q(
+    "anomaly_zscore",
+    """WITH s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS svv
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id,
+       ROUND((e.value - sv / n) / SQRT((svv - sv * sv / n) / (n - 1)), 6) AS z
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE n > 1 AND (svv - sv * sv / n) > 0
+  AND ABS((e.value - sv / n) / SQRT((svv - sv * sv / n) / (n - 1))) > 2.5""",
+)
+def q_anomaly_zscore(spark, sf):
+    """Per-user outlier filter: |z| > 2.5 against the user's own
+    mean/std (training-data quality gate on the event stream). Moments
+    via one partial-aggregated groupBy (decimal sums for cross-engine
+    determinism), then a broadcast join back — the fact table is
+    scanned once and never shuffled."""
+    e = _events(spark, sf).select("event_id", "user_id", "value")
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sv"),
+        F.sum(_dec(F.col("value") * F.col("value"))).cast("double").alias("svv"),
+    )
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    var = (svv - sv * sv / n) / (n - 1)
+    z = (F.col("value") - sv / n) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(stats), "user_id")
+        .filter((n > 1) & ((svv - sv * sv / n) > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", F.round(z, 6).alias("z"))
+    )
+
+
 @_q(
     "lookup_type_widening",
     """SELECT o.o_orderkey, CAST(o.o_custkey AS INTEGER) AS ck32, c.c_mktsegment AS segment
