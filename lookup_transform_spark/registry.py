@@ -958,6 +958,23 @@ def q_scan_json_roundtrip(spark, sf):
 
 
 @_q(
+    "scan_orc_roundtrip",
+    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def q_scan_orc_roundtrip(spark, sf):
+    """B2: ORC sink+scan — the second self-describing columnar format;
+    pushdown/pruning reach the reader exactly as with parquet."""
+    from lookup_transform_spark.sources import read_orc, write_orc
+
+    path = f"{SCRATCH}/part_orc_{os.path.basename(sf)}"
+    write_orc(
+        _t(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice"),
+        path,
+    )
+    return read_orc(spark, path)
+
+
+@_q(
     "sink_partitioned",
     "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
 )

@@ -36,3 +36,10 @@ def read_json(
     spark: SparkSession, path: str, schema: T.StructType | str, **options
 ) -> DataFrame:
     return spark.read.schema(schema).options(**options).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — self-describing columnar like parquet: predicate
+    pushdown and column pruning both reach the reader."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

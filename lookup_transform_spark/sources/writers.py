@@ -32,3 +32,7 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -133,3 +133,22 @@ def test_compaction_bounds_file_count(spark, tmp_path):
     back = compact_parquet(spark, fragmented, compacted, target_files=4)
     assert len(glob.glob(f"{compacted}/part-*.parquet")) == 4
     assert back.count() == orders.count()
+
+
+def test_corpus_mix_is_pure_narrow_filter(spark):
+    # weighted sampling is a codegen'd predicate in the scan stage:
+    # no Exchange anywhere in the plan, and the scan is column-pruned
+    df = registry.QUERIES["corpus_mix"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    sch = [line for line in explain_str(df).splitlines() if "ReadSchema" in line][0]
+    assert "text" not in sch  # the wide column is never read
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    # per-user moments aggregate partially, then broadcast back onto the
+    # fact scan — the events table is never hash-repartitioned
+    df = registry.QUERIES["anomaly_zscore"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
