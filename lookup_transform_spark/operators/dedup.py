@@ -149,12 +149,14 @@ def minhash_lsh_pairs(
     docs = docs.repartition(n_part, F.col(id_col))
     sig = docs.select(
         F.col(id_col).alias("__id__"),
-        F.col(text_col).alias("__text__"),
         minhash_signature_pandas(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
     )
+    # band on (id, bucket) ONLY — never carry document text through the
+    # banding explode + self-join (that would shuffle each text 2×bands
+    # times); texts rejoin by id for verification below, so total text
+    # shuffle volume stays at ~2× the corpus regardless of band count.
     banded = sig.select(
         "__id__",
-        "__text__",
         F.explode(
             F.array(
                 *[
@@ -174,9 +176,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__band__"),
-    ).select(
-        "__id__", "__text__", F.col("__band__.band"), F.col("__band__.bucket")
-    )
+    ).select("__id__", F.col("__band__.band"), F.col("__band__.bucket"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -190,10 +190,19 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.__id__").alias("doc_id_a"),
             F.col("b.__id__").alias("doc_id_b"),
-            F.col("a.__text__").alias("__text_a__"),
-            F.col("b.__text__").alias("__text_b__"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    txt_a = docs.select(
+        F.col(id_col).alias("__ta__"), F.col(text_col).alias("__text_a__")
+    )
+    txt_b = docs.select(
+        F.col(id_col).alias("__tb__"), F.col(text_col).alias("__text_b__")
+    )
+    cand = (
+        cand.join(txt_a, cand["doc_id_a"] == txt_a["__ta__"])
+        .join(txt_b, F.col("doc_id_b") == txt_b["__tb__"])
     )
 
     sh_a = shingles("__text_a__", shingle_n)
