@@ -2125,6 +2125,33 @@ def q_anomaly_zscore(spark, sf):
     )
 
 
+def _zorder_oracle() -> str:
+    from lookup_transform_spark.operators.layout import zorder_code_sql
+
+    a = "(o_custkey % 256)"
+    b = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256)"
+    return (
+        f"SELECT o_orderkey, ({zorder_code_sql(a, b)}) AS zcode FROM orders"
+    )
+
+
+@_q("zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark, sf):
+    """Data layout for scan locality: Morton (Z-order) code over the two
+    common filter keys — the clustering key a 100 TB writer sorts by so
+    parquet min/max statistics prune BOTH dimensions (zorder_write is
+    the writer; this query pins the code itself cross-engine)."""
+    from lookup_transform_spark.operators.layout import zorder_code
+
+    o = _t(spark, sf, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(256))
+    b = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")),
+        F.lit(256),
+    )
+    return o.select("o_orderkey", zorder_code(a, b).alias("zcode"))
+
+
 @_q(
     "lookup_type_widening",
     """SELECT o.o_orderkey, CAST(o.o_custkey AS INTEGER) AS ck32, c.c_mktsegment AS segment

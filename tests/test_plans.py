@@ -152,3 +152,33 @@ def test_anomaly_zscore_broadcasts_stats(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_zorder_write_files_have_disjoint_z_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.layout import zorder_code, zorder_write
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    a = F.pmod(F.col("o_custkey"), F.lit(256))
+    b = F.pmod(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")),
+        F.lit(256),
+    )
+    path = str(tmp_path / "orders_z")
+    zorder_write(orders, path, a, b, num_files=8)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        part = spark.read.parquet(f)
+        lo, hi = part.select(
+            F.min(zorder_code(a, b)), F.max(zorder_code(a, b))
+        ).first()
+        ranges.append((lo, hi))
+    ranges.sort()
+    # range partitioning on the z-code ⇒ every file covers a contiguous,
+    # non-overlapping z interval — the data-skipping envelope
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
