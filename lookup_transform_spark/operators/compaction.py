@@ -9,7 +9,29 @@ partition-predicate so only hot partitions rewrite.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def compact_parquet_to_size(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Size-targeted compaction: derive the file count from the actual
+    on-disk bytes of ``src`` (the policy a table-maintenance job uses —
+    "files of ~128 MB", not "N files"), then delegate to
+    ``compact_parquet``."""
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, round(total / (target_mb * 1024 * 1024)))
+    return compact_parquet(spark, src, dst, target_files=n_files, partition_by=partition_by)
 
 
 def compact_parquet(

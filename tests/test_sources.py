@@ -52,3 +52,40 @@ def test_json_corrupt_record_column(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.id for r in good} == {1, 3}
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    from lookup_transform_spark.sources.readers import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    # a later ingest batch added a column
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None  # pre-evolution file yields null
+    assert rows[2].score == 0.5
+
+
+def test_compact_to_target_size(spark, tmp_path):
+    import glob
+
+    from lookup_transform_spark.operators.compaction import compact_parquet_to_size
+
+    src = str(tmp_path / "frag")
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    orders.repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+
+    dst = str(tmp_path / "sized")
+    # ~1.5 MB of data at a 1 MB target → a couple of files, not 40
+    back = compact_parquet_to_size(spark, src, dst, target_mb=1)
+    n = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert 1 <= n <= 4
+    assert back.count() == orders.count()
