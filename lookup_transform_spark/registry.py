@@ -752,6 +752,30 @@ def q_text_stats(spark, sf):
 
 
 @_q(
+    "dedup_incremental",
+    """WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents)
+SELECT n.doc_id FROM fp n
+WHERE n.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM fp o WHERE o.doc_id % 10 < 8 AND o.f = n.f)""",
+)
+def q_dedup_incremental(spark, sf):
+    """Continuous-ingest dedup: drop new-batch docs whose normalized
+    content fingerprint already exists in the standing corpus (here the
+    batch split is doc_id mod 10 ≥ 8). One anti-join on the fingerprint
+    — at 100 TB the standing side is a bucketed fingerprint index, so
+    the join co-locates without reshuffling history each ingest."""
+    docs = _t(spark, sf, "documents")
+    fp = docs.select(
+        "doc_id", TX.content_fingerprint("text").alias("__f__")
+    )
+    old = fp.filter(F.pmod("doc_id", F.lit(10)) < 8).select("__f__")
+    new = fp.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+    return new.join(old, "__f__", "left_anti").select("doc_id")
+
+
+@_q(
     "lang_stats",
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang""",
