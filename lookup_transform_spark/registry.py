@@ -1583,6 +1583,25 @@ def q_json_struct(spark, sf):
 
 
 @_q(
+    "json_variant",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""",
+)
+def q_json_variant(spark, sf):
+    """B55 modern path: parse once into a VARIANT column (Spark 4 binary
+    semi-structured encoding), then typed `variant_get` extraction —
+    the shredded-at-parse alternative to repeated string path scans
+    (json_extract twin). try_parse_json: malformed rows become null,
+    never a task failure."""
+    ev = _events(spark, sf)
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select("event_id", k.alias("k")).filter(k > 50)
+
+
+@_q(
     "map_funcs",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map
 FROM events""",
