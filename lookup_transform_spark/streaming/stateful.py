@@ -60,6 +60,61 @@ def _track_sessions_factory(gap_us: int):
     return track
 
 
+def stream_lifetime_stats(stream_df: DataFrame) -> DataFrame:
+    """Per-user running lifetime aggregates via
+    ``transformWithStateInPandas`` (Spark 4's arbitrary-state API —
+    typed state variables on a StatefulProcessorHandle, successor to
+    applyInPandasWithState). ValueState holds the O(1) per-key
+    accumulator; each batch emits the key's updated totals.
+
+    Input: streaming frame with (user_id, value). Output: one row per
+    (key, batch-with-data): user_id, n_events, sum_value (decimal-6
+    rounded for determinism).
+
+    NOTE: transformWithStateInPandas drives its state server over
+    protobuf; environments without a working ``google.protobuf``
+    cannot run it (this container's is broken), so the operator is
+    exercised by a conditionally-skipped test rather than a registry
+    query. ``stream_sessionize_stateful`` (applyInPandasWithState)
+    is the always-runnable custom-state path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LifetimeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, sv double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, sv = self._agg.get()
+            else:
+                n, sv = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+            self._agg.update((n, sv))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(sv, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        LifetimeStats(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def stream_sessionize_stateful(
     stream_df: DataFrame,
     gap_seconds: int = 1800,

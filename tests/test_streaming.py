@@ -304,3 +304,33 @@ def test_foreach_batch_gold_table(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     parts = [d for d in os.listdir(gold) if d.startswith("event_type=")]
     assert len(parts) == want.count()
+
+
+def test_transform_with_state_lifetime_equals_batch(spark):
+    import pytest
+
+    # transformWithStateInPandas needs a functional protobuf runtime
+    # (its state server speaks protobuf); skip where it's unavailable
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithStateInPandas cannot run")
+
+    from lookup_transform_spark.streaming.stateful import stream_lifetime_stats
+
+    ev = read_events_stream(spark, SF).select("user_id", "value")
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in run_to_memory(stream_lifetime_stats(ev), "t_lt").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in registry._events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, sv) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(sv, rel=1e-9)
