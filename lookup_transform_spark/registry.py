@@ -998,6 +998,25 @@ def q_scan_orc_roundtrip(spark, sf):
     return read_orc(spark, path)
 
 
+@_q("scan_generator_source")
+def q_scan_generator_source(spark, sf):
+    """B1 extension: custom Python DataSource (Spark 4 API) — the
+    deterministic synthetic-corpus generator; partition-parallel rows
+    from pure compute, no storage. Rows-only (the generator's hash is
+    not expressible in the oracle's SQL)."""
+    from lookup_transform_spark.sources.synthetic import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n", 2000).option("parts", 8).load()
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 @_q(
     "sink_partitioned",
     "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",

@@ -89,3 +89,24 @@ def test_compact_to_target_size(spark, tmp_path):
     n = len(glob.glob(f"{dst}/part-*.parquet"))
     assert 1 <= n <= 4
     assert back.count() == orders.count()
+
+
+def test_synthetic_datasource_deterministic_and_parallel(spark):
+    from lookup_transform_spark.sources.synthetic import make_doc, register
+
+    register(spark)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n", 500).option("parts", 4).option("seed", 7).load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted(tuple(r) for r in df.collect())
+    assert len(rows) == 500
+    # rows are a pure function of (seed, doc_id): same on any re-read,
+    # any partitioning, and in local python
+    again = (
+        spark.read.format("synthdocs")
+        .option("n", 500).option("parts", 2).option("seed", 7).load()
+    )
+    assert rows == sorted(tuple(r) for r in again.collect())
+    assert rows[0] == make_doc(7, 0)
