@@ -1,0 +1,91 @@
+"""Custom Python DataSourceWriter (Spark 4 extension point): a
+manifest-committed JSONL sink demonstrating the two-phase commit
+protocol every production sink needs.
+
+The 100 TB concern this encodes: a job writing thousands of shards must
+never expose partial output. The protocol here is the standard one —
+tasks write shards under temporary names and report them in their
+commit message; only the driver-side ``commit()`` publishes a manifest
+naming the complete shard set. Readers trust the manifest, so an
+aborted/failed job (``abort()`` removes its shards) is invisible. This
+is the same atomic-publish shape as Hive's _SUCCESS + manifest or a
+table format's snapshot commit, expressed through
+``pyspark.sql.datasource``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    shard: str
+    rows: int
+
+
+class ManifestJsonSink(DataSource):
+    """``df.write.format("manifestjson").option("path", p).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifestjson"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ManifestWriter(self.options)
+
+
+class _ManifestWriter(DataSourceWriter):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        shard = f"shard-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, shard), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return ShardCommit(shard=shard, rows=n)
+
+    def commit(self, messages) -> None:
+        shards = [
+            {"shard": m.shard, "rows": m.rows} for m in messages if m is not None
+        ]
+        manifest = {
+            "shards": shards,
+            "total_rows": sum(s["rows"] for s in shards),
+        }
+        tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.shard))
+                except OSError:
+                    pass
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ManifestJsonSink)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)

@@ -110,3 +110,38 @@ def test_synthetic_datasource_deterministic_and_parallel(spark):
     )
     assert rows == sorted(tuple(r) for r in again.collect())
     assert rows[0] == make_doc(7, 0)
+
+
+def test_manifest_sink_two_phase_commit(spark, tmp_path):
+    import json
+
+    from lookup_transform_spark.sources.audit_sink import read_manifest, register
+
+    register(spark)
+    path = str(tmp_path / "mout")
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    nat.repartition(4).write.format("manifestjson").option("path", path).mode(
+        "append"
+    ).save()
+
+    man = read_manifest(path)
+    assert man["total_rows"] == nat.count()
+    assert len(man["shards"]) == 4
+    # every shard named by the manifest exists and row counts agree
+    for s in man["shards"]:
+        with open(f"{path}/{s['shard']}") as f:
+            assert sum(1 for _ in f) == s["rows"]
+    # only manifest-listed shards are present (no partial/stray output)
+    import os
+
+    files = {f for f in os.listdir(path) if not f.startswith("_")}
+    assert files == {s["shard"] for s in man["shards"]}
+    # rows round-trip
+    got = sorted(
+        json.loads(line)["n_name"]
+        for s in man["shards"]
+        for line in open(f"{path}/{s['shard']}")
+    )
+    assert got == sorted(r["n_name"] for r in nat.collect())
