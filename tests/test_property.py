@@ -154,3 +154,34 @@ def test_asof_matches_reference(spark, left_rows, right_rows):
         ((r.row_id, r.k, r.ts, r.v) for r in out.collect()), key=repr
     )
     assert got == reference_asof(left_rows, right_rows)
+
+
+def test_text_metric_bounds_on_adversarial_strings(spark):
+    """Quality/punct metrics stay in [0,1] and lang_id stays in its
+    domain for adversarial inputs: empty, whitespace-only, punctuation
+    storms, unicode, single chars, very long tokens."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators import text as TX
+
+    rng = random.Random(7)
+    alphabet = "ab .,!?'\"()-\t\nñ中é0"
+    rows = [("",), (" ",), ("\t\n ",), ("...!!!???",), ("a" * 500,)]
+    rows += [
+        ("".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 60))),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        TX.quality_score("text").alias("q"),
+        F.round(TX.punct_ratio("text"), 6).alias("p"),
+        TX.lang_id("text").alias("lang"),
+        TX.token_count("text").alias("n"),
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["q"] <= 1.0
+        assert 0.0 <= r["p"] <= 1.0
+        assert r["lang"] in {"en", "es", "de", "fr", "und"}
+        assert r["n"] >= 0
