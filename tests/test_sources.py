@@ -145,3 +145,26 @@ def test_manifest_sink_two_phase_commit(spark, tmp_path):
         for line in open(f"{path}/{s['shard']}")
     )
     assert got == sorted(r["n_name"] for r in nat.collect())
+
+
+def test_manifest_sink_failed_job_publishes_nothing(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.sources.audit_sink import MANIFEST, register
+
+    register(spark)
+    path = str(tmp_path / "mfail")
+    df = spark.range(100).withColumn(
+        "boom", F.when(F.col("id") == 57, F.lit(1) / F.lit(0)).otherwise(F.lit(0.0))
+    )
+    with pytest.raises(Exception):
+        # ANSI division-by-zero fails one task mid-write; the job aborts
+        df.repartition(4).write.format("manifestjson").option("path", path).mode(
+            "append"
+        ).save()
+    # no manifest ⇒ the failed write is invisible to manifest-trusting
+    # readers, whatever shard fragments tasks left behind
+    assert not os.path.exists(os.path.join(path, MANIFEST))
