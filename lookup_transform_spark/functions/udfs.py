@@ -17,13 +17,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())  # literal type: usable before a session exists
 def sigmoid(v: pd.Series) -> pd.Series:
     """Scalar pandas UDF: 1/(1+e^-x), one numpy pass per Arrow batch.
     Per-row IEEE ops → bit-identical to the SQL formulation."""
     return 1.0 / (1.0 + np.exp(-v))
+
+
+@pandas_udf(DoubleType())  # literal type: usable before a session exists
+def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine over two array columns: one einsum per
+    Arrow batch — the fast path for candidate re-scoring when the pair
+    list is already materialized (interpreted higher-order-function
+    cosine is ~100× slower per pair)."""
+    ma = np.array(list(a), dtype=np.float64)
+    mb = np.array(list(b), dtype=np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
 
 
 def grouped_median(
