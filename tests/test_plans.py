@@ -182,3 +182,15 @@ def test_zorder_write_files_have_disjoint_z_ranges(spark, tmp_path):
     # non-overlapping z interval — the data-skipping envelope
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_decontaminate_never_shuffles_corpus(spark):
+    # the blocklist broadcasts into a LeftSemi over exploded 3-grams and
+    # the contaminated-id set broadcasts back into a LeftAnti; the only
+    # hash exchange in the plan is the distinct over contaminated ids
+    # (O(contaminated docs)) — the corpus itself is never repartitioned
+    df = registry.QUERIES["decontaminate"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi, BuildRight" in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
