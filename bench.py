@@ -1,7 +1,14 @@
 """Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE COMPACT JSON line on stdout:
+  {"metric": "total_query_sec", "value": <total over ALL queries>,
+   "unit": "sec", "queries": {<headline query>: sec, ...}, "sf": ...}
+
+The stdout line is deliberately small (headline queries only) so a
+log-tail capture still parses; the FULL per-query detail — all Spark
+timings plus per-oracle DuckDB timings — is written to
+BENCH_DETAIL.json next to this script.
 
 Execution is forced with the noop sink (full plan runs, nothing
 collected to the driver). First query is preceded by a warmup so JVM
@@ -20,12 +27,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lookup_transform_spark import registry  # noqa: E402
 from lookup_transform_spark.session import get_spark  # noqa: E402
 
+# One representative per operator tier — keeps the stdout JSON line
+# under ~1 KB so tail-truncating log capture still yields valid JSON.
+HEADLINE = [
+    "lookup",
+    "lookup_big",
+    "lookup_asof",
+    "lookup_chain",
+    "tpch_q1",
+    "tpch_q3_shipping",
+    "tpch_q9_profit",
+    "tpch_q21_waiting",
+    "agg_rollup",
+    "window_topk",
+    "join_semi",
+    "bucketed_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "simsearch_cosine",
+    "simsearch_ivf",
+    "text_stats",
+    "lang_id",
+    "decontaminate",
+    "sessionize",
+]
+
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _oracle_timings(sf_dir: str) -> dict[str, float]:
+def _oracle_timings(sf_dir: str, repeats: int) -> dict[str, float]:
     """Time each DuckDB oracle on the same parquet — the per-query
     baseline the ≤2× target in BASELINE.md refers to."""
     import duckdb
@@ -36,7 +72,6 @@ def _oracle_timings(sf_dir: str) -> dict[str, float]:
         "documents embeddings"
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     out: dict[str, float] = {}
     for name, sql in sorted(registry.ORACLES.items()):
         samples = []
@@ -77,18 +112,38 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    payload = {
+
+    detail = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "n_queries": len(timings),
     }
     if with_oracle:
-        oracle = _oracle_timings(sf_dir)
-        payload["oracle_duckdb_sec"] = oracle
-        payload["oracle_total_sec"] = round(sum(oracle.values()), 4)
-    print(json.dumps(payload))
+        oracle = _oracle_timings(sf_dir, repeats)
+        detail["oracle_duckdb_sec"] = oracle
+        detail["oracle_total_sec"] = round(sum(oracle.values()), 4)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+        "sf": sf_val,
+    }
+    if with_oracle:
+        compact["oracle_total_sec"] = detail["oracle_total_sec"]
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -410,41 +410,81 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    blocks: int = 8,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold (exact; oracle-checkable).
 
-    Block-nested-loop via a broadcast numpy matrix: the corpus matrix is
-    broadcast to executors (like a broadcast join side — requires one
-    side to fit in executor memory), and each corpus partition computes
-    its block of the similarity matrix with one float64 matmul inside
-    ``mapInPandas``. O(n²) work is inherent to exact all-pairs; the
-    scale path is LSH prefiltering (``simhash``/``lsh_bucket_topk``)
-    before the exact re-score.
+    Fully distributed block-matmul — NOTHING is collected to the driver:
+
+    1. Each vector is hash-assigned to one of ``blocks`` blocks.
+    2. The (blocks·(blocks+1)/2)-row block-pair table (i <= j) is
+       broadcast; vectors join it on their block id, so vector x lands
+       in every group (i, j) where i or j is x's block (≈ blocks/2
+       replicas per side — shuffle volume is O(blocks × corpus), tunable
+       against group size).
+    3. ``applyInPandas`` per (blk_a, blk_b) group computes that tile of
+       the similarity matrix with one float64 matmul and emits only the
+       >= threshold survivors, min-id first.
+
+    Exact: every unordered pair falls in exactly one block pair
+    (diagonal groups cover within-block pairs with id_a < id_b), and
+    blocked matmul computes the identical per-pair dot product. Pick
+    ``blocks`` so corpus/blocks fits executor memory (n/8 rows per tile
+    side here); at 100 TB raise it — cost grows linearly in ``blocks``
+    while tile memory shrinks linearly. O(n²) FLOPs are inherent to
+    exact all-pairs; the scale path is LSH prefiltering
+    (``simhash``/``lsh_bucket_topk``) before the exact re-score.
     """
     sel = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    corpus = sel.toPandas()
-    ids_all = corpus["vec_id"].to_numpy()
-    mat = np.stack(corpus["vec"].to_numpy()).astype(np.float64)
-    norms_all = np.sqrt((mat * mat).sum(axis=1))
-    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat, norms_all))
+    tagged = sel.withColumn(
+        "__blk__", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int")
+    )
+    spark = emb.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(blocks) for j in range(i, blocks)],
+        "blk_a int, blk_b int",
+    )
+    left = tagged.join(F.broadcast(bp), tagged["__blk__"] == bp["blk_a"]).select(
+        "blk_a", "blk_b", F.lit(0).alias("__side__"), "vec_id", "vec"
+    )
+    right = (
+        tagged.join(
+            F.broadcast(bp.filter(F.col("blk_a") != F.col("blk_b"))),
+            tagged["__blk__"] == bp["blk_b"],
+        )
+        .select("blk_a", "blk_b", F.lit(1).alias("__side__"), "vec_id", "vec")
+    )
+    both = left.unionByName(right)
 
-    def block_sims(batches):
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            an = np.sqrt((a * a).sum(axis=1))
-            sims = np.round((a @ mat_b.T) / np.outer(an, norms_b), 6)
-            aid = pdf["vec_id"].to_numpy()
-            keep = (aid[:, None] < ids_b[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
+    def tile_sims(key, pdf):
+        a_pdf = pdf[pdf["__side__"] == 0]
+        b_pdf = a_pdf if key[0] == key[1] else pdf[pdf["__side__"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame(
                 {
-                    "vec_id_a": aid[ai],
-                    "vec_id_b": ids_b[bj],
-                    "sim": sims[ai, bj],
+                    "vec_id_a": pd.Series(dtype="int64"),
+                    "vec_id_b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
                 }
             )
+        a = np.stack(a_pdf["vec"].to_numpy()).astype(np.float64)
+        b = np.stack(b_pdf["vec"].to_numpy()).astype(np.float64)
+        an = np.sqrt((a * a).sum(axis=1))
+        bn = np.sqrt((b * b).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((a @ b.T) / np.outer(an, bn), 6)
+        aid = a_pdf["vec_id"].to_numpy()
+        bid = b_pdf["vec_id"].to_numpy()
+        keep = (aid[:, None] != bid[None, :]) & (sims >= threshold)
+        ai, bj = np.nonzero(keep)
+        lo = np.minimum(aid[ai], bid[bj])
+        hi = np.maximum(aid[ai], bid[bj])
+        out = pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "sim": sims[ai, bj]})
+        # diagonal tiles see each unordered pair twice (both orientations)
+        if key[0] == key[1]:
+            out = out[aid[ai] < bid[bj]]
+        return out
 
-    return sel.mapInPandas(block_sims, "vec_id_a long, vec_id_b long, sim double")
+    return both.groupBy("blk_a", "blk_b").applyInPandas(
+        tile_sims, "vec_id_a long, vec_id_b long, sim double"
+    )
