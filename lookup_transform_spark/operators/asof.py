@@ -10,12 +10,33 @@ unlike ``join(l.ts >= r.ts)`` + windowed dedup, which materializes every
 Tie semantics match DuckDB's ``ASOF JOIN`` (and the usual definition):
 a right row with ts equal to the left ts IS visible (>=), implemented by
 sorting right rows (tag 0) before left rows (tag 1) at equal ts.
+
+Multi-value atomicity: all ``value_fields`` are packed into ONE struct
+and carried by a single ``last(ignorenulls=True)`` — the output is always
+the fields of exactly one right row (or all-null). Carrying each field
+independently would silently back-fill a NULL field from an *older*
+right row, mixing fields across rows. Duplicate ``right_ts`` within a
+key is broken deterministically: the largest packed struct (field-wise
+struct ordering) wins.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Struct ordering (the tiebreak) needs every field orderable; maps
+    are the one common non-orderable type."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -36,12 +57,15 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     out_names = [v + suffix for v in value_fields]
 
+    packed_type = T.StructType(
+        [T.StructField(o, right.schema[v].dataType, True)
+         for v, o in zip(value_fields, out_names)]
+    )
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__tag__"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{o}__")
-          for v, o in zip(value_fields, out_names)],
+        F.lit(None).cast(packed_type).alias("__v__"),
     )
     right_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -49,24 +73,36 @@ def asof_join(
           for c in left.columns],
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__tag__"),
-        *[F.col(v).alias(f"__v_{o}__") for v, o in zip(value_fields, out_names)],
+        F.struct(
+            *[F.col(v).alias(o) for v, o in zip(value_fields, out_names)]
+        ).alias("__v__"),
     )
 
     unioned = left_tagged.unionByName(right_tagged)
+    # Tiebreak: among right rows sharing (key, ts), the largest packed
+    # struct sorts last and therefore wins last(); left rows all carry a
+    # null struct so their relative order is immaterial. Skipped (order
+    # left arbitrary, as in DuckDB) when a value field is non-orderable.
+    order = [F.col("__ts__").asc(), F.col("__tag__").asc()]
+    if _orderable(packed_type):
+        order.append(F.col("__v__").asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts__").asc(), F.col("__tag__").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__tag__"),
-        *[
-            F.last(F.col(f"__v_{o}__"), ignorenulls=True).over(w).alias(o)
-            for o in out_names
-        ],
+        F.last(F.col("__v__"), ignorenulls=True).over(w).alias("__v__"),
     )
-    return carried.filter(F.col("__tag__") == 1).drop("__tag__")
+    return (
+        carried.filter(F.col("__tag__") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("__v__").getField(o).alias(o) for o in out_names],
+        )
+    )
 
 
 def range_join(

@@ -270,6 +270,42 @@ def q_lookup_asof(spark, sf):
 
 
 @_q(
+    "lookup_asof_multi",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_value, c.click_props
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS click_value,
+         CASE WHEN value >= 50 THEN props END AS click_props
+  FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def q_lookup_asof_multi(spark, sf):
+    """B19 as-of, multi-value: two value fields carried atomically as one
+    struct (operators/asof.py). click_props is NULL-bearing by
+    construction — a per-field carry would back-fill it from an older
+    click and diverge from DuckDB ASOF JOIN; this pins the struct-packed
+    semantics."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("value").alias("click_value"),
+        F.when(F.col("value") >= 50, F.col("props")).alias("click_props"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_fields=["click_value", "click_props"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "click_value", "click_props",
+    )
+
+
+@_q(
     "lookup_range",
     """SELECT e.event_id, e.value, b.band
 FROM events e LEFT JOIN (

@@ -1,0 +1,105 @@
+"""asof_join multi-value semantics: atomic struct carry + deterministic
+duplicate-right_ts tiebreak (SURVEY.md §2.2 B19).
+
+The hazard pinned here: carrying each value field with its own
+last(ignorenulls=True) back-fills a NULL field from an OLDER right row —
+output mixes fields across right rows and replaces genuine NULLs with
+stale values (diverges from DuckDB ASOF JOIN). The struct-packed carry
+must return exactly the matched row's fields, NULLs included.
+"""
+
+from lookup_transform_spark.operators.asof import asof_join
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_multi_value_null_field_not_backfilled(spark):
+    # key 1: right row at ts=10 has b='old'; matched row at ts=20 has b=NULL.
+    # A per-field carry would emit (2.0, 'old'); correct output is (2.0, None).
+    left = spark.createDataFrame([(1, 30)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "old"), (1, 20, 2.0, None)],
+        "k long, ts long, a double, b string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["a", "b"],
+    )
+    assert _rows(out) == [(1, 30, 2.0, None)]
+
+
+def test_multi_value_all_fields_from_one_row(spark):
+    # Interleaved NULLs in both fields: each left row must get BOTH fields
+    # from the single matched right row, never a column-wise mix.
+    left = spark.createDataFrame(
+        [(1, 15), (1, 25), (1, 35)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, None, "x"), (1, 20, 2.0, None), (1, 30, None, None)],
+        "k long, ts long, a double, b string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["a", "b"],
+    )
+    assert _rows(out) == [
+        (1, 15, None, "x"),
+        (1, 25, 2.0, None),
+        (1, 35, None, None),
+    ]
+
+
+def test_no_match_is_all_null(spark):
+    left = spark.createDataFrame([(7, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(7, 10, 1.0, "late")], "k long, ts long, a double, b string"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["a", "b"],
+    )
+    assert _rows(out) == [(7, 5, None, None)]
+
+
+def test_duplicate_right_ts_deterministic(spark):
+    # Three right rows tie at ts=10. The largest packed struct must win,
+    # atomically — (3.0, 'w3') — on every run and partitioning.
+    left = spark.createDataFrame([(1, 10), (1, 99)], "k long, ts long")
+    dup = [(1, 10, 1.0, "w1"), (1, 10, 3.0, "w3"), (1, 10, 2.0, "w2")]
+    for nparts in (1, 3):
+        right = spark.createDataFrame(
+            dup, "k long, ts long, a double, b string"
+        ).repartition(nparts)
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_fields=["a", "b"],
+        )
+        assert _rows(out) == [(1, 10, 3.0, "w3"), (1, 99, 3.0, "w3")]
+
+
+def test_equal_ts_right_row_visible(spark):
+    # >= semantics: a right row at exactly left_ts matches (DuckDB parity).
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 42.0, "eq")], "k long, ts long, a double, b string"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["a", "b"],
+    )
+    assert _rows(out) == [(1, 10, 42.0, "eq")]
+
+
+def test_suffix_renames_packed_fields(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0)], "k long, ts long, a double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["a"], suffix="_asof",
+    )
+    assert out.columns == ["k", "ts", "a_asof"]
+    assert _rows(out) == [(1, 10, 1.0)]

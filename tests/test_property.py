@@ -142,11 +142,8 @@ def test_asof_matches_reference(spark, left_rows, right_rows):
     right = spark.createDataFrame(
         [(k, ts, v) for k, ts, v in right_rows], "k long, ts long, v long"
     )
-    # deterministic tie handling: collapse equal (k, ts) right rows to
-    # their max value, matching the reference's tie rule
-    import pyspark.sql.functions as F
-
-    right = right.groupBy("k", "ts").agg(F.max("v").alias("v"))
+    # duplicate (k, ts) right rows left in place: the struct-ordering
+    # tiebreak must pick the max value, matching the reference's tie rule
     out = asof_join(
         left, right, on="k", left_ts="ts", right_ts="ts", value_fields=["v"]
     )
