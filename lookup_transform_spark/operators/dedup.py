@@ -123,6 +123,27 @@ def minhash_signature_pandas(
     return _perm_min(base)
 
 
+def _cap_group_size(
+    df: DataFrame, group_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Drop every row of groups larger than ``cap`` (skew guard for
+    candidate-generating equi-joins: a group of k rows self-joins into
+    O(k²) candidate pairs, so one pathological bucket — k identical
+    boilerplate docs — dominates the whole job at scale).
+
+    One window count over the join's own partitioning (the exchange is
+    reusable by the join that follows); no-op when ``cap`` is None.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    return (
+        df.withColumn("__grp_n__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__grp_n__") <= cap)
+        .drop("__grp_n__")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -132,6 +153,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -139,6 +161,13 @@ def minhash_lsh_pairs(
     come from band-bucket collisions, O(docs·bands) shuffle rows), then
     candidates are verified with exact shingle-set Jaccard >= threshold.
     Output: (doc_id_a, doc_id_b, jaccard), a < b, deduplicated.
+
+    ``max_bucket_size`` drops band-buckets holding more than that many
+    docs before the self-join: k docs in one bucket emit k² candidate
+    rows, so one degenerate bucket (empty strings, boilerplate) turns
+    the join quadratic at corpus scale. Pairs in an oversized bucket
+    almost surely collide in another, sparser band; the loss is bounded
+    and the join stays O(docs·bands·cap). None disables the cap.
     """
     rows_per_band = num_hashes // bands
     # spread signature computation across cores: a small parquet arrives
@@ -177,6 +206,7 @@ def minhash_lsh_pairs(
             )
         ).alias("__band__"),
     ).select("__id__", F.col("__band__.band"), F.col("__band__.bucket"))
+    banded = _cap_group_size(banded, ["band", "bucket"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -222,6 +252,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs within a blocking
     key (B51's exact small-block variant; oracle-checkable in DuckDB).
@@ -232,6 +263,13 @@ def ngram_jaccard_pairs(
     materializing pairwise arrays. Pairs sharing zero shingles have
     jaccard 0 and are below any positive threshold, so the equi-join
     losing them is exact.
+
+    ``max_shingle_df`` excludes shingles whose document frequency within
+    a block exceeds the cap from the INTERSECTION join only (denominators
+    keep full shingle counts): a stop-shingle present in k docs emits k²
+    join rows, quadratic on real web text. Exact whenever no shingle
+    exceeds the cap; above it, jaccard is a lower bound that discounts
+    only ultra-common (zero-signal) shingles. None disables the cap.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
@@ -249,6 +287,8 @@ def ngram_jaccard_pairs(
         F.size("__sh__").alias("__n__"),
         F.explode("__sh__").alias("__s__"),
     )
+    # shingles are distinct per doc, so rows per (block, shingle) = DF
+    sel = _cap_group_size(sel, ["__blk__", "__s__"], max_shingle_df)
     a = sel.select(
         F.col("__id__").alias("doc_id_a"), F.col("__blk__").alias("__blk_a__"),
         F.col("__n__").alias("__na__"), F.col("__s__").alias("__sa__"),
@@ -348,6 +388,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     chunks: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
@@ -355,6 +396,11 @@ def simhash_pairs(
     pair within distance < chunks must agree on >= 1 chunk, so candidates
     come from chunk-value equi-joins (no cross product), then exact
     hamming verification via bit_count(xor).
+
+    ``max_bucket_size`` drops (chunk, val) buckets holding more docs than
+    the cap before the self-join — same quadratic-bucket guard as
+    ``minhash_lsh_pairs``; a pair lost to one saturated chunk usually
+    still agrees on another chunk. None disables the cap.
     """
     chunk_bits = bits // chunks
     sig = docs.repartition(
@@ -380,6 +426,7 @@ def simhash_pairs(
             )
         ).alias("__c__"),
     ).select("__id__", "__sig__", "__c__.chunk", "__c__.val")
+    banded = _cap_group_size(banded, ["chunk", "val"], max_bucket_size)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
