@@ -123,6 +123,20 @@ def minhash_signature_pandas(
     return _perm_min(base)
 
 
+def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition ONLY when the input arrives narrower than the
+    cluster's parallelism (e.g. a small parquet read as one split) so a
+    CPU-bound signature stage isn't serialized on one core. When the
+    scan already has enough splits — the normal case on a real corpus —
+    this is a no-op: an unconditional repartition would be a gratuitous
+    full shuffle of the corpus at 100 TB.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key_col))
+
+
 def _cap_group_size(
     df: DataFrame, group_cols: list[str], cap: int | None
 ) -> DataFrame:
@@ -172,10 +186,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # spread signature computation across cores: a small parquet arrives
     # as one input split, but the per-doc hashing is the expensive part.
-    # Explicit partition count — AQE would coalesce by byte size and
-    # serialize this CPU-bound stage otherwise.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(n_part, F.col(id_col))
+    # Gated — already-wide inputs pass through unshuffled.
+    docs = _ensure_parallel(docs, id_col)
     sig = docs.select(
         F.col(id_col).alias("__id__"),
         minhash_signature_pandas(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
@@ -273,10 +285,8 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
-    # parallelize shingle building; explicit count so AQE keeps it wide
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # parallelize shingle building when the scan arrives narrow (gated)
+    docs = _ensure_parallel(docs, id_col)
     blk = F.col(block_col) if block_col else F.lit(1)
     sel = docs.select(
         F.col(id_col).alias("__id__"),
@@ -403,9 +413,7 @@ def simhash_pairs(
     still agrees on another chunk. None disables the cap.
     """
     chunk_bits = bits // chunks
-    sig = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
+    sig = _ensure_parallel(docs, id_col).select(
         F.col(id_col).alias("__id__"),
         simhash_signature_text_pandas(text_col, bits).alias("__sig__"),
     )

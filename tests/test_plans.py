@@ -194,3 +194,24 @@ def test_decontaminate_never_shuffles_corpus(spark):
     assert "LeftSemi, BuildRight" in plan
     assert "LeftAnti, BuildRight" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_repartition_gated_on_input_width(spark):
+    # already-wide input: _ensure_parallel must be an identity (no extra
+    # Exchange shuffling the whole corpus); narrow input: widened to
+    # defaultParallelism for the CPU-bound signature stage
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import _ensure_parallel
+
+    n = spark.sparkContext.defaultParallelism
+    wide = (
+        spark.range(1000)
+        .select(F.col("id").alias("doc_id"))
+        .repartition(n + 4)
+    )
+    assert _ensure_parallel(wide, "doc_id") is wide
+    narrow = spark.range(1000).select(F.col("id").alias("doc_id")).coalesce(1)
+    widened = _ensure_parallel(narrow, "doc_id")
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == n
