@@ -62,6 +62,39 @@ def _compat_group(dt: T.DataType) -> int:
     return -1
 
 
+#: Conservative per-field byte widths for the plan-statistics row
+#: estimate (variable-width types get generous defaults so the estimate
+#: under-counts rows, i.e. errs toward broadcasting less).
+_FIELD_WIDTH: dict[type, int] = {
+    T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+    T.FloatType: 4, T.DateType: 4, T.LongType: 8, T.DoubleType: 8,
+    T.TimestampType: 8, T.TimestampNTZType: 8, T.DecimalType: 16,
+    T.StringType: 20, T.BinaryType: 40,
+}
+
+
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Row estimate from Catalyst plan statistics — zero jobs, zero scans.
+
+    ``rowCount`` when the catalog has CBO stats, else ``sizeInBytes``
+    (file sizes propagated through the optimized plan) divided by a
+    schema-derived row width. None when statistics are unavailable
+    (e.g. Spark Connect, where the JVM plan isn't reachable).
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        row_count = stats.rowCount()
+        if row_count.isDefined():
+            return int(str(row_count.get()))
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    width = sum(
+        _FIELD_WIDTH.get(type(f.dataType), 50) for f in df.schema.fields
+    )
+    return size // max(width, 1)
+
+
 def contains_macro(value: Any) -> bool:
     """True if a config value holds an unresolved ``${...}`` macro
     (fieldsContainMacros analog, Lookup.java:406-409)."""
@@ -123,7 +156,16 @@ class LookupSpec:
             return self.value_fields
         out = [o] if isinstance(o, str) else list(o)
         if len(out) != len(self.value_fields):
-            raise LookupConfigError.__new__(LookupConfigError)  # pragma: no cover
+            raise LookupConfigError(
+                [
+                    ValidationFailure(
+                        f"output_field lists {len(out)} name(s) for "
+                        f"{len(self.value_fields)} value field(s).",
+                        "Provide one output name per lookup value field.",
+                        "output_field",
+                    )
+                ]
+            )
         return [
             name if name else value
             for name, value in zip(out, self.value_fields)
@@ -374,10 +416,13 @@ class LookupSpec:
 
         use_broadcast = self.broadcast
         if use_broadcast and self.broadcast_threshold_rows is not None:
-            # B18 size gate: a cheap pruned-side count beats shipping an
-            # oversized table to every executor at scale. AQE will still
-            # convert to broadcast at runtime if the side turns out tiny.
-            if pruned.count() > self.broadcast_threshold_rows:
+            # B18 size gate from Catalyst plan statistics — zero jobs, no
+            # extra scan (the old pruned.count() was a full action over
+            # the lookup side per lookup, an extra 100 TB-scale scan).
+            # Unknown estimate → don't hint; AQE still converts to
+            # broadcast at runtime if the side turns out tiny.
+            est = _estimated_rows(pruned)
+            if est is None or est > self.broadcast_threshold_rows:
                 use_broadcast = False
         right = F.broadcast(pruned) if use_broadcast else pruned
 

@@ -215,3 +215,47 @@ def test_dedup_repartition_gated_on_input_width(spark):
     widened = _ensure_parallel(narrow, "doc_id")
     assert widened is not narrow
     assert widened.rdd.getNumPartitions() == n
+
+
+def test_broadcast_gate_uses_stats_not_count(spark, monkeypatch):
+    # the B18 size gate must come from Catalyst plan statistics: building
+    # the plan may not run ANY action (the old pruned.count() was an
+    # extra full scan of the lookup side per lookup)
+    from pyspark.sql import DataFrame
+
+    from lookup_transform_spark.plans.lookup import LookupSpec
+
+    def boom(self):
+        raise AssertionError("count() action during plan build")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    inp = spark.read.parquet(f"{SF}/orders.parquet")
+    lkp = spark.read.parquet(f"{SF}/customer.parquet")
+    spec = LookupSpec(
+        "customer", "o_custkey", "c_custkey", "c_name",
+        broadcast_threshold_rows=10,
+    )
+    spec.apply(inp, lkp)  # must not trigger boom
+
+
+def test_broadcast_gate_hints_by_estimated_size(spark):
+    from lookup_transform_spark.plans.lookup import LookupSpec, _estimated_rows
+
+    inp = spark.read.parquet(f"{SF}/orders.parquet")
+    lkp = spark.read.parquet(f"{SF}/customer.parquet")
+    est = _estimated_rows(lkp.select("c_custkey", "c_name"))
+    assert est is not None and est > 0
+    # threshold below the estimate → no broadcast hint in the plan
+    small = LookupSpec(
+        "customer", "o_custkey", "c_custkey", "c_name",
+        broadcast_threshold_rows=max(est // 10, 1),
+    )
+    assert "broadcast" not in explain_str(
+        small.apply(inp, lkp), "extended"
+    ).lower().split("== physical plan ==")[0]
+    # threshold far above the estimate → broadcast hint present
+    big = LookupSpec(
+        "customer", "o_custkey", "c_custkey", "c_name",
+        broadcast_threshold_rows=est * 100,
+    )
+    assert "BroadcastHashJoin" in explain_str(big.apply(inp, lkp))
