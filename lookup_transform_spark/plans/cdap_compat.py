@@ -58,8 +58,16 @@ def _avro_type(t: Any) -> tuple[T.DataType, bool]:
         return dt, len(non_null) != len(t)
     if isinstance(t, dict):
         kind = t.get("type")
+        logical = t.get("logicalType")
+        if logical is not None:
+            return _avro_logical_type(kind, logical, t), False
         if kind == "record":
             return avro_record_to_struct(t), False
+        if kind == "enum":
+            # CDAP enums are symbol names on the wire → string column
+            return T.StringType(), False
+        if kind == "fixed":
+            return T.BinaryType(), False
         if kind == "array":
             dt, item_null = _avro_type(t["items"])
             return T.ArrayType(dt, containsNull=item_null), False
@@ -69,6 +77,39 @@ def _avro_type(t: Any) -> tuple[T.DataType, bool]:
         if kind in _AVRO_PRIMITIVES:
             return _AVRO_PRIMITIVES[kind], False
     raise ValueError(f"unsupported avro type node: {t!r}")
+
+
+def _avro_logical_type(kind: Any, logical: str, node: dict) -> T.DataType:
+    """Avro/CDAP logical types (the full set Schema.parseJson accepts at
+    Lookup.java:396: CDAP Schema.LogicalType) → Spark types.
+
+    time-* maps to Spark's TimeType when this Spark version ships one,
+    else to the underlying micros/millis integer (documented lossless
+    encoding — Spark historically has no time-of-day type).
+    """
+    if logical == "date":
+        return T.DateType()
+    if logical in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if logical in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
+    if logical == "datetime":  # CDAP DATETIME: ISO-8601 string on the wire
+        return T.StringType()
+    if logical in ("time-micros", "time-millis"):
+        if hasattr(T, "TimeType"):
+            return T.TimeType()
+        return T.LongType() if logical == "time-micros" else T.IntegerType()
+    if logical == "decimal":
+        precision = node.get("precision")
+        if precision is None:
+            raise ValueError(f"avro decimal requires precision: {node!r}")
+        return T.DecimalType(int(precision), int(node.get("scale", 0)))
+    if logical == "uuid":
+        return T.StringType()
+    # unknown logical type: Avro semantics say fall back to the base type
+    if isinstance(kind, str) and kind in _AVRO_PRIMITIVES:
+        return _AVRO_PRIMITIVES[kind]
+    raise ValueError(f"unsupported avro logical type: {logical!r}")
 
 
 def avro_record_to_struct(record: dict) -> T.StructType:

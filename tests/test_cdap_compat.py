@@ -139,3 +139,97 @@ def test_pipeline_validation_errors(spark, fixture_tables):
                  "inputs": ["customers", "phones2"], "config": DOCS_CONFIG}]},
             tables={**fixture_tables, "phones2": fixture_tables["phone_numbers"]},
         )
+
+
+def test_avro_logical_types():
+    # the full CDAP Schema.LogicalType surface Schema.parseJson accepts
+    # (Lookup.java:396): date, time, timestamp, local-timestamp,
+    # datetime, decimal, uuid, plus enum/fixed complex kinds
+    from pyspark.sql import types as T
+
+    from lookup_transform_spark.plans.cdap_compat import avro_record_to_struct
+
+    record = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts_us",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "lts",
+             "type": {"type": "long",
+                      "logicalType": "local-timestamp-micros"}},
+            {"name": "dt",
+             "type": {"type": "string", "logicalType": "datetime"}},
+            {"name": "dec",
+             "type": {"type": "bytes", "logicalType": "decimal",
+                      "precision": 10, "scale": 2}},
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+            {"name": "e", "type": {"type": "enum", "name": "color",
+                                   "symbols": ["RED", "GREEN"]}},
+            {"name": "f", "type": {"type": "fixed", "name": "md5",
+                                   "size": 16}},
+            {"name": "opt_d",
+             "type": ["null", {"type": "int", "logicalType": "date"}]},
+        ],
+    }
+    st = avro_record_to_struct(record)
+    by_name = {f.name: f for f in st.fields}
+    assert isinstance(by_name["d"].dataType, T.DateType)
+    assert isinstance(by_name["ts_us"].dataType, T.TimestampType)
+    assert isinstance(by_name["ts_ms"].dataType, T.TimestampType)
+    assert isinstance(by_name["lts"].dataType, T.TimestampNTZType)
+    assert isinstance(by_name["dt"].dataType, T.StringType)
+    assert by_name["dec"].dataType == T.DecimalType(10, 2)
+    assert isinstance(by_name["u"].dataType, T.StringType)
+    assert isinstance(by_name["e"].dataType, T.StringType)
+    assert isinstance(by_name["f"].dataType, T.BinaryType)
+    assert isinstance(by_name["opt_d"].dataType, T.DateType)
+    assert by_name["opt_d"].nullable and not by_name["d"].nullable
+
+
+def test_avro_time_logical_type():
+    from pyspark.sql import types as T
+
+    from lookup_transform_spark.plans.cdap_compat import avro_record_to_struct
+
+    st = avro_record_to_struct({
+        "type": "record", "name": "r", "fields": [
+            {"name": "t_us",
+             "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "t_ms",
+             "type": {"type": "int", "logicalType": "time-millis"}},
+        ],
+    })
+    expected = T.TimeType() if hasattr(T, "TimeType") else T.LongType()
+    assert st.fields[0].dataType == expected
+
+
+def test_avro_decimal_requires_precision():
+    import pytest
+
+    from lookup_transform_spark.plans.cdap_compat import avro_record_to_struct
+
+    with pytest.raises(ValueError, match="precision"):
+        avro_record_to_struct({
+            "type": "record", "name": "r", "fields": [
+                {"name": "dec",
+                 "type": {"type": "bytes", "logicalType": "decimal"}},
+            ],
+        })
+
+
+def test_avro_unknown_logical_falls_back_to_base():
+    # Avro spec: readers that don't recognize a logical type use the
+    # underlying primitive
+    from pyspark.sql import types as T
+
+    from lookup_transform_spark.plans.cdap_compat import avro_record_to_struct
+
+    st = avro_record_to_struct({
+        "type": "record", "name": "r", "fields": [
+            {"name": "x",
+             "type": {"type": "long", "logicalType": "duration-ish"}},
+        ],
+    })
+    assert isinstance(st.fields[0].dataType, T.LongType)
