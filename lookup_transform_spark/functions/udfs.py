@@ -37,7 +37,8 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     mb = np.array(list(b), dtype=np.float64)
     num = np.einsum("ij,ij->i", ma, mb)
     den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    return pd.Series(num / den)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(num / den)
 
 
 def grouped_median(
@@ -75,19 +76,26 @@ def grouped_median(
 
 def explode_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """UDTF-shaped table function via mapInPandas: one output row per
-    token. (The built-in equivalent is explode(split(...)) — this is
+    token. (The built-in equivalent is posexplode(split(...)) — this is
     the extension shape for tokenizers that aren't expressible as
-    column functions, e.g. a real BPE.)"""
+    column functions, e.g. a real BPE: swap the ``str.split`` line for a
+    vectorized/batched encoder call.)
+
+    Fully vectorized per Arrow batch — pandas ``str`` ops + numpy
+    repeat/arange; no per-row Python loop."""
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, toks, pos = [], [], []
-            for i, t in zip(pdf[id_col], pdf[text_col]):
-                for j, w in enumerate(str(t).lower().split()):
-                    ids.append(i)
-                    toks.append(w)
-                    pos.append(j)
-            yield pd.DataFrame({id_col: ids, "token": toks, "pos": pos})
+            toks = pdf[text_col].astype(str).str.lower().str.split()
+            counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+            ids = np.repeat(pdf[id_col].to_numpy(dtype=np.int64), counts)
+            # per-doc position = global index minus the doc's start offset
+            offsets = np.cumsum(counts) - counts
+            pos = np.arange(counts.sum()) - np.repeat(offsets, counts)
+            words = toks.explode().dropna().to_numpy()
+            yield pd.DataFrame(
+                {id_col: ids, "token": words, "pos": pos.astype(np.int32)}
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         _tok, f"{id_col} long, token string, pos int"

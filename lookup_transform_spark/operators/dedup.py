@@ -158,6 +158,43 @@ def _cap_group_size(
     )
 
 
+def _exact_precluster(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts to one representative per group
+    BEFORE candidate generation.
+
+    Returns ``(reps, star)``: ``reps`` keeps one row (the min-id member)
+    per distinct text; ``star`` is the (rep, member) edge list that keeps
+    every collapsed group connected.
+
+    Why: identical docs produce identical signatures, so a boilerplate
+    cluster of k docs saturates EVERY band-bucket (and every simhash
+    chunk) — the "another, sparser band rescues the pair" argument never
+    applies to exact duplicates, and a bucket cap would silently drop
+    ALL their pairs once k exceeds it. Pre-clustering makes the cap safe:
+    exact duplicates can never be lost, oversized buckets can only
+    contain *near*-identical (distinct-text) docs, and LSH runs on the
+    smaller representative set.
+
+    Star edges (k-1 per group) replace the k(k-1)/2 within-group pairs —
+    linear output that preserves the connected components exactly (every
+    member is one hop from its representative, and representatives carry
+    the group's cross-cluster edges since identical texts have identical
+    similarity to everything). Grouping is on ``xxhash64(text)`` — the
+    same 2⁻⁶⁴ collision class as every other fingerprint use here.
+    One window over the fingerprint shuffle, no join.
+    """
+    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col)))
+    w = Window.partitionBy("__fp__")
+    tagged = fp.withColumn("__rep__", F.min(F.col(id_col)).over(w)).drop("__fp__")
+    star = tagged.filter(F.col(id_col) != F.col("__rep__")).select(
+        F.col("__rep__").alias("doc_id_a"), F.col(id_col).alias("doc_id_b")
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep__")).drop("__rep__")
+    return reps, star
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -168,6 +205,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    precluster_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -176,18 +214,30 @@ def minhash_lsh_pairs(
     candidates are verified with exact shingle-set Jaccard >= threshold.
     Output: (doc_id_a, doc_id_b, jaccard), a < b, deduplicated.
 
+    ``precluster_exact`` (default on) collapses exact-duplicate texts to
+    one representative before banding (see ``_exact_precluster``): the
+    duplicate groups come back as (rep, member) star edges with jaccard
+    1.0, so a boilerplate cluster larger than ``max_bucket_size`` is
+    never silently dropped, and within-group pair output is linear
+    rather than quadratic. Connected components of the result equal
+    those of the full pair graph.
+
     ``max_bucket_size`` drops band-buckets holding more than that many
     docs before the self-join: k docs in one bucket emit k² candidate
-    rows, so one degenerate bucket (empty strings, boilerplate) turns
-    the join quadratic at corpus scale. Pairs in an oversized bucket
-    almost surely collide in another, sparser band; the loss is bounded
-    and the join stays O(docs·bands·cap). None disables the cap.
+    rows, so one degenerate bucket turns the join quadratic at corpus
+    scale. With pre-clustering on, an oversized bucket can only hold
+    near-identical-but-distinct texts; such pairs almost surely collide
+    in another, sparser band, so the loss is bounded and the join stays
+    O(docs·bands·cap). None disables the cap.
     """
     rows_per_band = num_hashes // bands
     # spread signature computation across cores: a small parquet arrives
     # as one input split, but the per-doc hashing is the expensive part.
     # Gated — already-wide inputs pass through unshuffled.
     docs = _ensure_parallel(docs, id_col)
+    star = None
+    if precluster_exact:
+        docs, star = _exact_precluster(docs, id_col, text_col)
     sig = docs.select(
         F.col(id_col).alias("__id__"),
         minhash_signature_pandas(text_col, num_hashes, shingle_n, seed).alias("__sig__"),
@@ -250,11 +300,16 @@ def minhash_lsh_pairs(
     sh_a = shingles("__text_a__", shingle_n)
     sh_b = shingles("__text_b__", shingle_n)
     jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.withColumn("jaccard", F.lit(1.0).cast("double"))
+        )
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -399,6 +454,7 @@ def simhash_pairs(
     bits: int = 64,
     chunks: int = 4,
     max_bucket_size: int | None = 1000,
+    precluster_exact: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
@@ -407,13 +463,23 @@ def simhash_pairs(
     come from chunk-value equi-joins (no cross product), then exact
     hamming verification via bit_count(xor).
 
+    ``precluster_exact`` (default on): exact-duplicate texts collapse to
+    one representative before blocking and come back as (rep, member)
+    star edges with hamming 0 — see ``_exact_precluster``; without it a
+    duplicate cluster larger than the cap saturates every chunk-bucket
+    and loses ALL its pairs.
+
     ``max_bucket_size`` drops (chunk, val) buckets holding more docs than
     the cap before the self-join — same quadratic-bucket guard as
-    ``minhash_lsh_pairs``; a pair lost to one saturated chunk usually
-    still agrees on another chunk. None disables the cap.
+    ``minhash_lsh_pairs``; a (distinct-text) pair lost to one saturated
+    chunk usually still agrees on another chunk. None disables the cap.
     """
     chunk_bits = bits // chunks
-    sig = _ensure_parallel(docs, id_col).select(
+    docs = _ensure_parallel(docs, id_col)
+    star = None
+    if precluster_exact:
+        docs, star = _exact_precluster(docs, id_col, text_col)
+    sig = docs.select(
         F.col(id_col).alias("__id__"),
         simhash_signature_text_pandas(text_col, bits).alias("__sig__"),
     )
@@ -453,11 +519,16 @@ def simhash_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     hamming = F.bit_count(F.col("__sa__").bitwiseXOR(F.col("__sb__")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+    if star is not None:
+        out = out.unionByName(
+            star.withColumn("hamming", F.lit(0).cast("int"))
+        )
+    return out
 
 
 def embedding_near_dup_pairs(
@@ -502,10 +573,10 @@ def embedding_near_dup_pairs(
     left = tagged.join(F.broadcast(bp), tagged["__blk__"] == bp["blk_a"]).select(
         "blk_a", "blk_b", F.lit(0).alias("__side__"), "vec_id", "vec"
     )
+    offdiag = bp.filter(F.col("blk_a") != F.col("blk_b"))
     right = (
         tagged.join(
-            F.broadcast(bp.filter(F.col("blk_a") != F.col("blk_b"))),
-            tagged["__blk__"] == bp["blk_b"],
+            F.broadcast(offdiag), tagged["__blk__"] == offdiag["blk_b"]
         )
         .select("blk_a", "blk_b", F.lit(1).alias("__side__"), "vec_id", "vec")
     )

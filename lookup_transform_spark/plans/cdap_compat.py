@@ -60,7 +60,12 @@ def _avro_type(t: Any) -> tuple[T.DataType, bool]:
         kind = t.get("type")
         logical = t.get("logicalType")
         if logical is not None:
-            return _avro_logical_type(kind, logical, t), False
+            dt = _avro_logical_type(kind, logical, t)
+            if dt is not None:
+                return dt, False
+            # unknown logical type: Avro rule — use the underlying type
+            # (falls through to the base-kind handling below, so e.g.
+            # `duration` over fixed(12) lands on binary, not an error)
         if kind == "record":
             return avro_record_to_struct(t), False
         if kind == "enum":
@@ -79,9 +84,12 @@ def _avro_type(t: Any) -> tuple[T.DataType, bool]:
     raise ValueError(f"unsupported avro type node: {t!r}")
 
 
-def _avro_logical_type(kind: Any, logical: str, node: dict) -> T.DataType:
+def _avro_logical_type(kind: Any, logical: str, node: dict) -> T.DataType | None:
     """Avro/CDAP logical types (the full set Schema.parseJson accepts at
-    Lookup.java:396: CDAP Schema.LogicalType) → Spark types.
+    Lookup.java:396: CDAP Schema.LogicalType) → Spark types. Returns
+    None for an unrecognized logical type — the Avro rule is to fall
+    back to the underlying type, which the caller's base-kind handling
+    provides for every kind (record/enum/fixed/array/map/primitive).
 
     time-* maps to Spark's TimeType when this Spark version ships one,
     else to the underlying micros/millis integer (documented lossless
@@ -106,10 +114,7 @@ def _avro_logical_type(kind: Any, logical: str, node: dict) -> T.DataType:
         return T.DecimalType(int(precision), int(node.get("scale", 0)))
     if logical == "uuid":
         return T.StringType()
-    # unknown logical type: Avro semantics say fall back to the base type
-    if isinstance(kind, str) and kind in _AVRO_PRIMITIVES:
-        return _AVRO_PRIMITIVES[kind]
-    raise ValueError(f"unsupported avro logical type: {logical!r}")
+    return None  # unknown → caller falls back to the base type
 
 
 def avro_record_to_struct(record: dict) -> T.StructType:

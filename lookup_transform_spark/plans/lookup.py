@@ -62,24 +62,37 @@ def _compat_group(dt: T.DataType) -> int:
     return -1
 
 
-#: Conservative per-field byte widths for the plan-statistics row
-#: estimate (variable-width types get generous defaults so the estimate
-#: under-counts rows, i.e. errs toward broadcasting less).
+#: Conservative-LOW per-field byte widths for the plan-statistics row
+#: estimate. Low widths make ``sizeInBytes / width`` OVER-count rows, so
+#: the ``est > threshold`` gate errs toward NOT broadcasting — the safe
+#: direction (a spurious broadcast of an oversized side risks OOM; a
+#: missed broadcast just falls back to a shuffled join AQE can still
+#: promote). Variable-width types use floor-ish values for the same
+#: reason.
 _FIELD_WIDTH: dict[type, int] = {
     T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
     T.FloatType: 4, T.DateType: 4, T.LongType: 8, T.DoubleType: 8,
-    T.TimestampType: 8, T.TimestampNTZType: 8, T.DecimalType: 16,
-    T.StringType: 20, T.BinaryType: 40,
+    T.TimestampType: 8, T.TimestampNTZType: 8, T.DecimalType: 8,
+    T.StringType: 8, T.BinaryType: 8,
 }
+
+#: ``sizeInBytes`` for a parquet scan is COMPRESSED on-disk size;
+#: multiply it back up so the row estimate stays an over-count (typical
+#: parquet ratios on mixed analytic data are 2-4×).
+_DECOMPRESSION_FACTOR = 3
 
 
 def _estimated_rows(df: DataFrame) -> int | None:
     """Row estimate from Catalyst plan statistics — zero jobs, zero scans.
 
-    ``rowCount`` when the catalog has CBO stats, else ``sizeInBytes``
-    (file sizes propagated through the optimized plan) divided by a
-    schema-derived row width. None when statistics are unavailable
-    (e.g. Spark Connect, where the JVM plan isn't reachable).
+    ``rowCount`` when the catalog has CBO stats (exact), else
+    ``sizeInBytes`` (file sizes propagated through the optimized plan)
+    scaled by ``_DECOMPRESSION_FACTOR`` and divided by a schema-derived
+    conservative-low row width — deliberately an OVER-estimate of rows,
+    so the broadcast gate errs toward the shuffled-join fallback rather
+    than force-broadcasting a side several times over the threshold.
+    None when statistics are unavailable (e.g. Spark Connect, where the
+    JVM plan isn't reachable).
     """
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
@@ -90,9 +103,9 @@ def _estimated_rows(df: DataFrame) -> int | None:
     except Exception:
         return None
     width = sum(
-        _FIELD_WIDTH.get(type(f.dataType), 50) for f in df.schema.fields
+        _FIELD_WIDTH.get(type(f.dataType), 8) for f in df.schema.fields
     )
-    return size // max(width, 1)
+    return size * _DECOMPRESSION_FACTOR // max(width, 1)
 
 
 def contains_macro(value: Any) -> bool:

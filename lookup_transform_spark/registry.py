@@ -52,13 +52,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture is ns-precision parquet, which Spark 4 refuses
-    by default; read nanos as long, then truncate to a µs timestamp —
-    the same truncation DuckDB's epoch_us() applies in the oracles."""
+    """Normalize the events fixture's ``ts`` to a µs TIMESTAMP whatever
+    precision/encoding the generated parquet uses:
+
+    - ns-precision parquet (Spark 4 refuses it by default) → read nanos
+      as long, truncate to µs — the same truncation DuckDB's epoch_us()
+      applies in the oracles;
+    - µs timestamp without timezone → TIMESTAMP_NTZ on read; cast to
+      TIMESTAMP (session tz is pinned UTC, so the cast is
+      epoch-preserving and ``unix_micros`` applies)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = _t(spark, sf_dir, "events")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -246,7 +255,10 @@ def q_lookup_big(spark, sf):
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.value AS last_click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY value DESC NULLS LAST) = 1) c
 ON p.user_id = c.user_id AND p.ts >= c.ts""",
 )
 def q_lookup_asof(spark, sf):
@@ -277,7 +289,10 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (
   SELECT user_id, ts, value AS click_value,
          CASE WHEN value >= 50 THEN props END AS click_props
-  FROM events WHERE event_type = 'click') c
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY click_value DESC NULLS LAST,
+                                      click_props DESC NULLS LAST) = 1) c
 ON p.user_id = c.user_id AND p.ts >= c.ts""",
 )
 def q_lookup_asof_multi(spark, sf):

@@ -37,10 +37,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", link)
 
     stream = spark.readStream.schema(batch.schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # µs-precision parquet reads as NTZ; watermarks/event-time need
+        # TIMESTAMP. Session tz is pinned UTC → epoch-preserving cast.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -230,6 +230,20 @@ def test_avro_unknown_logical_falls_back_to_base():
         "type": "record", "name": "r", "fields": [
             {"name": "x",
              "type": {"type": "long", "logicalType": "duration-ish"}},
+            # Avro's standard `duration` annotates fixed(12) — the
+            # fallback must reach NON-primitive base kinds too
+            {"name": "dur",
+             "type": {"type": "fixed", "name": "d", "size": 12,
+                      "logicalType": "duration"}},
+            {"name": "en",
+             "type": {"type": "enum", "name": "e", "symbols": ["A", "B"],
+                      "logicalType": "custom-enum"}},
+            {"name": "arr",
+             "type": {"type": "array", "items": "int",
+                      "logicalType": "custom-list"}},
         ],
     })
     assert isinstance(st.fields[0].dataType, T.LongType)
+    assert isinstance(st.fields[1].dataType, T.BinaryType)
+    assert isinstance(st.fields[2].dataType, T.StringType)
+    assert st.fields[3].dataType == T.ArrayType(T.IntegerType(), False)

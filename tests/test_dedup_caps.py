@@ -61,14 +61,47 @@ def test_ngram_cap_drops_stop_shingle_pairs(spark):
         assert r.jaccard <= uncapped[(r.doc_id_a, r.doc_id_b)]
 
 
-def test_minhash_bucket_cap_suppresses_degenerate_bucket(spark):
-    # 6 identical docs collide in every band-bucket: cap=5 < 6 drops the
-    # saturated buckets → no candidate survives; cap=None emits all 15.
+def test_minhash_exact_dups_survive_any_bucket_cap(spark):
+    # 6 identical docs would saturate every band-bucket, and a cap=5 < 6
+    # used to drop ALL their pairs (the round-3 ADVICE hazard). The
+    # exact-dup pre-cluster collapses them to one representative before
+    # banding, so the cap never fires and the group comes back as star
+    # edges (rep=0 → members) with jaccard 1.0 — connectivity preserved.
     rows = [(i, "same exact text in every document", "s") for i in range(6)]
     capped = minhash_lsh_pairs(_docs(spark, rows), max_bucket_size=5).collect()
-    assert capped == []
-    full = minhash_lsh_pairs(_docs(spark, rows), max_bucket_size=None).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in capped} == {
+        (0, i) for i in range(1, 6)
+    }
+    assert all(r.jaccard == 1.0 for r in capped)
+    # precluster_exact=False reproduces the documented legacy hazard:
+    # saturated buckets → zero pairs under the cap, all 15 without it
+    legacy = minhash_lsh_pairs(
+        _docs(spark, rows), max_bucket_size=5, precluster_exact=False
+    ).collect()
+    assert legacy == []
+    full = minhash_lsh_pairs(
+        _docs(spark, rows), max_bucket_size=None, precluster_exact=False
+    ).collect()
     assert len(full) == 15
+
+
+def test_minhash_precluster_keeps_cross_group_near_dups(spark):
+    # two exact-dup groups whose texts are near (not exact) duplicates of
+    # each other: star edges keep each group connected, and the
+    # representative pair carries the cross-group near-dup edge — the
+    # union's connected components equal the full pair graph's.
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = [(1, a, "s"), (2, a, "s"), (3, a, "s"), (10, b, "s"), (11, b, "s")]
+    got = minhash_lsh_pairs(
+        _docs(spark, rows), threshold=0.3, bands=16, num_hashes=32
+    ).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in got}
+    assert {(1, 2), (1, 3), (10, 11)} <= pairs  # star edges
+    assert (1, 10) in pairs  # representative near-dup edge
+    by_pair = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in got}
+    assert by_pair[(1, 2)] == 1.0
+    assert 0.3 <= by_pair[(1, 10)] < 1.0
 
 
 def test_minhash_cap_above_bucket_size_is_exact(spark):
@@ -87,12 +120,20 @@ def test_minhash_cap_above_bucket_size_is_exact(spark):
     assert {(r.doc_id_a, r.doc_id_b) for r in capped} == {(1, 2)}
 
 
-def test_simhash_bucket_cap(spark):
+def test_simhash_exact_dups_survive_any_bucket_cap(spark):
     rows = [(i, "identical text for the simhash cap test", "s") for i in range(6)]
     capped = simhash_pairs(_docs(spark, rows), max_bucket_size=5).collect()
-    assert capped == []
-    full = simhash_pairs(_docs(spark, rows), max_bucket_size=None).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in capped} == {
+        (0, i) for i in range(1, 6)
+    }
+    assert all(r.hamming == 0 for r in capped)
+    # legacy (no pre-cluster): saturated chunks → zero pairs under the
+    # cap; all 15 without it
+    legacy = simhash_pairs(
+        _docs(spark, rows), max_bucket_size=5, precluster_exact=False
+    ).collect()
+    assert legacy == []
+    full = simhash_pairs(
+        _docs(spark, rows), max_bucket_size=None, precluster_exact=False
+    ).collect()
     assert len(full) == 15
-    # cap above the bucket size keeps every pair
-    wide = simhash_pairs(_docs(spark, rows), max_bucket_size=1000).collect()
-    assert len(wide) == 15
