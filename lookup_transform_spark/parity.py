@@ -1,0 +1,98 @@
+"""Shared Spark-vs-DuckDB comparison logic for the correctness gate.
+
+Mirrors the driver's protocol (see ``__spark_entry__.py`` contract):
+row count, column-name set, and column-name-sorted / row-sorted value
+equality. Used by both ``tests/test_oracle_parity.py`` (per-query
+pytest at sf0.001) and ``scripts/parity_matrix.py`` (full-registry
+artifact at the driver's sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_views(con, sf_dir: str, glob: bool = False) -> None:
+    """Create one DuckDB view per fixture table, like the driver does.
+
+    ``glob=True`` reads ``{t}.parquet/**/*.parquet`` for directory-shaped
+    (Spark-written) tables instead of single files.
+    """
+    for t in TABLES:
+        src = (
+            f"read_parquet('{sf_dir}/{t}.parquet/**/*.parquet')"
+            if glob
+            else f"'{sf_dir}/{t}.parquet'"
+        )
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
+
+
+def normalize(rows: list[tuple], columns: list[str]) -> tuple[list, list]:
+    """Sort columns by name, then rows; make values hashable/comparable."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v: Any) -> Any:
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr), [columns[i] for i in order]
+
+
+def compare(spark_df, duck_con, oracle_sql: str) -> dict:
+    """Run one Spark DataFrame against its DuckDB oracle.
+
+    Returns the driver-shaped record: rows_match / schema_match /
+    hash_match (exact value equality here — strictly stronger than the
+    driver's hash), spark_rows / oracle_rows, and err (first mismatch
+    detail or None).
+    """
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    spark_cols = spark_df.columns
+
+    res = duck_con.execute(oracle_sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    rec: dict = {
+        "rows_match": len(spark_rows) == len(duck_rows),
+        "schema_match": sorted(spark_cols) == sorted(duck_cols),
+        "hash_match": None,
+        "spark_rows": len(spark_rows),
+        "oracle_rows": len(duck_rows),
+        "err": None,
+    }
+    if not rec["schema_match"]:
+        rec["hash_match"] = False
+        rec["err"] = f"columns {sorted(spark_cols)} vs {sorted(duck_cols)}"
+        return rec
+    if not rec["rows_match"]:
+        rec["hash_match"] = False
+        rec["err"] = f"row count {len(spark_rows)} vs {len(duck_rows)}"
+        return rec
+    s_norm, cols = normalize(spark_rows, spark_cols)
+    d_norm, _ = normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    rec["hash_match"] = not mismatches
+    if mismatches:
+        i, a, b = mismatches[0]
+        rec["err"] = (
+            f"{len(mismatches)} row mismatches; first at {i} "
+            f"(cols {cols}): {a!r} vs {b!r}"
+        )
+    return rec

@@ -1,19 +1,33 @@
-"""Scaling probe: how do the headline operators behave as data grows
-past the per-query scheduling floor?
+"""Full-registry scaling probe: every registered query at 1x (sf0.1)
+and 32x derived scale (lineitem ~19.2M rows), this engine vs DuckDB.
 
-Derives a SCALE-x copy of the sf0.1 star schema (32x: lineitem ~19.2M
-rows, orders ~4.8M) by unioning key-shifted copies — perf probing only, never
-used for correctness fixtures — then times representative queries on
-Spark AND DuckDB at 1x and 8x. Results land in SCALING.md.
+The 32x fixture is derived from sf0.1 by unioning key-shifted copies of
+the fact tables (lineitem/orders by orderkey; events by event_id+user_id;
+documents by doc_id with a per-copy text tag so near-dup operators see
+32-doc families, not byte-identical clones; embeddings by vec_id).
+Dimensions (region/nation/customer/supplier/part) stay 1x — the
+realistic star-schema shape, and it keeps every FK valid. Perf probing
+only; never a correctness fixture.
 
-Run: python scripts/scaling_probe.py
+Each query runs under a timeout on BOTH engines (Spark: job-group
+cancel; DuckDB: interrupt) so quadratic-by-design operators can't hang
+the probe. Streaming queries are excluded (they measure micro-batch
+trigger floors, not data-size scaling), as is scan_generator_source
+(fixed-size synthetic source independent of sf_dir).
+
+Results: SCALING32.json at the repo root + the per-query table is
+pasted into SCALING.md.
+
+Run: python scripts/scaling_probe.py [--skip-build]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,106 +35,201 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 from pyspark.sql import functions as F
 
+from lookup_transform_spark import registry
+from lookup_transform_spark.parity import TABLES
 from lookup_transform_spark.session import get_spark
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.1"
 SCALE = 32
-OUT = f"/root/repo/.scratch/scale{SCALE}"
+OUT = f"{REPO}/.scratch/scale{SCALE}"
+SPARK_TIMEOUT = float(os.environ.get("SPARK_GRAFT_PROBE_TIMEOUT", "240"))
+DUCK_TIMEOUT = float(os.environ.get("SPARK_GRAFT_PROBE_DUCK_TIMEOUT", "180"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "2"))
+
+EXCLUDE = {
+    # micro-batch trigger/machinery floors, not data-size scaling
+    "stream_dedup", "stream_lookup", "stream_session",
+    "stream_sessionize_stateful", "stream_stream_join", "stream_tumbling",
+    # fixed-size synthetic source; ignores sf_dir entirely
+    "scan_generator_source",
+}
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
 def build_scaled(spark) -> None:
     if os.path.exists(f"{OUT}/_done"):
         return
+    os.makedirs(OUT, exist_ok=True)
+    # fact tables: key-shifted unions so every copy stays FK-valid and
+    # unique-keyed; documents get a per-copy text tag so near-dup ops see
+    # 32-doc near-identical families instead of byte-identical clones.
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    em = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    li_parts, o_parts = [], []
-    for i in range(SCALE):
-        shift = F.lit(i * max_ok)
-        li_parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + shift))
-        o_parts.append(o.withColumn("o_orderkey", F.col("o_orderkey") + shift))
-    big_li, big_o = li_parts[0], o_parts[0]
-    for p in li_parts[1:]:
-        big_li = big_li.unionByName(p)
-    for p in o_parts[1:]:
-        big_o = big_o.unionByName(p)
-    big_li.repartition(32).write.mode("overwrite").parquet(f"{OUT}/lineitem")
-    big_o.repartition(16).write.mode("overwrite").parquet(f"{OUT}/orders")
+    max_ev, max_user = ev.agg(
+        F.max("event_id"), F.max("user_id")
+    ).collect()[0]
+    max_ev, max_user = max_ev + 1, max_user + 1
+    max_doc = dc.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_vec = em.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    def shifted(df, i: int, table: str):
+        if table == "lineitem":
+            return df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        if table == "orders":
+            return df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+        if table == "events":
+            return df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * max_ev)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * max_user))
+        if table == "documents":
+            out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+            if i:
+                out = out.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                ).withColumn("n_chars", F.col("n_chars") + F.lit(len(f" c{i}")))
+            return out
+        if table == "embeddings":
+            return df.withColumn("vec_id", F.col("vec_id") + F.lit(i * max_vec))
+        raise ValueError(table)
+
+    parts = {"lineitem": (li, 32), "orders": (o, 16), "events": (ev, 16),
+             "documents": (dc, 16), "embeddings": (em, 8)}
+    for table, (df, n_out) in parts.items():
+        big = shifted(df, 0, table)
+        for i in range(1, SCALE):
+            big = big.unionByName(shifted(df, i, table))
+        big.repartition(n_out).write.mode("overwrite").parquet(
+            f"{OUT}/{table}.parquet"
+        )
+        print(f"built {table} x{SCALE}", flush=True)
+    # dims stay 1x: plain file copies keep read paths identical in shape
+    for t in DIMS:
+        shutil.copyfile(f"{SF_DIR}/{t}.parquet", f"{OUT}/{t}.parquet")
     open(f"{OUT}/_done", "w").write("ok")
 
 
-QUERIES = {
-    # name: (spark_fn(spark, li_path, o_path) -> df, duckdb_sql_fmt)
-    "q1_agg": (
-        lambda s, li, o: s.read.parquet(li)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sq"),
-            F.count(F.lit(1)).alias("n"),
-        ),
-        "SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) sq, COUNT(*) n FROM read_parquet('{li}/**/*.parquet') GROUP BY 1,2",
-    ),
-    "fact_join_agg": (
-        lambda s, li, o: s.read.parquet(o)
-        .join(s.read.parquet(li),
-              F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("rev")),
-        "SELECT o_orderstatus, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) rev FROM read_parquet('{o}/**/*.parquet') o JOIN read_parquet('{li}/**/*.parquet') l ON o.o_orderkey = l.l_orderkey GROUP BY 1",
-    ),
-    "window_topk": (
-        lambda s, li, o: s.read.parquet(o)
-        .withColumn("rk", F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .partitionBy("o_orderpriority")
-            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))))
-        .filter(F.col("rk") <= 3),
-        "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) rk FROM read_parquet('{o}/**/*.parquet')) WHERE rk <= 3",
-    ),
-    "distinct_count": (
-        lambda s, li, o: s.read.parquet(li)
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("np"), F.countDistinct("l_suppkey").alias("ns")),
-        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) np, COUNT(DISTINCT l_suppkey) ns FROM read_parquet('{li}/**/*.parquet') GROUP BY 1",
-    ),
-}
-
-
-def run(spark, li_path, o_path, con) -> dict:
-    res = {}
-    for name, (sfn, dsql) in QUERIES.items():
-        t0 = time.perf_counter()
-        sfn(spark, li_path, o_path).write.format("noop").mode("overwrite").save()
-        spark_t = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        con.execute(dsql.format(li=li_path, o=o_path)).fetchall()
-        duck_t = time.perf_counter() - t0
-        res[name] = {"spark": round(spark_t, 3), "duckdb": round(duck_t, 3)}
-    return res
-
-
-def main():
-    spark = get_spark("scaling-probe")
-    build_scaled(spark)
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        src = (
+            f"read_parquet('{path}/**/*.parquet')"
+            if os.path.isdir(path)
+            else f"'{path}'"
+        )
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
+    return con
 
-    # 1x: single parquet files — give both engines directory-less paths
-    one_li, one_o = f"{SF_DIR}/lineitem.parquet", f"{SF_DIR}/orders.parquet"
-    one = {}
-    for name, (sfn, dsql) in QUERIES.items():
-        t0 = time.perf_counter()
-        sfn(spark, one_li, one_o).write.format("noop").mode("overwrite").save()
-        st = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        con.execute(
-            dsql.format(li=one_li, o=one_o).replace("/**/*.parquet", "")
-        ).fetchall()
-        dt = time.perf_counter() - t0
-        one[name] = {"spark": round(st, 3), "duckdb": round(dt, 3)}
 
-    big = run(spark, f"{OUT}/lineitem", f"{OUT}/orders", con)
-    print(json.dumps({"rows_1x": 600_000, f"rows_{SCALE}x": 600_000 * SCALE,
-                      "results_1x": one, f"results_{SCALE}x": big}, indent=2))
+def time_spark(spark, name: str, sf_dir: str) -> dict:
+    """Min-of-REPEATS wall time for one registry query; job-group cancel
+    on timeout (the clock keeps running for the caller either way)."""
+    best, err = None, None
+    for _ in range(REPEATS):
+        result: dict = {}
+
+        def target():
+            spark.sparkContext.setJobGroup(
+                "probe", name, interruptOnCancel=True
+            )
+            t0 = time.perf_counter()
+            try:
+                df = registry.QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                result["sec"] = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001
+                result["err"] = f"{type(e).__name__}: {e}"[:200]
+
+        th = threading.Thread(target=target, daemon=True)
+        th.start()
+        th.join(SPARK_TIMEOUT)
+        if th.is_alive():
+            spark.sparkContext.cancelJobGroup("probe")
+            th.join(30)
+            return {"timeout": SPARK_TIMEOUT}
+        if "err" in result:
+            err = result["err"]
+            break
+        best = result["sec"] if best is None else min(best, result["sec"])
+    if err:
+        return {"err": err}
+    return {"sec": round(best, 3)}
+
+
+def time_duck(con, sql: str) -> dict:
+    best = None
+    for _ in range(REPEATS):
+        timer = threading.Timer(DUCK_TIMEOUT, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            sec = time.perf_counter() - t0
+        except duckdb.InterruptException:
+            return {"timeout": DUCK_TIMEOUT}
+        except Exception as e:  # noqa: BLE001
+            return {"err": f"{type(e).__name__}: {e}"[:200]}
+        finally:
+            timer.cancel()
+        best = sec if best is None else min(best, sec)
+    return {"sec": round(best, 3)}
+
+
+def fmt(r: dict) -> str:
+    if "sec" in r:
+        return f"{r['sec']:.2f}"
+    if "timeout" in r:
+        return f">{int(r['timeout'])} (timeout)"
+    return "err"
+
+
+def main() -> None:
+    spark = get_spark("scaling-probe")
+    if "--skip-build" not in sys.argv:
+        build_scaled(spark)
+    names = [q for q in sorted(registry.QUERIES) if q not in EXCLUDE]
+    results: dict[str, dict] = {}
+    for sf_label, sf_dir in (("1x", SF_DIR), ("32x", OUT)):
+        con = make_duck(sf_dir)
+        for name in names:
+            rec = results.setdefault(name, {})
+            rec[f"spark_{sf_label}"] = time_spark(spark, name, sf_dir)
+            if name in registry.ORACLES:
+                rec[f"duck_{sf_label}"] = time_duck(
+                    con, registry.ORACLES[name]
+                )
+            print(
+                f"[{sf_label}] {name:32s} spark={fmt(rec[f'spark_{sf_label}']):>8s}"
+                + (
+                    f" duck={fmt(rec[f'duck_{sf_label}']):>8s}"
+                    if f"duck_{sf_label}" in rec
+                    else ""
+                ),
+                flush=True,
+            )
+        con.close()
+
+    out = {
+        "scale": SCALE,
+        "rows_1x": {"lineitem": 600_000},
+        "rows_32x": {"lineitem": 600_000 * SCALE},
+        "spark_timeout_sec": SPARK_TIMEOUT,
+        "duck_timeout_sec": DUCK_TIMEOUT,
+        "repeats": REPEATS,
+        "estimator": "min",
+        "loadavg": list(os.getloadavg()),
+        "excluded": sorted(EXCLUDE),
+        "queries": results,
+    }
+    with open(f"{REPO}/SCALING32.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote SCALING32.json")
 
 
 if __name__ == "__main__":

@@ -5,49 +5,23 @@ column names, and (column-name-sorted, row-sorted) values exactly.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
 import pytest
 
 from lookup_transform_spark import registry
+from lookup_transform_spark.parity import normalize, register_views
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    register_views(con, SF_DIR)
     yield con
     con.close()
-
-
-def _normalize(rows, columns):
-    """Sort columns by name, then rows; make values hashable/comparable."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def norm(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return v
-        if isinstance(v, (bytes, bytearray)):
-            return bytes(v)
-        if isinstance(v, list):
-            return tuple(norm(x) for x in v)
-        return v
-
-    out = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr), [columns[i] for i in order]
 
 
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
@@ -66,8 +40,8 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
-    s_norm, cols = _normalize(spark_rows, spark_cols)
-    d_norm, _ = _normalize(duck_rows, duck_cols)
+    s_norm, cols = normalize(spark_rows, spark_cols)
+    d_norm, _ = normalize(duck_rows, duck_cols)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
     ]
