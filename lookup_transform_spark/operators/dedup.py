@@ -107,16 +107,31 @@ def minhash_signature_pandas(
 
     @pandas_udf("array<long>")
     def _perm_min(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            arr = np.asarray(h, dtype=np.int64)
-            if arr.size == 0:
-                out.append(np.full(num_hashes, _PRIME, dtype=np.int64))
+        # Vectorized ACROSS rows, not just within one: flatten the ragged
+        # shingle-hash lists of ~1k docs into one segment array, compute
+        # the (num_hashes × total) permutation matrix in one shot, and
+        # segment-min with np.minimum.reduceat — no per-row Python loop.
+        # Row-chunking bounds the matrix at ~num_hashes×100k int64.
+        out = np.empty(len(hashes), dtype=object)
+        arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
+        empty_sig = np.full(num_hashes, _PRIME, dtype=np.int64)
+        chunk = 1024
+        for lo in range(0, len(arrs), chunk):
+            seg = arrs[lo : lo + chunk]
+            lens = np.array([a.size for a in seg], dtype=np.int64)
+            nonempty = np.flatnonzero(lens)
+            for i in np.flatnonzero(lens == 0):
+                out[lo + i] = empty_sig
+            if nonempty.size == 0:
                 continue
+            flat = np.concatenate([seg[i] for i in nonempty])
             # (a*h + b) % p fits in int64: a,h < 2^31 → product < 2^62
-            sig = ((a_vec[:, None] * arr[None, :] + b_vec[:, None]) % _PRIME)
-            out.append(sig.min(axis=1))
-        return pd.Series(out)
+            sig = (a_vec[:, None] * flat[None, :] + b_vec[:, None]) % _PRIME
+            starts = np.cumsum(lens[nonempty]) - lens[nonempty]
+            mins = np.minimum.reduceat(sig, starts, axis=1)  # (H, n)
+            for j, i in enumerate(nonempty):
+                out[lo + i] = mins[:, j]
+        return pd.Series(list(out))
 
     sh = shingles(text_col, shingle_n)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
@@ -244,8 +259,8 @@ def minhash_lsh_pairs(
     )
     # band on (id, bucket) ONLY — never carry document text through the
     # banding explode + self-join (that would shuffle each text 2×bands
-    # times); texts rejoin by id for verification below, so total text
-    # shuffle volume stays at ~2× the corpus regardless of band count.
+    # times); hashed shingle sets rejoin by id for verification below,
+    # so shuffle volume stays at ~2× the corpus regardless of band count.
     banded = sig.select(
         "__id__",
         F.explode(
@@ -286,22 +301,30 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
-    txt_a = docs.select(
-        F.col(id_col).alias("__ta__"), F.col(text_col).alias("__text_a__")
-    )
-    txt_b = docs.select(
-        F.col(id_col).alias("__tb__"), F.col(text_col).alias("__text_b__")
+    # verify against hashed shingle SETS computed ONCE per doc, not per
+    # candidate pair: a doc in a dense near-dup family appears in many
+    # pairs, and re-running the shingle expression chain (split +
+    # n-gram transform + distinct) per pair row made the verify stage
+    # O(pairs · text_len) CPU — the 32× probe's minhash timeout. Hashing
+    # shingles to int64 first (xxhash64 — the same 2⁻⁶⁴ collision class
+    # as the banding itself) also makes the per-pair intersect/union a
+    # long-array op instead of a string-array op.
+    sh_tbl = docs.select(
+        F.col(id_col).alias("__sid__"),
+        F.array_sort(
+            F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("__sh__"),
     )
     cand = (
-        cand.join(txt_a, cand["doc_id_a"] == txt_a["__ta__"])
-        .join(txt_b, F.col("doc_id_b") == txt_b["__tb__"])
+        cand.join(sh_tbl.withColumnsRenamed({"__sid__": "__ta__", "__sh__": "__sh_a__"}),
+                  cand["doc_id_a"] == F.col("__ta__"))
+        .join(sh_tbl.withColumnsRenamed({"__sid__": "__tb__", "__sh__": "__sh_b__"}),
+              F.col("doc_id_b") == F.col("__tb__"))
     )
-
-    sh_a = shingles("__text_a__", shingle_n)
-    sh_b = shingles("__text_b__", shingle_n)
-    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    inter = F.size(F.array_intersect("__sh_a__", "__sh_b__"))
+    union = F.size(F.array_union("__sh_a__", "__sh_b__"))
     out = (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -427,18 +450,38 @@ def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
     JVM-side and the bit-vote accumulation vectorized in numpy."""
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:
+        # Vectorized ACROSS rows: flatten the ragged token-hash lists,
+        # unpack sign bits for the whole flat array once, and segment-sum
+        # the votes with np.add.reduceat — no per-row Python loop.
+        # Row-chunking bounds the (tokens × bits) vote matrix.
         js = np.arange(bits, dtype=np.uint64)
         weights = np.uint64(1) << js
-        out = []
-        for h in hashes:
-            arr = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            if arr.size == 0:
-                votes = np.zeros(bits, dtype=np.int64)
-            else:
-                bitm = ((arr[:, None] >> js[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bitm - 1).sum(axis=0)
-            sig = int(weights[votes >= 0].sum(dtype=np.uint64))
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        n = len(hashes)
+        out = np.zeros(n, dtype=np.int64)
+        arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
+        empty_sig = np.int64(
+            int(weights.sum(dtype=np.uint64)) - (1 << 64)
+        )  # votes all 0 → every bit set (>= 0 rule)
+        chunk = 4096
+        for lo in range(0, n, chunk):
+            seg = arrs[lo : lo + chunk]
+            lens = np.array([a.size for a in seg], dtype=np.int64)
+            nonempty = np.flatnonzero(lens)
+            out[lo + np.flatnonzero(lens == 0)] = empty_sig
+            if nonempty.size == 0:
+                continue
+            flat = np.concatenate([seg[i] for i in nonempty]).astype(np.uint64)
+            bitm = ((flat[:, None] >> js[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            starts = np.cumsum(lens[nonempty]) - lens[nonempty]
+            votes = 2 * np.add.reduceat(bitm, starts, axis=0) - lens[
+                nonempty
+            ][:, None].astype(np.int32)  # (n_nonempty, bits)
+            sigs = np.where(votes >= 0, weights[None, :], np.uint64(0)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[lo + nonempty] = sigs.view(np.int64)  # exact bit reinterpret
         return pd.Series(out, dtype="int64")
 
     tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
