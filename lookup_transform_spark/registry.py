@@ -1112,7 +1112,7 @@ def q_udaf_median(spark, sf):
     from lookup_transform_spark.functions.udfs import grouped_median
 
     ev = _events(spark, sf).select("user_id", "value")
-    return grouped_median(ev, ["user_id"], "value", pre_partitions=8)
+    return grouped_median(ev, ["user_id"], "value")
 
 
 @_q(

@@ -18,7 +18,11 @@ trigger floors, not data-size scaling), as is scan_generator_source
 Results: SCALING32.json at the repo root + the per-query table is
 pasted into SCALING.md.
 
-Run: python scripts/scaling_probe.py [--skip-build]
+Run: python scripts/scaling_probe.py [--skip-build] [--only q1,q2,...]
+
+``--only`` re-times just the named queries and merges them into the
+existing SCALING32.json (same protocol) — for refreshing entries after
+an operator change without a full probe run.
 """
 
 from __future__ import annotations
@@ -195,6 +199,14 @@ def main() -> None:
         build_scaled(spark)
     names = [q for q in sorted(registry.QUERIES) if q not in EXCLUDE]
     results: dict[str, dict] = {}
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in probe set: {sorted(unknown)}")
+        names = [q for q in names if q in only]
+        with open(f"{REPO}/SCALING32.json") as f:
+            results = json.load(f)["queries"]
     for sf_label, sf_dir in (("1x", SF_DIR), ("32x", OUT)):
         con = make_duck(sf_dir)
         for name in names:
