@@ -977,6 +977,29 @@ def q_simsearch_ivf(spark, sf):
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+@_q("simsearch_ivf_pruned")
+def q_simsearch_ivf_pruned(spark, sf):
+    """B52 at-rest scale path: the corpus written partitioned by
+    centroid cell (write_ivf_layout), then probed with a partition-
+    pruned scan — only the nprobe cell directories are read. Same
+    centroids/nprobe as simsearch_ivf → identical results (pinned by
+    tests/test_similarity_guards.py); rows-only here (approximate by
+    design, like the in-plan variant)."""
+    from lookup_transform_spark.operators.similarity import (
+        ivf_probe_topk,
+        write_ivf_layout,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    path = f"{SCRATCH}/ivf_layout_{os.path.basename(sf)}"
+    # an IVF layout is write-once / probe-many: build only when absent
+    # so repeated runs measure the steady-state probe, not the indexing
+    if not os.path.exists(f"{path}/data/_SUCCESS"):
+        write_ivf_layout(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_probe_topk(spark, path, queries, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # B54: multimodal columns; B1-B3: sources & sinks
 # ---------------------------------------------------------------------------

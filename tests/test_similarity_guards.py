@@ -87,3 +87,44 @@ def test_explode_tokens_matches_builtin(spark):
     assert [(r["doc_id"], r["token"], r["pos"]) for r in got] == [
         (r["doc_id"], r["token"], r["pos"]) for r in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# IVF at-rest layout: partition-pruned probe == in-plan ivf_topk
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_layout_probe_matches_inplan_and_prunes(spark, tmp_path):
+    from lookup_transform_spark.operators.similarity import (
+        ivf_probe_topk,
+        write_ivf_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf")
+    write_ivf_layout(emb, path, n_centroids=8)
+
+    probed = ivf_probe_topk(spark, path, queries, k=5, nprobe=2)
+    inplan = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, inplan.collect()))
+    assert got == want, "pruned probe must equal the in-plan IVF result"
+
+    # the cell filter must reach the scan as a PARTITION filter: pruned
+    # cell directories never enter the file listing, so the scan's
+    # partition count is the probed-cell count, not n_centroids
+    data = spark.read.parquet(f"{path}/data")
+    n_cells = data.select("centroid_id").distinct().count()
+    probe_cells = 2  # one query vector, nprobe=2
+    plan = (
+        data.filter(F.col("centroid_id").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    assert n_cells > probe_cells  # pruning is actually cutting cells
