@@ -962,11 +962,12 @@ def q_fingerprint_rolling(spark, sf):
 
 @_q("simsearch_lsh")
 def q_simsearch_lsh(spark, sf):
-    """B52 scale path: random-hyperplane LSH bucketing → candidate
-    equi-join → exact re-score (approximate recall)."""
+    """B52 scale path: multi-band random-hyperplane LSH bucketing →
+    candidate equi-join → exact re-score. Approximate: recall@10 = 0.84
+    vs exact cosine on this fixture (pinned in test_similarity_guards)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucket_topk(emb, queries, k=10, n_planes=8)
+    return lsh_bucket_topk(emb, queries, k=10, n_planes=4, n_bands=16)
 
 
 @_q("simsearch_ivf")

@@ -121,6 +121,12 @@ def main() -> None:
         f"- `embedding_near_dup` ({cell(qs['embedding_near_dup'].get('spark_32x'))} s):",
         "  exact all-pairs by contract — O(n²/blocks) tiles; the documented",
         "  scale path for larger corpora is the LSH/IVF approximate tier.",
+        f"- `simsearch_lsh` ({cell(qs['simsearch_lsh'].get('spark_32x'))} s): the",
+        "  32× fixture grows BOTH sides (queries are corpus % 100), so the",
+        "  exact re-score of banding candidates — the price of recall@10",
+        "  0.84 on this weakly-clustered fixture — grows with",
+        "  queries × corpus. Growth is still ~19× against a 1024×",
+        "  pair-potential increase; real workloads probe a fixed query set.",
         "- Parquet row-group counts bound scan parallelism at fixture scale",
         "  (sf0.1 lineitem is ~3 row groups); at 100 TB inputs are thousands",
         "  of ≥128 MB row groups and the default `maxPartitionBytes`",

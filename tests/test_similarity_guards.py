@@ -128,3 +128,31 @@ def test_ivf_layout_probe_matches_inplan_and_prunes(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0], plan
     assert n_cells > probe_cells  # pruning is actually cutting cells
+
+
+# ---------------------------------------------------------------------------
+# ANN recall floors vs exact cosine ground truth (deterministic fixture +
+# deterministic hashing → reproducible recall)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_floors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=10))
+    assert truth
+
+    # registered configs (registry.q_simsearch_lsh / q_simsearch_ivf)
+    lsh = pairs(lsh_bucket_topk(emb, queries, k=10, n_planes=4, n_bands=16))
+    ivf = pairs(ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4))
+    lsh_recall = len(lsh & truth) / len(truth)
+    ivf_recall = len(ivf & truth) / len(truth)
+    # measured 0.84 / 0.54 on this fixture; floors leave headroom for
+    # incidental plan-order changes but catch a real recall regression
+    # (single-band LSH measured 0.04)
+    assert lsh_recall >= 0.7, f"LSH recall@10 regressed: {lsh_recall:.3f}"
+    assert ivf_recall >= 0.4, f"IVF recall@10 regressed: {ivf_recall:.3f}"
