@@ -137,3 +137,29 @@ def test_simhash_exact_dups_survive_any_bucket_cap(spark):
         _docs(spark, rows), max_bucket_size=None, precluster_exact=False
     ).collect()
     assert len(full) == 15
+
+
+def test_minhash_recall_vs_exact_jaccard_ground_truth(spark):
+    """End-to-end near-dup quality pin: banding + verify must recover
+    the exact n-gram-Jaccard pair set (threshold 0.5) on the fixture.
+    The exact-verify stage guarantees precision (no spurious pairs);
+    this pins RECALL — that banding doesn't silently drop true pairs.
+    Measured 25/25 at sf0.01; floor at 0.9 since banding is
+    probabilistic in general."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, block_col=None, threshold=0.5
+        ).collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert truth, "fixture should contain true near-dup pairs"
+    assert not (got - truth), f"spurious pairs: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"minhash recall regressed: {recall:.3f}"
