@@ -163,3 +163,40 @@ def test_minhash_recall_vs_exact_jaccard_ground_truth(spark):
     assert not (got - truth), f"spurious pairs: {sorted(got - truth)[:5]}"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"minhash recall regressed: {recall:.3f}"
+
+
+def test_simhash_pigeonhole_is_complete_vs_brute_force(spark):
+    """Pigeonhole blocking is lossless by construction for
+    hamming <= max_hamming < chunks: a pair within distance 3 must agree
+    on at least one of the 4 signature chunks. Pin the whole pipeline
+    against the brute-force cross-join ground truth — 1148/1148 pairs at
+    sf0.001, no missing, no extra. (Exact set equality holds because
+    this fixture has no exact-duplicate text group of size >= 3; such
+    groups would legitimately return as star edges rather than cliques,
+    preserving connected components but not the raw pair set.)"""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        simhash_signature_text_pandas,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_signature_text_pandas("text").alias("s"),
+    )
+    truth = {
+        (r["ida"], r["idb"])
+        for r in sig.selectExpr("id AS ida", "s AS sa")
+        .crossJoin(sig.selectExpr("id AS idb", "s AS sb"))
+        .filter("ida < idb")
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert truth and got == truth, (
+        f"missing={len(truth - got)} extra={len(got - truth)}"
+    )
