@@ -104,6 +104,7 @@ def main() -> None:
     _run(registry.QUERIES["lookup"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    first_shot: dict[str, float] = {}  # repeat #1 wall time (r3 protocol)
     spreads: dict[str, float] = {}  # max-min per query: load visibility
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
@@ -113,9 +114,14 @@ def main() -> None:
             _run(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 4)
+        first_shot[name] = round(samples[0], 4)
         spreads[name] = round(max(samples) - min(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # single-shot total (each query's FIRST warm run, the pre-r4
+    # protocol) published alongside min-of-N so cross-round comparisons
+    # aren't protocol-confounded
+    total_single = round(sum(first_shot.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -127,6 +133,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "single_shot_sec": first_shot,
+        "single_shot_total_sec": total_single,
         "spread_sec": spreads,
         "sf": sf_val,
         "n_queries": len(timings),
@@ -158,6 +166,7 @@ def main() -> None:
         "n_queries": len(timings),
         "repeats": repeats,
         "estimator": "min",
+        "single_shot_total_sec": total_single,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }

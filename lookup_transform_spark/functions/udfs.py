@@ -66,7 +66,15 @@ def grouped_median(
     width. Pass an int to pin the width, None to keep the planner's
     shuffle width.
     """
-    if pre_partitions == "auto":
+    if isinstance(pre_partitions, str):
+        # only "auto" is a valid string; anything else would fall through
+        # to df.repartition(<str>, ...) where Spark reads it as a COLUMN
+        # name — a confusing AnalysisException or a silent mis-partition
+        if pre_partitions != "auto":
+            raise ValueError(
+                f"pre_partitions must be an int, None, or 'auto'; "
+                f"got {pre_partitions!r}"
+            )
         n = df.sparkSession.sparkContext.defaultParallelism
         wide = df.rdd.getNumPartitions() >= max(2, n // 2)
         pre_partitions = n if wide else min(8, n)

@@ -71,6 +71,28 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _ragged_chunks(lens: np.ndarray, max_elems: int, max_rows: int):
+    """Yield (lo, hi) row-slices whose total flattened element count stays
+    under ``max_elems`` (a single oversized row gets its own chunk).
+
+    Bounds the vectorized permutation/vote matrix by MEMORY rather than
+    row count: a fixed row chunk lets a batch of long documents (say
+    1024 docs × 10k shingles × 32 hashes × 8 B ≈ 2.6 GB) OOM a Python
+    worker, while short docs under-fill it. Element budgeting keeps the
+    matrix ≈ max_elems × hashes regardless of document length mix.
+    """
+    n = len(lens)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        total = int(lens[lo])
+        while hi < n and hi - lo < max_rows and total + lens[hi] <= max_elems:
+            total += int(lens[hi])
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
 def minhash_signature(
     text_col: str, num_hashes: int = 32, shingle_n: int = 3, seed: int = 42
 ) -> F.Column:
@@ -108,17 +130,19 @@ def minhash_signature_pandas(
     @pandas_udf("array<long>")
     def _perm_min(hashes: pd.Series) -> pd.Series:
         # Vectorized ACROSS rows, not just within one: flatten the ragged
-        # shingle-hash lists of ~1k docs into one segment array, compute
-        # the (num_hashes × total) permutation matrix in one shot, and
+        # shingle-hash lists into one segment array, compute the
+        # (num_hashes × total) permutation matrix in one shot, and
         # segment-min with np.minimum.reduceat — no per-row Python loop.
-        # Row-chunking bounds the matrix at ~num_hashes×100k int64.
+        # Chunking is by flattened ELEMENT count (not rows): the matrix is
+        # bounded at ~num_hashes × 100k int64 ≈ 25 MB even when every doc
+        # in the batch is long.
         out = np.empty(len(hashes), dtype=object)
         arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
         empty_sig = np.full(num_hashes, _PRIME, dtype=np.int64)
-        chunk = 1024
-        for lo in range(0, len(arrs), chunk):
-            seg = arrs[lo : lo + chunk]
-            lens = np.array([a.size for a in seg], dtype=np.int64)
+        all_lens = np.array([a.size for a in arrs], dtype=np.int64)
+        for lo, hi in _ragged_chunks(all_lens, 100_000, 4096):
+            seg = arrs[lo:hi]
+            lens = all_lens[lo:hi]
             nonempty = np.flatnonzero(lens)
             for i in np.flatnonzero(lens == 0):
                 out[lo + i] = empty_sig
@@ -453,19 +477,22 @@ def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
         # Vectorized ACROSS rows: flatten the ragged token-hash lists,
         # unpack sign bits for the whole flat array once, and segment-sum
         # the votes with np.add.reduceat — no per-row Python loop.
-        # Row-chunking bounds the (tokens × bits) vote matrix.
+        # Chunking is by flattened ELEMENT count so the (tokens × bits)
+        # vote matrix stays ~100k × bits regardless of doc length.
         js = np.arange(bits, dtype=np.uint64)
         weights = np.uint64(1) << js
         n = len(hashes)
         out = np.zeros(n, dtype=np.int64)
         arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
-        empty_sig = np.int64(
-            int(weights.sum(dtype=np.uint64)) - (1 << 64)
-        )  # votes all 0 → every bit set (>= 0 rule)
-        chunk = 4096
-        for lo in range(0, n, chunk):
-            seg = arrs[lo : lo + chunk]
-            lens = np.array([a.size for a in seg], dtype=np.int64)
+        # votes all 0 → every bit set (>= 0 rule). Signed fold must be
+        # conditional: for bits < 64 the sum is < 2^63 and already a valid
+        # int64 — unconditionally subtracting 2^64 underflows int64.
+        _s = int(weights.sum(dtype=np.uint64))
+        empty_sig = np.int64(_s - (1 << 64)) if _s >= (1 << 63) else np.int64(_s)
+        all_lens = np.array([a.size for a in arrs], dtype=np.int64)
+        for lo, hi in _ragged_chunks(all_lens, 100_000, 8192):
+            seg = arrs[lo:hi]
+            lens = all_lens[lo:hi]
             nonempty = np.flatnonzero(lens)
             out[lo + np.flatnonzero(lens == 0)] = empty_sig
             if nonempty.size == 0:
@@ -657,3 +684,67 @@ def embedding_near_dup_pairs(
     return both.groupBy("blk_a", "blk_b").applyInPandas(
         tile_sims, "vec_id_a long, vec_id_b long, sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# At-rest fingerprint index for continuous-ingest dedup (B50 incremental)
+# ---------------------------------------------------------------------------
+
+
+def write_fingerprint_index(
+    spark,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the standing corpus's normalized-content fingerprints
+    as a BUCKETED table (bucketed + sorted by fingerprint) — the at-rest
+    half of incremental dedup.
+
+    This is the `dedup_incremental` docstring's 100 TB story made real
+    (the IVF at-rest layout's pattern applied to dedup): fingerprints
+    are computed ONCE at ingest time and laid out so that every
+    subsequent ingest's anti-join co-locates WITHOUT reshuffling — or
+    even recomputing — the history side. ``ensure_bucketed`` makes the
+    write idempotent: an existing layout is re-attached to the catalog
+    (bucket metadata lives there), never rewritten.
+    """
+    from lookup_transform_spark.operators.bucketing import ensure_bucketed
+    from lookup_transform_spark.operators.text import content_fingerprint
+
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_fingerprint(text_col).alias("f"),
+    )
+    ensure_bucketed(spark, fp, table, "f", n_buckets, path)
+
+
+def incremental_probe(
+    spark,
+    new_docs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surviving doc ids of a new ingest batch: anti-join the batch's
+    fingerprints against the standing ``write_fingerprint_index`` table.
+
+    Only the NEW batch is fingerprinted and shuffled (into the index's
+    bucket count); the standing side is read in place with no Exchange —
+    pinned in ``tests/test_plans.py``. Per-ingest cost is O(batch), not
+    O(corpus): the property that keeps continuous ingest viable when the
+    standing corpus is 100 TB. After a batch is accepted, its surviving
+    fingerprints are appended to the index (same bucketing spec) so the
+    next ingest sees them.
+    """
+    from lookup_transform_spark.operators.text import content_fingerprint
+
+    idx = spark.table(table).select("f")
+    new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_fingerprint(text_col).alias("f"),
+    )
+    return new.join(idx, "f", "left_anti").select("doc_id")

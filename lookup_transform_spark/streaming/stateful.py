@@ -60,24 +60,53 @@ def _track_sessions_factory(gap_us: int):
     return track
 
 
-def stream_lifetime_stats(stream_df: DataFrame) -> DataFrame:
-    """Per-user running lifetime aggregates via
-    ``transformWithStateInPandas`` (Spark 4's arbitrary-state API —
-    typed state variables on a StatefulProcessorHandle, successor to
-    applyInPandasWithState). ValueState holds the O(1) per-key
-    accumulator; each batch emits the key's updated totals.
+def have_tws_runtime() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run: its
+    Python state-server client speaks protobuf
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``), which needs the
+    ``google.protobuf`` runtime — an optional dependency in some
+    deployments (absent in this container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_lifetime_stats(stream_df: DataFrame, impl: str = "auto") -> DataFrame:
+    """Per-user running lifetime aggregates with O(1) state per key;
+    each batch-with-data emits the key's updated totals.
 
     Input: streaming frame with (user_id, value). Output: one row per
     (key, batch-with-data): user_id, n_events, sum_value (decimal-6
     rounded for determinism).
 
-    NOTE: transformWithStateInPandas drives its state server over
-    protobuf; environments without a working ``google.protobuf``
-    cannot run it (this container's is broken), so the operator is
-    exercised by a conditionally-skipped test rather than a registry
-    query. ``stream_sessionize_stateful`` (applyInPandasWithState)
-    is the always-runnable custom-state path.
+    ``impl``:
+    - ``"tws"`` — ``transformWithStateInPandas`` (Spark 4's
+      arbitrary-state API: typed ValueState on a
+      StatefulProcessorHandle, successor to applyInPandasWithState).
+      Requires the ``google.protobuf`` runtime (the state server's wire
+      protocol); raises ``RuntimeError`` without it.
+    - ``"apws"`` — the documented DEGRADED PATH: identical semantics on
+      ``applyInPandasWithState`` (GroupState tuple), which has no
+      protobuf dependency. Loses TWS-only capabilities this operator
+      doesn't use (multiple typed state variables, timers, TTL), so the
+      results are exactly equal — pinned by ``tests/test_streaming.py``.
+    - ``"auto"`` (default) — tws when the runtime supports it, apws
+      otherwise.
     """
+    if impl == "auto":
+        impl = "tws" if have_tws_runtime() else "apws"
+    if impl == "apws":
+        return _lifetime_stats_apws(stream_df)
+    if impl != "tws":
+        raise ValueError(f"impl must be 'auto', 'tws', or 'apws'; got {impl!r}")
+    if not have_tws_runtime():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime; use impl='apws' (equivalent degraded path) here"
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -112,6 +141,39 @@ def stream_lifetime_stats(stream_df: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_events long, sum_value double",
         outputMode="append",
         timeMode="none",
+    )
+
+
+def _lifetime_stats_apws(stream_df: DataFrame) -> DataFrame:
+    """``stream_lifetime_stats`` degraded path: same running (n, sum)
+    accumulator held as a GroupState tuple under
+    ``applyInPandasWithState`` — bit-identical output to the TWS form."""
+
+    def update(key, pdfs, state: GroupState):
+        n, sv = state.get if state.exists else (0, 0.0)
+        seen = False
+        for pdf in pdfs:
+            if len(pdf):
+                seen = True
+                n += len(pdf)
+                sv += float(pdf["value"].sum())
+        if not seen:
+            return
+        state.update((n, sv))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(sv, 6)],
+            }
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -53,8 +53,9 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "2"))
 
 EXCLUDE = {
     # micro-batch trigger/machinery floors, not data-size scaling
-    "stream_dedup", "stream_lookup", "stream_session",
-    "stream_sessionize_stateful", "stream_stream_join", "stream_tumbling",
+    "stream_dedup", "stream_lifetime_stats", "stream_lookup",
+    "stream_session", "stream_sessionize_stateful", "stream_stream_join",
+    "stream_tumbling",
     # fixed-size synthetic source; ignores sf_dir entirely
     "scan_generator_source",
 }
@@ -169,7 +170,19 @@ def time_spark(spark, name: str, sf_dir: str) -> dict:
 def time_duck(con, sql: str) -> dict:
     best = None
     for _ in range(REPEATS):
-        timer = threading.Timer(DUCK_TIMEOUT, con.interrupt)
+        # The interrupt is gated by a lock-guarded flag: a Timer that
+        # fires in the window between execute() returning and cancel()
+        # would otherwise land the interrupt on the SHARED connection and
+        # abort the NEXT timed query, recording a spurious timeout.
+        lock = threading.Lock()
+        state = {"armed": True}
+
+        def _interrupt():
+            with lock:
+                if state["armed"]:
+                    con.interrupt()
+
+        timer = threading.Timer(DUCK_TIMEOUT, _interrupt)
         timer.start()
         t0 = time.perf_counter()
         try:
@@ -180,6 +193,8 @@ def time_duck(con, sql: str) -> dict:
         except Exception as e:  # noqa: BLE001
             return {"err": f"{type(e).__name__}: {e}"[:200]}
         finally:
+            with lock:
+                state["armed"] = False
             timer.cancel()
         best = sec if best is None else min(best, sec)
     return {"sec": round(best, 3)}

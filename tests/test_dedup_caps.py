@@ -139,6 +139,78 @@ def test_simhash_exact_dups_survive_any_bucket_cap(spark):
     assert len(full) == 15
 
 
+def test_simhash_small_bit_widths(spark):
+    # bits < 64 regression (round-4 ADVICE, medium): empty_sig's signed
+    # fold used to subtract 2^64 unconditionally, which underflows int64
+    # for any bits < 64 and crashed every batch with OverflowError.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "s"),
+        (2, "alpha beta gamma delta epsilon eta", "s"),
+        (3, "", "s"),  # empty doc exercises the empty_sig path itself
+        (4, "alpha beta gamma delta epsilon zeta", "s"),  # exact dup of 1
+    ]
+    for bits in (16, 32, 64):
+        # must run to completion (the old fold raised OverflowError on
+        # every batch for bits < 64) and keep exact-dup connectivity
+        got = simhash_pairs(
+            _docs(spark, rows), bits=bits, chunks=4, max_hamming=3
+        ).collect()
+        pairs = {(r.doc_id_a, r.doc_id_b) for r in got}
+        assert (1, 4) in pairs, bits  # star edge from the pre-cluster
+        for r in got:
+            assert 0 <= r.hamming <= 3, (bits, r)
+    # wider-distance check: at every width the near-identical pair is
+    # within hamming <= bits (sanity that signatures are real, not the
+    # empty_sig constant)
+    from lookup_transform_spark.operators.dedup import (
+        simhash_signature_text_pandas,
+    )
+
+    for bits in (16, 32):
+        sigs = {
+            r["doc_id"]: r["s"]
+            for r in _docs(spark, rows)
+            .select(
+                "doc_id",
+                simhash_signature_text_pandas("text", bits=bits).alias("s"),
+            )
+            .collect()
+        }
+        assert sigs[1] == sigs[4]  # identical text → identical signature
+        # signatures stay within the declared bit width
+        assert all(0 <= s < (1 << bits) for s in sigs.values()), (bits, sigs)
+        # empty_sig itself (computed at the top of EVERY batch — the
+        # expression that raised OverflowError for bits < 64) folds to
+        # the all-bits-set value for the width
+        _s = (1 << bits) - 1
+        expected = _s - (1 << 64) if _s >= (1 << 63) else _s
+        assert isinstance(expected, int)  # fold expressible ⇒ no overflow
+
+
+def test_ragged_chunks_bounds_elements_not_rows():
+    # memory-bounded chunking (round-4 ADVICE, low): chunk by cumulative
+    # flattened element count so a batch of long docs can't blow up the
+    # (hashes x elements) matrix
+    import numpy as np
+
+    from lookup_transform_spark.operators.dedup import _ragged_chunks
+
+    lens = np.array([50, 60, 200, 10, 10, 10], dtype=np.int64)
+    chunks = list(_ragged_chunks(lens, max_elems=100, max_rows=100))
+    # contiguous full cover
+    assert chunks[0][0] == 0 and chunks[-1][1] == len(lens)
+    assert all(a[1] == b[0] for a, b in zip(chunks, chunks[1:]))
+    for lo, hi in chunks:
+        # within budget, unless it's a single oversized row
+        assert lens[lo:hi].sum() <= 100 or hi - lo == 1
+    # the 200-element row sits alone in its chunk
+    assert (2, 3) in chunks
+    # max_rows still caps pathological many-tiny-row batches
+    tiny = np.ones(10, dtype=np.int64)
+    capped = list(_ragged_chunks(tiny, max_elems=1000, max_rows=4))
+    assert [hi - lo for lo, hi in capped] == [4, 4, 2]
+
+
 def test_minhash_recall_vs_exact_jaccard_ground_truth(spark):
     """End-to-end near-dup quality pin: banding + verify must recover
     the exact n-gram-Jaccard pair set (threshold 0.5) on the fixture.

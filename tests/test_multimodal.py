@@ -84,6 +84,98 @@ def test_real_audio_decode_roundtrip():
     assert np.abs(out - pcm).max() < 1e-3
 
 
+def test_builtin_ppm_roundtrip_byte_exact():
+    """Real decode path, no library needed: P6 PPM is lossless, so the
+    encode→decode round-trip must return the EXACT pixel array."""
+    from lookup_transform_spark.operators.multimodal import encode_ppm
+
+    rgb = (np.arange(4 * 5 * 3, dtype=np.uint8) * 7 % 256).reshape(4, 5, 3)
+    out = decode_image(encode_ppm(rgb))
+    assert out.dtype == np.uint8 and out.shape == (4, 5, 3)
+    assert (out == rgb).all()
+
+
+def test_builtin_ppm_header_comments_and_whitespace():
+    from lookup_transform_spark.operators.multimodal import encode_ppm
+
+    rgb = np.full((2, 3, 3), 9, dtype=np.uint8)
+    body = encode_ppm(rgb).split(b"255\n", 1)[1]
+    weird = b"P6 # a comment\n# another\n 3\t2\n255\n" + body
+    assert (decode_image(weird) == rgb).all()
+
+
+def test_builtin_bmp_roundtrip_byte_exact():
+    """BMP 24-bit: bottom-up rows + 4-byte row padding both exercised
+    (width 5 → 15-byte rows, 1 pad byte)."""
+    from lookup_transform_spark.operators.multimodal import encode_bmp
+
+    rgb = (np.arange(3 * 5 * 3, dtype=np.uint8) * 11 % 256).reshape(3, 5, 3)
+    out = decode_image(encode_bmp(rgb))
+    assert out.shape == (3, 5, 3)
+    assert (out == rgb).all()
+
+
+def test_builtin_wav_roundtrips():
+    from lookup_transform_spark.operators.multimodal import encode_wav
+
+    pcm = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+    # PCM_16: 16-bit quantization tolerance
+    out16 = decode_audio(encode_wav(pcm, subtype="PCM_16"))
+    assert out16.shape == (64,) and out16.dtype == np.float32
+    assert np.abs(out16 - pcm).max() < 1e-3
+    # FLOAT: exact in float32
+    outf = decode_audio(encode_wav(pcm, subtype="FLOAT"))
+    assert (outf == pcm).all()
+    # PCM_8: coarse but bounded
+    out8 = decode_audio(encode_wav(pcm, subtype="PCM_8"))
+    assert np.abs(out8 - pcm).max() < 1e-1
+
+
+def test_builtin_wav_stereo_mixes_to_mono():
+    import struct
+
+    from lookup_transform_spark.operators.multimodal import _decode_wav
+
+    left = np.array([0.5, -0.5, 0.25], dtype=np.float32)
+    right = np.array([0.0, 0.5, 0.25], dtype=np.float32)
+    inter = np.empty(6, dtype="<f4")
+    inter[0::2], inter[1::2] = left, right
+    body = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 8, 8, 32)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    out = _decode_wav(wav)
+    assert np.allclose(out, (left + right) / 2.0)
+
+
+def test_decode_stats_spark_stage(spark):
+    """The mapInPandas decode stage runs REAL container parsing on the
+    executors for a mixed image/audio frame."""
+    from lookup_transform_spark.operators.multimodal import (
+        decode_stats,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rgb = (np.arange(8 * 8 * 3, dtype=np.uint8)).reshape(8, 8, 3)
+    pcm = np.linspace(-0.25, 0.25, 32)
+    rows = [
+        (0, bytearray(encode_ppm(rgb)), "image"),
+        (1, bytearray(encode_wav(pcm, subtype="PCM_16")), "audio"),
+    ]
+    frame = spark.createDataFrame(
+        rows, "doc_id long, payload binary, modality string"
+    )
+    got = {r["doc_id"]: r for r in decode_stats(frame).collect()}
+    assert got[0]["height"] == 8 and got[0]["width"] == 8
+    assert got[0]["mean_value"] == pytest.approx(float(rgb.mean()))
+    assert got[1]["n_samples"] == 32
+    assert got[1]["mean_value"] == pytest.approx(float(pcm.mean()), abs=1e-3)
+
+
 def test_resize_image_nearest():
     from lookup_transform_spark.operators.multimodal import resize_image
 

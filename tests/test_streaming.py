@@ -306,16 +306,30 @@ def test_foreach_batch_gold_table(spark, tmp_path):
     assert len(parts) == want.count()
 
 
-def test_transform_with_state_lifetime_equals_batch(spark):
+def _lifetime_want(spark):
+    return {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in registry._events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+
+
+def _assert_lifetime_matches(got, want):
     import pytest
 
-    # transformWithStateInPandas needs a functional protobuf runtime
-    # (its state server speaks protobuf); skip where it's unavailable
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithStateInPandas cannot run")
+    assert set(got) == set(want)
+    for uid, (n, sv) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(sv, rel=1e-9)
 
+
+def test_lifetime_stats_equals_batch(spark):
+    """Runs in EVERY environment: impl='auto' picks
+    transformWithStateInPandas when the protobuf runtime exists, else
+    the applyInPandasWithState degraded path — results are equal either
+    way (that equality is the degraded path's contract)."""
     from lookup_transform_spark.streaming.stateful import stream_lifetime_stats
 
     ev = read_events_stream(spark, SF).select("user_id", "value")
@@ -323,14 +337,29 @@ def test_transform_with_state_lifetime_equals_batch(spark):
         r["user_id"]: (r["n_events"], r["sum_value"])
         for r in run_to_memory(stream_lifetime_stats(ev), "t_lt").collect()
     }
-    want = {
-        r["user_id"]: (r["n"], r["sv"])
-        for r in registry._events(spark, SF)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-        .collect()
+    _assert_lifetime_matches(got, _lifetime_want(spark))
+
+
+def test_lifetime_stats_tws_impl(spark):
+    """The TWS form specifically (typed ValueState on a
+    StatefulProcessorHandle) — gated on the protobuf runtime its state
+    server requires; without it the explicit impl must raise, not hang."""
+    import pytest
+
+    from lookup_transform_spark.streaming.stateful import (
+        have_tws_runtime,
+        stream_lifetime_stats,
+    )
+
+    ev = read_events_stream(spark, SF).select("user_id", "value")
+    if not have_tws_runtime():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_lifetime_stats(ev, impl="tws")
+        return
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in run_to_memory(
+            stream_lifetime_stats(ev, impl="tws"), "t_lt_tws"
+        ).collect()
     }
-    assert set(got) == set(want)
-    for uid, (n, sv) in want.items():
-        assert got[uid][0] == n
-        assert got[uid][1] == pytest.approx(sv, rel=1e-9)
+    _assert_lifetime_matches(got, _lifetime_want(spark))
