@@ -223,8 +223,21 @@ def _exact_precluster(
     similarity to everything). Grouping is on ``xxhash64(text)`` — the
     same 2⁻⁶⁴ collision class as every other fingerprint use here.
     One window over the fingerprint shuffle, no join.
+
+    The fingerprint exchange is an EXPLICIT width-pinned repartition
+    (which the window's required distribution reuses — still exactly one
+    shuffle) rather than the window's implicit one: AQE coalesces a
+    small implicit window shuffle down to one partition, which then
+    serializes every downstream signature/shingle UDF stage on a single
+    core — measured 5.1 s vs 1.0 s for the whole minhash query at sf0.1
+    (the round-4 dedup_minhash regression). Pinning the width keeps the
+    CPU-bound stages wide; at scale the shuffle is corpus-sized either
+    way.
     """
-    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col)))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col))).repartition(
+        n, F.col("__fp__")
+    )
     w = Window.partitionBy("__fp__")
     tagged = fp.withColumn("__rep__", F.min(F.col(id_col)).over(w)).drop("__fp__")
     star = tagged.filter(F.col(id_col) != F.col("__rep__")).select(
