@@ -2970,6 +2970,180 @@ def q_tpch_q21_waiting(spark, sf):
 
 
 @_q(
+    "tpch_q7_volume",
+    """SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_q7_volume(spark, sf):
+    """TPC-H Q7 shape (bi-national shipping volume by year): two
+    broadcast nation dims aliased onto supplier and customer sides, the
+    disjunctive nation-pair predicate evaluated after both attach, fact
+    tables joined on their keys only."""
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("__nk1__"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("__nk2__"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1__"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2__"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_dec(volume)).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q10_returned",
+    """SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name""",
+)
+def q_tpch_q10_returned(spark, sf):
+    """TPC-H Q10 shape (returned-item revenue by customer): quarter
+    filter pushed into the orders scan, returnflag filter into the
+    lineitem scan, customer+nation broadcast."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_q(
+    "tpch_q13_custdist",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count""",
+)
+def q_tpch_q13_custdist(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): the LEFT
+    join keeps zero-order customers (COUNT of a null key is 0 — the
+    semantics the inner-join formulation silently loses); the priority
+    exclusion stands in for the spec's o_comment NOT LIKE (fixture has
+    no comment column)."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "tpch_q18_large_volume",
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+         o.o_totalprice""",
+)
+def q_tpch_q18_large_volume(spark, sf):
+    """TPC-H Q18 shape (large-volume orders): the IN-subquery is a
+    semi-join against the per-order quantity aggregate — the aggregate
+    runs once, map-side combined, and only qualifying orderkeys flow
+    into the main join (quantity sums are integral doubles < 2^53, so
+    the >150 gate is engine-exact)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q__"))
+        .filter(F.col("__q__") > 150)
+        .select(F.col("l_orderkey").alias("__bk__"))
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    qualifying = li.join(
+        big, li["l_orderkey"] == F.col("__bk__"), "left_semi"
+    )
+    return (
+        qualifying.join(o, qualifying["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@_q(
     "tpch_q2_min_cost",
     """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
 FROM part p
