@@ -3078,11 +3078,13 @@ FROM (
 GROUP BY c_count""",
 )
 def q_tpch_q13_custdist(spark, sf):
-    """TPC-H Q13 shape (customer order-count distribution): the LEFT
-    join keeps zero-order customers (COUNT of a null key is 0 — the
-    semantics the inner-join formulation silently loses); the priority
-    exclusion stands in for the spec's o_comment NOT LIKE (fixture has
-    no comment column)."""
+    """TPC-H Q13 shape (customer order-count distribution), spec-true
+    form: the order-side predicate lives INSIDE the LEFT join's ON
+    clause — a customer whose every order is excluded still counts with
+    c_count = 0, which a WHERE-clause filter (or the unfiltered
+    `q13_custdist` variant above) cannot express. The priority exclusion
+    stands in for the spec's o_comment NOT LIKE (fixture has no comment
+    column)."""
     c = _t(spark, sf, "customer").select("c_custkey")
     o = _t(spark, sf, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
