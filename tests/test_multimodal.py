@@ -176,6 +176,44 @@ def test_decode_stats_spark_stage(spark):
     assert got[1]["mean_value"] == pytest.approx(float(pcm.mean()), abs=1e-3)
 
 
+def test_codec_roundtrips_property():
+    """Property pin for the built-in codecs: encode→decode is the
+    identity (PPM/BMP byte-exact; WAV within subtype quantization) over
+    randomized shapes and contents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lookup_transform_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_roundtrip(h, w, seed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(rgb)) == rgb).all()
+        assert (decode_image(encode_bmp(rgb)) == rgb).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 200), seed=st.integers(0, 2**31 - 1))
+    def audio_roundtrip(n, seed):
+        rng = np.random.RandomState(seed)
+        pcm = (rng.rand(n).astype(np.float32) - 0.5) * 1.8
+        assert (decode_audio(encode_wav(pcm, subtype="FLOAT")) == pcm).all()
+        got = decode_audio(encode_wav(pcm, subtype="PCM_16"))
+        assert np.abs(got - pcm).max() < 1e-3
+
+    image_roundtrip()
+    audio_roundtrip()
+
+
 def test_resize_image_nearest():
     from lookup_transform_spark.operators.multimodal import resize_image
 

@@ -142,6 +142,41 @@ def test_ivf_layout_probe_matches_inplan_and_prunes(spark, tmp_path):
     assert n_cells > probe_cells  # pruning is actually cutting cells
 
 
+def test_ivf_pruned_cache_invalidates_on_newer_fixture(spark, tmp_path):
+    """round-4 ADVICE: the cached at-rest IVF layout must be rebuilt
+    when the fixture it was built from changes, else the pruned probe
+    silently answers over the old corpus."""
+    import os
+    import shutil
+    import time
+
+    from lookup_transform_spark import registry
+
+    sf = str(tmp_path / "sfcache")
+    os.makedirs(sf)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{sf}/embeddings.parquet",
+    )
+    try:
+        registry.QUERIES["simsearch_ivf_pruned"](spark, sf).collect()
+        layout = f"{registry.SCRATCH}/ivf_layout_{os.path.basename(sf)}"
+        first_build = os.path.getmtime(f"{layout}/data/_SUCCESS")
+        # unchanged fixture → cached layout reused
+        registry.QUERIES["simsearch_ivf_pruned"](spark, sf).collect()
+        assert os.path.getmtime(f"{layout}/data/_SUCCESS") == first_build
+        # regenerated (newer) fixture → layout rebuilt
+        time.sleep(1.1)
+        os.utime(f"{sf}/embeddings.parquet")
+        registry.QUERIES["simsearch_ivf_pruned"](spark, sf).collect()
+        assert os.path.getmtime(f"{layout}/data/_SUCCESS") > first_build
+    finally:
+        shutil.rmtree(
+            f"{registry.SCRATCH}/ivf_layout_{os.path.basename(sf)}",
+            ignore_errors=True,
+        )
+
+
 # ---------------------------------------------------------------------------
 # ANN recall floors vs exact cosine ground truth (deterministic fixture +
 # deterministic hashing → reproducible recall)
