@@ -1367,6 +1367,57 @@ def q_multimodal_decode(spark, sf):
     return decode_stats(frame)
 
 
+@_q("multimodal_resize")
+def q_multimodal_resize(spark, sf):
+    """B54: the video/image normalization pipeline shape — frame-sample
+    FIRST (a pushdown-friendly filter on the id: decode never runs on
+    dropped frames), then real PPM decode, then deterministic
+    nearest-neighbor resize to a fixed 8x8 thumbnail, all in one
+    Arrow-batched stage. Rows-only (container round-trip isn't
+    SQL-expressible); resize math pinned byte-exact in
+    tests/test_multimodal.py."""
+    import pandas as pd_  # noqa: PLC0415
+
+    from lookup_transform_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        frame_sample,
+        resize_image,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("raw")
+    )
+    sampled = frame_sample(docs, every_nth=10)  # filter BEFORE decode
+
+    def _pipeline(batches):
+        import numpy as np_  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, hs, ws, means = [], [], [], []
+            for i, raw in zip(pdf["doc_id"], pdf["raw"]):
+                b = np_.frombuffer(bytes(raw), dtype=np_.uint8)
+                side = max(2, min(16, int(b.size ** 0.5 // 3) or 2))
+                img = decode_image(encode_ppm(np_.resize(b, (side, side, 3))))
+                thumb = resize_image(img, 8, 8)
+                ids.append(i)
+                hs.append(thumb.shape[0])
+                ws.append(thumb.shape[1])
+                means.append(float(thumb.mean()))
+            yield pd_.DataFrame(
+                {
+                    "doc_id": ids,
+                    "height": hs,
+                    "width": ws,
+                    "mean_value": means,
+                }
+            )
+
+    return sampled.mapInPandas(
+        _pipeline, "doc_id long, height int, width int, mean_value double"
+    )
+
+
 @_q("stream_lookup")
 def q_stream_lookup(spark, sf):
     """B60: stream-static lookup, executed availableNow → memory sink."""
