@@ -3042,7 +3042,10 @@ def q_tpch_q7_volume(spark, sf):
     """TPC-H Q7 shape (bi-national shipping volume by year): two
     broadcast nation dims aliased onto supplier and customer sides, the
     disjunctive nation-pair predicate evaluated after both attach, fact
-    tables joined on their keys only."""
+    tables joined on their keys only. Differs from the pre-existing
+    `q7_volume_shipping` (ALL cross-nation pairs, `<>` filter): this is
+    the spec's selective two-nation OR-of-ANDs predicate — a different
+    selectivity class and a disjunctive filter surface."""
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -3094,7 +3097,10 @@ GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name""",
 def q_tpch_q10_returned(spark, sf):
     """TPC-H Q10 shape (returned-item revenue by customer): quarter
     filter pushed into the orders scan, returnflag filter into the
-    lineitem scan, customer+nation broadcast."""
+    lineitem scan, customer+nation broadcast. Differs from the
+    pre-existing `q10_returned` (no date window): adds the spec's
+    order-date quarter predicate, so the orders scan is range-pruned
+    and c_acctbal rides the output."""
     c = _t(spark, sf, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
@@ -3167,7 +3173,10 @@ def q_tpch_q18_large_volume(spark, sf):
     semi-join against the per-order quantity aggregate — the aggregate
     runs once, map-side combined, and only qualifying orderkeys flow
     into the main join (quantity sums are integral doubles < 2^53, so
-    the >150 gate is engine-exact)."""
+    the >150 gate is engine-exact). Differs from the pre-existing
+    `q18_volume` (plain join+HAVING, no customer attach): this is the
+    spec's IN-subquery form, exercising the subquery→left-semi
+    lowering plus the customer/date/totalprice projection."""
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
