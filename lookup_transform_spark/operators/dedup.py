@@ -699,6 +699,52 @@ def embedding_near_dup_pairs(
     )
 
 
+def substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the character-level
+    dedup signal of training-data curation (long verbatim spans shared
+    across documents mark boilerplate/templated text that n-gram-set
+    Jaccard underweights, cf. "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2021).
+
+    Samples ``span_len``-char windows at ``stride`` offsets, groups by
+    the span, and emits spans appearing in >= ``min_docs`` DISTINCT
+    documents: (span_md5, n_docs). Exact and oracle-checkable (substr +
+    group-by is engine-portable; md5 keeps output rows small).
+
+    Scale shape: explode factor is len/stride per doc, and the reduction
+    is a countDistinct AGGREGATE on the span — there is no self-join, so
+    a boilerplate span shared by a million docs costs one hash-agg group
+    (map-side combined), never a quadratic candidate set. At 100 TB,
+    stride trades recall for cost linearly; winnowing
+    (``fingerprint_rolling``) is the content-defined variant of the same
+    sampling.
+    """
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)) - (span_len - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("__pos__")
+    spans = docs.select(F.col(id_col), F.col(text_col), pos).select(
+        F.col(id_col),
+        F.expr(f"substring({text_col}, __pos__, {span_len})").alias("__span__"),
+    )
+    return (
+        spans.groupBy("__span__")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.md5("__span__").alias("span_md5"), "n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # At-rest fingerprint index for continuous-ingest dedup (B50 incremental)
 # ---------------------------------------------------------------------------

@@ -993,6 +993,24 @@ def q_dedup_simhash(spark, sf):
     return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
+@_q(
+    "dedup_substring",
+    """WITH spans AS (
+  SELECT d.doc_id, substr(d.text, CAST(i.i AS INTEGER), 40) AS span
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 39, 1), 10)) AS i) i)
+SELECT md5(span) AS span_md5, COUNT(DISTINCT doc_id) AS n_docs
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2""",
+)
+def q_dedup_substring(spark, sf):
+    """B51: cross-document repeated-substring spans (character-level
+    verbatim duplication, Lee et al. 2021 shape) — sampled 40-char
+    windows at stride 10, countDistinct aggregate, no self-join."""
+    return DD.substring_spans(
+        _t(spark, sf, "documents"), span_len=40, stride=10, min_docs=2
+    )
+
+
 @_q("fingerprint_rolling")
 def q_fingerprint_rolling(spark, sf):
     """B53: winnowing-style rolling fingerprint (min 5-gram xxhash64)."""

@@ -211,6 +211,36 @@ def test_ragged_chunks_bounds_elements_not_rows():
     assert [hi - lo for lo, hi in capped] == [4, 4, 2]
 
 
+def test_substring_spans_semantics(spark):
+    from lookup_transform_spark.operators.dedup import substring_spans
+
+    boiler = "x" * 20 + "THIS EXACT BOILERPLATE SPAN REPEATS!" + "y" * 20
+    rows = [
+        (1, boiler + " unique tail alpha", "s"),
+        (2, "different head " + boiler, "s"),
+        (3, "entirely unrelated text with no repeats at all here", "s"),
+        (4, "tiny", "s"),  # shorter than span_len: must not error
+    ]
+    out = substring_spans(
+        _docs(spark, rows), span_len=20, stride=1, min_docs=2
+    ).collect()
+    assert out, "shared boilerplate must surface"
+    # every reported span is in >= 2 docs; doc 3/4 contribute none
+    assert all(r["n_docs"] >= 2 for r in out)
+    solo = substring_spans(
+        _docs(spark, rows[2:]), span_len=20, stride=1, min_docs=2
+    ).collect()
+    assert solo == []
+    # a span shared by k docs is ONE aggregate group (no pair blowup):
+    # output rows are bounded by distinct spans, not doc pairs
+    many = [(i, boiler, "s") for i in range(50)]
+    spans = substring_spans(
+        _docs(spark, many), span_len=20, stride=1, min_docs=2
+    ).collect()
+    assert all(r["n_docs"] == 50 for r in spans)
+    assert len(spans) == len(boiler) - 20 + 1
+
+
 def test_minhash_recall_vs_exact_jaccard_ground_truth(spark):
     """End-to-end near-dup quality pin: banding + verify must recover
     the exact n-gram-Jaccard pair set (threshold 0.5) on the fixture.
