@@ -745,6 +745,62 @@ def substring_spans(
     )
 
 
+def substring_dup_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document verbatim-duplication rate: the fraction of a doc's
+    sampled ``span_len``-char windows that also appear in >= ``min_docs``
+    distinct documents — the curation filter built on
+    ``substring_spans`` (drop or down-weight docs whose content is
+    mostly shared boilerplate).
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_rate). Exact and
+    oracle-checkable. Scale shape: one span aggregate (map-side
+    combined) to find hot spans, one left-semi join back on the span
+    (equi-join on a hashed-string key, broadcastable when the hot-span
+    set is small), two per-doc aggregates — no self-join anywhere.
+    """
+    pos = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col(text_col)) - (span_len - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("__pos__")
+    spans = docs.select(F.col(id_col), F.col(text_col), pos).select(
+        F.col(id_col),
+        F.expr(f"substring({text_col}, __pos__, {span_len})").alias("__span__"),
+    )
+    hot = (
+        spans.groupBy("__span__")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__span__")
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        spans.join(hot, "__span__", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        totals.join(dups, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # At-rest fingerprint index for continuous-ingest dedup (B50 incremental)
 # ---------------------------------------------------------------------------

@@ -1011,6 +1011,31 @@ def q_dedup_substring(spark, sf):
     )
 
 
+@_q(
+    "substring_dup_rate",
+    """WITH spans AS (
+  SELECT d.doc_id, substr(d.text, CAST(i.i AS INTEGER), 40) AS span
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 39, 1), 10)) AS i) i),
+hot AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE s.span IN (SELECT span FROM hot)) AS BIGINT)
+         AS n_dup_windows,
+       ROUND(COUNT(*) FILTER (WHERE s.span IN (SELECT span FROM hot)) * 1.0
+             / COUNT(*), 6) AS dup_rate
+FROM spans s GROUP BY s.doc_id""",
+)
+def q_substring_dup_rate(spark, sf):
+    """B51/B53: per-document verbatim-duplication rate — the curation
+    filter over `dedup_substring`'s hot-span set (drop docs that are
+    mostly shared boilerplate)."""
+    return DD.substring_dup_rate(
+        _t(spark, sf, "documents"), span_len=40, stride=10, min_docs=2
+    )
+
+
 @_q("fingerprint_rolling")
 def q_fingerprint_rolling(spark, sf):
     """B53: winnowing-style rolling fingerprint (min 5-gram xxhash64)."""

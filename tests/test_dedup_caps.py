@@ -241,6 +241,29 @@ def test_substring_spans_semantics(spark):
     assert len(spans) == len(boiler) - 20 + 1
 
 
+def test_substring_dup_rate_bounds(spark):
+    from lookup_transform_spark.operators.dedup import substring_dup_rate
+
+    boiler = "x" * 20 + "THIS EXACT BOILERPLATE SPAN REPEATS!" + "y" * 20
+    rows = [
+        (1, boiler, "s"),
+        (2, boiler, "s"),
+        (3, "entirely unrelated text with no repeats at all here", "s"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in substring_dup_rate(
+            _docs(spark, rows), span_len=20, stride=1, min_docs=2
+        ).collect()
+    }
+    # identical docs: every window duplicated; unique doc: none
+    assert got[1]["dup_rate"] == 1.0 and got[2]["dup_rate"] == 1.0
+    assert got[3]["dup_rate"] == 0.0 and got[3]["n_dup_windows"] == 0
+    for r in got.values():
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert r["n_dup_windows"] <= r["n_windows"]
+
+
 def test_minhash_recall_vs_exact_jaccard_ground_truth(spark):
     """End-to-end near-dup quality pin: banding + verify must recover
     the exact n-gram-Jaccard pair set (threshold 0.5) on the fixture.
