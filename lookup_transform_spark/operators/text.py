@@ -126,6 +126,61 @@ def rolling_fingerprint(text_col: str | Column, window: int = 5) -> Column:
     return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_word_len: int = 20,
+    min_stop_hits: int = 1,
+    max_digit_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1
+    adapted): each rule is a named boolean column so a curation pipeline
+    can report WHICH rule dropped a document, plus the combined ``keep``.
+
+    Pure codegen expressions — one corpus scan, no shuffle, no Python.
+    The rule thresholds are arguments so a pipeline can tune them per
+    source; defaults are calibrated to the synthetic fixture corpus.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = F.round(nonspace.cast("double") / n_words, 6)
+    longest = F.array_max(F.transform(toks, lambda t: F.length(t)))
+    stop_hits = stopword_hits(text_col, "en")
+    digits = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    digit_ratio = F.round(
+        F.when(F.length(c) > 0, digits.cast("double") / F.length(c)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    r_words = n_words.between(min_words, max_words)
+    r_mean = mean_len.between(min_mean_word_len, max_mean_word_len)
+    r_longest = longest <= max_word_len
+    r_stop = stop_hits >= min_stop_hits
+    r_digit = digit_ratio < max_digit_ratio
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("word_count"),
+        mean_len.alias("mean_word_len"),
+        longest.alias("max_word_len"),
+        stop_hits.alias("stop_hits"),
+        digit_ratio.alias("digit_ratio"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_longest.alias("r_max_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_digit.alias("r_digit_ratio"),
+        (r_words & r_mean & r_longest & r_stop & r_digit).alias("keep"),
+    )
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document stats frame: the standard text-analysis pass."""
     return docs.select(

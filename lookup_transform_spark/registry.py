@@ -2324,12 +2324,21 @@ def q_tfidf_top_terms(spark, sf):
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, on="term").select(
+    # Document frequency derives from tf — it already holds exactly one
+    # row per (doc, term), so a per-term row count == countDistinct(doc_id)
+    # over the raw token stream. Computing it as a window count over tf
+    # (a) tokenizes the corpus ONCE (the naive formulation re-explodes
+    # every document for the df branch and pays a countDistinct shuffle
+    # on the full token stream) and (b) avoids a tf⋈df self-join that
+    # would re-evaluate the explode subtree on both sides.
+    w_term = Window.partitionBy("term")
+    scored = tf.select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(w_term)),
+            6,
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -3457,3 +3466,44 @@ def q_pack_sequences(spark, sf):
             F.sum("n_chars").alias("fill_chars"),
         )
     )
+
+
+@_q(
+    "quality_filter_gopher",
+    """WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         length(text) AS chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS word_count,
+         ROUND(CAST(nonspace AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_word_len,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['the','and','of','to','in','is','that','it','for','with'], x)))
+           AS INTEGER) AS stop_hits,
+         ROUND(CASE WHEN chars > 0 THEN CAST(digits AS DOUBLE) / chars
+                    ELSE 0.0 END, 6) AS digit_ratio
+  FROM t)
+SELECT doc_id, word_count, mean_word_len, max_word_len, stop_hits, digit_ratio,
+       (word_count BETWEEN 10 AND 10000) AS r_word_count,
+       (mean_word_len BETWEEN 2.0 AND 10.0) AS r_mean_word_len,
+       (max_word_len <= 20) AS r_max_word_len,
+       (stop_hits >= 1) AS r_stopwords,
+       (digit_ratio < 0.2) AS r_digit_ratio,
+       ((word_count BETWEEN 10 AND 10000)
+        AND (mean_word_len BETWEEN 2.0 AND 10.0)
+        AND (max_word_len <= 20) AND (stop_hits >= 1)
+        AND (digit_ratio < 0.2)) AS keep
+FROM m""",
+)
+def q_quality_filter_gopher(spark, sf):
+    """B53 extension: Gopher-rule quality filtering (Rae et al. 2021)
+    with per-rule attribution columns — the standard cheap pre-filter
+    pass of a training-data pipeline. Single scan, zero shuffle, pure
+    codegen (`.explain` shows one WholeStageCodegen over the parquet
+    scan with only doc_id/text read)."""
+    return TX.gopher_quality(_t(spark, sf, "documents"))
