@@ -3507,3 +3507,52 @@ def q_quality_filter_gopher(spark, sf):
     codegen (`.explain` shows one WholeStageCodegen over the parquet
     scan with only doc_id/text read)."""
     return TX.gopher_quality(_t(spark, sf, "documents"))
+
+
+@_q(
+    "scan_binary_files",
+    """SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id < 400""",
+)
+def q_scan_binary_files(spark, sf):
+    """B1/B54: raw binary-asset ingest through Spark's ``binaryFile``
+    source — the path a multimodal pipeline takes for image/audio files
+    on object storage. Fixture prep exports a deterministic subset of
+    documents as one ``<doc_id>.bin`` per row (executor-side
+    ``foreachPartition``, nothing driver-collected), then the measured
+    query lists + scans them back and checks payload integrity by md5
+    against the source-of-truth table. Staleness-guarded like the IVF
+    at-rest layout: the export is rebuilt when the fixture parquet is
+    newer than its _SUCCESS sentinel."""
+    from lookup_transform_spark.sources import (
+        read_binary_files,
+        write_binary_files,
+    )
+
+    path = f"{SCRATCH}/bin_assets_{os.path.basename(sf)}"
+    success = f"{path}/_SUCCESS"
+    fixture = os.path.join(sf, "documents.parquet")
+    stale = os.path.exists(success) and os.path.exists(fixture) and (
+        os.path.getmtime(fixture) > os.path.getmtime(success)
+    )
+    if stale:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(success):
+        docs = (
+            _t(spark, sf, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        )
+        write_binary_files(docs, path)
+    bf = read_binary_files(spark, path, glob="*.bin")
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("payload_len"),
+        F.md5(F.col("content")).alias("payload_md5"),
+    )

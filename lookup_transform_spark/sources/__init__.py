@@ -1,10 +1,12 @@
 from lookup_transform_spark.sources.readers import (
+    read_binary_files,
     read_csv,
     read_json,
     read_orc,
     read_parquet,
 )
 from lookup_transform_spark.sources.writers import (
+    write_binary_files,
     write_csv,
     write_json,
     write_orc,
@@ -12,10 +14,12 @@ from lookup_transform_spark.sources.writers import (
 )
 
 __all__ = [
+    "read_binary_files",
     "read_csv",
     "read_json",
     "read_orc",
     "read_parquet",
+    "write_binary_files",
     "write_csv",
     "write_json",
     "write_orc",

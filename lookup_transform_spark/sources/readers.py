@@ -53,3 +53,28 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     time, so production tables should pin the merged schema in a
     catalog; this reader is the discovery path."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-asset ingest via Spark's built-in ``binaryFile`` source —
+    the entry point for raw image/audio/video files sitting on object
+    storage (SURVEY.md §2.2 B54 ingest leg).
+
+    Yields (path, modificationTime, length, content) with ``content``
+    as an opaque binary column; downstream decode/feature steps are the
+    multimodal tier (operators/multimodal.py). Listing parallelizes in
+    the driver's InMemoryFileIndex and each file becomes a scan split,
+    so a million-asset bucket reads at full cluster width; pair with
+    ``pathGlobFilter`` to prune non-asset junk at the listing, never
+    post-scan.
+
+    Caveat (pinned in tests/test_sources.py): Spark's file-source split
+    planner drops ZERO-LENGTH files, so empty assets never reach the
+    DataFrame — a pipeline that must account for every object should
+    reconcile counts against a listing, not this scan."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

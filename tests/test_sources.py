@@ -168,3 +168,65 @@ def test_manifest_sink_failed_job_publishes_nothing(spark, tmp_path):
     # no manifest ⇒ the failed write is invisible to manifest-trusting
     # readers, whatever shard fragments tasks left behind
     assert not os.path.exists(os.path.join(path, MANIFEST))
+
+
+def test_binary_files_roundtrip(spark, tmp_path):
+    """write_binary_files → binaryFile scan: byte-exact payloads, one
+    file per row, pathGlobFilter prunes non-matching junk."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.sources import (
+        read_binary_files,
+        write_binary_files,
+    )
+
+    payloads = {7: b"\x00\x01binary\xff", 11: b"", 23: b"plain text"}
+    nonempty = {k: v for k, v in payloads.items() if v}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    out = str(tmp_path / "assets")
+    write_binary_files(df, out)
+    (tmp_path / "assets" / "junk.txt").write_text("not an asset")
+
+    got = read_binary_files(spark, out, glob="*.bin").select(
+        F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        "content",
+        "length",
+    )
+    rows = {r.doc_id: r for r in got.collect()}
+    # junk.txt and _SUCCESS are pruned by the glob; the ZERO-LENGTH
+    # asset is silently dropped by Spark's split planner — pinned here
+    # as the documented caveat in read_binary_files.
+    assert set(rows) == set(nonempty)
+    for k, v in nonempty.items():
+        assert bytes(rows[k].content) == v
+        assert rows[k].length == len(v)
+
+
+def test_gopher_quality_rule_attribution(spark):
+    """Each Gopher rule trips on its own pathological document and the
+    clean document keeps all rules green."""
+    from lookup_transform_spark.operators.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            # clean: enough words, sane lengths, has stopwords, no digits
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "it runs away into the woods for a while today"),
+            (2, "short text the end"),                      # r_word_count
+            (3, " ".join(["supercalifragilisticexpialidocious"] * 12)),  # mean+max len
+            (4, " ".join(["zz"] * 15)),                     # r_stopwords (no stopword)
+            (5, "the " + " ".join(["123456"] * 14)),        # digit ratio + mean len ok
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].keep and all(
+        getattr(out[1], c) for c in out[1].asDict() if c.startswith("r_")
+    )
+    assert not out[2].r_word_count and not out[2].keep
+    assert not out[3].r_mean_word_len and not out[3].r_max_word_len
+    assert not out[4].r_stopwords and not out[4].keep
+    assert not out[5].r_digit_ratio and not out[5].keep
