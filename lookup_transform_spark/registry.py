@@ -3556,3 +3556,21 @@ def q_scan_binary_files(spark, sf):
         F.col("length").alias("payload_len"),
         F.md5(F.col("content")).alias("payload_md5"),
     )
+
+
+@_q("kmeans_embeddings")
+def q_kmeans_embeddings(spark, sf):
+    """Extension tier (iterative algorithms, with dedup_clusters):
+    distributed Lloyd's k-means over the embedding corpus — per-cluster
+    size and mean within-cluster distance. Rows-only (no SQL-engine
+    oracle for an iterative algorithm); assignments pinned exact vs a
+    pure-numpy Lloyd's replica in tests/test_clustering.py."""
+    from lookup_transform_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=5)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy("cluster_id")
+    )
