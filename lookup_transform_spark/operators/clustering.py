@@ -68,8 +68,11 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 5,
+    with_vectors: bool = False,
 ) -> DataFrame:
-    """Lloyd's k-means; returns (id, cluster_id) for every input row.
+    """Lloyd's k-means; returns (id, cluster_id) for every input row
+    (plus the vector itself when ``with_vectors`` — consumers like
+    semantic dedup then need no join back to the source).
 
     Initial centroids are the vectors of the ``k`` smallest ids —
     deterministic and cheap (one tiny sorted limit), the same
@@ -109,7 +112,75 @@ def kmeans_assign(
             nxt[r["cluster_id"]] = [r[f"c{i}"] for i in range(dim)]
         cent = nxt
     return src.mapInPandas(
-        _assign_udf(cent, id_col, vec_col, carry_vec=False), out_schema
+        _assign_udf(cent, id_col, vec_col, carry_vec=with_vectors),
+        carry_schema if with_vectors else out_schema,
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates (Abbas et al. 2023):
+    k-means the embedding space, then compare ONLY within each cluster —
+    the candidate set shrinks from O(n²) to O(Σ mᵢ²), with k as the
+    knob that bounds per-cluster work.
+
+    Emits (vec_id, dup_of, sim): ``dup_of`` is the SMALLEST same-cluster
+    id whose cosine similarity reaches ``threshold`` — the
+    representative a curation pass keeps, giving a deterministic
+    keep/drop policy (keep every id that never appears as ``vec_id``).
+
+    Scale shape: assignment is the k-means pipeline (matmul per Arrow
+    batch, k×d centroid closure); the per-cluster pass is one
+    ``applyInPandas`` whose group is a cluster — pick ``k`` so n/k rows
+    of d floats fit a worker (raise k as the corpus grows; clusters
+    larger than ``max_cluster_size`` are dropped by the same skew guard
+    the LSH buckets use, on the argument that a cluster that big means
+    k is mis-sized, not that the job should die). Within a cluster the
+    similarity tile is one float64 matmul.
+    """
+    from lookup_transform_spark.operators.dedup import _cap_group_size
+
+    assigned = kmeans_assign(
+        df, id_col, vec_col, k=k, iters=iters, with_vectors=True
+    )
+    assigned = _cap_group_size(assigned, ["cluster_id"], max_cluster_size)
+
+    def cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "dup_of": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+        hit = np.triu(sims >= threshold, k=1)  # i < j (ids sorted)
+        has_dup = hit.any(axis=0)
+        j_idx = np.flatnonzero(has_dup)
+        i_idx = hit[:, j_idx].argmax(axis=0)  # first True = smallest id
+        return pd.DataFrame(
+            {
+                "vec_id": ids[j_idx],
+                "dup_of": ids[i_idx],
+                "sim": sims[i_idx, j_idx],
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        cluster_dups, "vec_id long, dup_of long, sim double"
     )
 
 

@@ -3574,3 +3574,20 @@ def q_kmeans_embeddings(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("cluster_id")
     )
+
+
+@_q("dedup_semantic")
+def q_dedup_semantic(spark, sf):
+    """B51 extension: SemDeDup — semantic near-dup removal by k-means
+    clustering + within-cluster cosine (Abbas et al. 2023). Rows-only
+    (iterative clustering has no SQL oracle); pinned exact vs a numpy
+    replica of cluster-then-compare in tests/test_clustering.py, and
+    its recall vs the exact all-pairs ground truth is pinned there too."""
+    from lookup_transform_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, iters=3, threshold=0.4
+    )
