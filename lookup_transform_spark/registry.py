@@ -3591,3 +3591,29 @@ def q_dedup_semantic(spark, sf):
     return semantic_dedup_pairs(
         emb, "vec_id", "embedding", k=8, iters=3, threshold=0.4
     )
+
+
+@_q("sketch_hll_rollup")
+def q_sketch_hll_rollup(spark, sf):
+    """B32 extension: MERGEABLE sketch rollup — the 100 TB
+    pre-aggregation idiom. Per-(source, lang) HLL sketches are built
+    with one pass (hll_sketch_agg), then rolled up to per-source totals
+    by merging the BINARY sketches (hll_union_agg) — distinct-count
+    rollups without rescanning or re-shuffling raw data. At rest the
+    leaf sketches would be a tiny parquet table maintained per
+    partition-ingest; any slice union is then sketch-merge cheap.
+    Rows-only (HLL estimates are engine-specific); the estimate-vs-
+    exact tolerance is pinned in tests/test_property.py."""
+    d = _t(spark, sf, "documents")
+    leaf = d.groupBy("source", "lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        leaf.groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .orderBy("source")
+    )

@@ -212,3 +212,36 @@ def test_text_metric_bounds_on_adversarial_strings(spark):
         assert 0.0 <= r["p"] <= 1.0
         assert r["lang"] in {"en", "es", "de", "fr", "und"}
         assert r["n"] >= 0
+
+
+def test_hll_sketch_rollup_tolerance(spark):
+    """Merged-sketch estimates must stay within HLL's published error
+    envelope of the exact distinct count (5% is ~3 sigma at the default
+    lgConfigK=12), and the mergeable rollup must count every leaf row."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.source: r
+        for r in registry.QUERIES["sketch_hll_rollup"](spark, sf).collect()
+    }
+    exact = {
+        r.source: (r.nd, r.n)
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for s, (nd, n) in exact.items():
+        assert got[s].n_rows == n
+        assert abs(got[s].approx_docs - nd) <= max(1, 0.05 * nd), (
+            s,
+            got[s].approx_docs,
+            nd,
+        )
