@@ -296,3 +296,32 @@ def test_broadcast_gate_hints_by_estimated_size(spark):
         broadcast_threshold_rows=est * 100,
     )
     assert "BroadcastHashJoin" in explain_str(big.apply(inp, lkp))
+
+
+def test_kmeans_fixpoint_joinless(spark):
+    # centroids travel in task closures: no Join / BroadcastExchange
+    # anywhere, and the final assignment is MapInPandas straight over
+    # the scan — the property that keeps each iteration one corpus pass
+    from lookup_transform_spark.operators.clustering import kmeans_assign
+
+    df = kmeans_assign(
+        spark.read.parquet(f"{SF}/embeddings.parquet"),
+        "vec_id",
+        "embedding",
+        k=4,
+        iters=1,
+    )
+    plan = explain_str(df, "simple")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_hll_rollup_partial_sketch_aggregation(spark):
+    # map-side partial sketch build/merge before each exchange: the
+    # shuffle carries one sketch per (source,lang) per task, not rows
+    df = registry.QUERIES["sketch_hll_rollup"](spark, SF)
+    plan = explain_str(df)
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
+    assert "hll_sketch_estimate" in plan
