@@ -78,7 +78,12 @@ def kmeans_assign(
     deterministic and cheap (one tiny sorted limit), the same
     deterministic-seed convention as the IVF centroid sample.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    head = df.select(vec_col).first()
+    if head is None:
+        raise ValueError("kmeans_assign: input DataFrame is empty")
+    dim = len(head[0])
     init = (
         df.select(id_col, vec_col)
         .orderBy(id_col)
