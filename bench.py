@@ -62,6 +62,10 @@ HEADLINE = [
     "lang_id",
     "decontaminate",
     "sessionize",
+    "quality_filter_gopher",
+    "kmeans_embeddings",
+    "dedup_semantic",
+    "sketch_hll_rollup",
 ]
 
 
