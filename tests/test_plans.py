@@ -325,3 +325,12 @@ def test_hll_rollup_partial_sketch_aggregation(spark):
     assert "partial_hll_sketch_agg" in plan
     assert "partial_hll_union_agg" in plan
     assert "hll_sketch_estimate" in plan
+
+
+def test_gopher_filter_single_pass_no_shuffle(spark):
+    # all rules are codegen expressions over one scan: no Exchange at
+    # all, and only doc_id/text read from the corpus
+    df = registry.QUERIES["quality_filter_gopher"](spark, SF)
+    plan = explain_str(df)
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
