@@ -3588,8 +3588,15 @@ def q_dedup_semantic(spark, sf):
     )
 
     emb = _t(spark, sf, "embeddings")
+    # k scales with the corpus so a cluster (~n/k rows) keeps its
+    # similarity tile worker-sized: n/k ~ 2k rows -> ~32 MB float64
+    # tile. This is the knob the operator docstring prescribes — at
+    # 100 TB you raise k, never the per-worker tile.
+    n = emb.count()
+    k = max(8, min(256, n // 2000))
     return semantic_dedup_pairs(
-        emb, "vec_id", "embedding", k=8, iters=3, threshold=0.4
+        emb, "vec_id", "embedding", k=k, iters=3, threshold=0.4,
+        max_cluster_size=20_000,
     )
 
 
