@@ -2,9 +2,12 @@
 DataFrame callable plus, where SQL-expressible, a DuckDB oracle string.
 
 Cross-engine determinism rules (so the driver's value-hash matches):
-- double aggregates go through DECIMAL(38,6): the per-row double math is
-  IEEE-identical in both engines, the decimal sum is exact (order-free),
-  and the final cast back to double is a single deterministic rounding.
+- double aggregates use fixed-point long accumulation (``_fsum`` /
+  ``functions/fixedpoint.py``): the per-row double math is IEEE-identical
+  in both engines, ``round(x * 10^dp)`` is the same deterministic value,
+  and the int64 sum is exact (order-free). This replaced the r1-r4
+  DECIMAL(38,6) formulation — same exactness, ~2.5× faster because the
+  accumulator stays a codegen'd primitive instead of a BigDecimal.
 - timestamps never appear raw in outputs: epoch seconds/micros (bigint)
   or DATE casts only. The events fixture is ns-precision parquet; Spark
   truncates to micros, so oracle comparisons use epoch_us/floor(epoch).
@@ -20,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lookup_transform_spark.functions.fixedpoint import fp_sum, scaled_long
 from lookup_transform_spark.operators import dedup as DD
 from lookup_transform_spark.operators import text as TX
 from lookup_transform_spark.operators.asof import asof_join, range_join
@@ -71,14 +75,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def _dec(col):
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast("decimal(38,6)")
-
-
-def _sumd(col, alias: str):
-    """Deterministic double sum: exact decimal accumulation, one final cast."""
-    return F.sum(_dec(col)).cast("double").alias(alias)
+def _fsum(col, alias: str, dp: int = 2):
+    """Deterministic double sum via fixed-point long accumulation —
+    exact, order-independent, and fully codegen'd (2.5× faster than the
+    decimal(38,6) formulation it replaced; see functions/fixedpoint.py
+    for the overflow bounds and the beyond-2^63 ``fp_sum_stable``).
+    ``dp`` = decimal places of the source (0 quantities, 2 money,
+    4 price×discount products, 6 two-product terms)."""
+    return fp_sum(col, dp).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -371,31 +375,34 @@ def q_lookup_chain(spark, sf):
 @_q(
     "tpch_q1",
     """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+       SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
 )
 def q_tpch_q1(spark, sf):
-    """B32 hash aggregate: TPC-H Q1-shaped pricing summary."""
+    """B32 hash aggregate: TPC-H Q1-shaped pricing summary. Sums are
+    fixed-point long accumulation (exact + codegen; the 6dp sum_charge
+    keeps ~2.4e8 rows/group of headroom — beyond that, ANSI mode fails
+    loudly and ``fp_sum_stable`` is the documented formulation)."""
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _sumd("l_quantity", "sum_qty"),
-        _sumd("l_extendedprice", "sum_base_price"),
-        F.sum(_dec(disc_price)).cast("double").alias("sum_disc_price"),
-        F.sum(_dec(charge)).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-        (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        _fsum("l_quantity", "sum_qty", dp=0),
+        _fsum("l_extendedprice", "sum_base_price", dp=2),
+        _fsum(disc_price, "sum_disc_price", dp=4),
+        _fsum(charge, "sum_charge", dp=6),
+        (fp_sum("l_quantity", 0) / F.count(F.lit(1))).alias("avg_qty"),
+        (fp_sum("l_discount", 2) / F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -403,7 +410,7 @@ def q_tpch_q1(spark, sf):
 @_q(
     "agg_rollup",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 )
 def q_agg_rollup(spark, sf):
@@ -411,14 +418,14 @@ def q_agg_rollup(spark, sf):
     return (
         _t(spark, sf, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), _sumd("l_quantity", "sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n"), _fsum("l_quantity", "sum_qty", dp=0))
     )
 
 
 @_q(
     "agg_cube",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 )
 def q_agg_cube(spark, sf):
@@ -426,7 +433,7 @@ def q_agg_cube(spark, sf):
     return (
         _t(spark, sf, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), _sumd("o_totalprice", "sum_price"))
+        .agg(F.count(F.lit(1)).alias("n"), _fsum("o_totalprice", "sum_price", dp=2))
     )
 
 
@@ -469,10 +476,10 @@ def q_window_topk(spark, sf):
 @_q(
     "window_running",
     """SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
          PARTITION BY user_id
          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
-         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+         ROWS UNBOUNDED PRECEDING) / 1000000.0 AS running_value,
        LAG(event_id) OVER (
          PARTITION BY user_id
          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_event_id
@@ -486,10 +493,11 @@ def q_window_running(spark, sf):
     return _events(spark, sf).select(
         "event_id",
         "user_id",
-        F.sum(_dec("value"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-        .alias("running_value"),
+        (
+            F.sum(scaled_long("value", 6))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / F.lit(1e6)
+        ).alias("running_value"),
         F.lag("event_id").over(w).alias("prev_event_id"),
     )
 
@@ -703,7 +711,7 @@ def q_session_window_agg(spark, sf):
     """SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
          AS w_start,
        event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
 FROM events GROUP BY 1, 2""",
 )
 def q_window_tumbling(spark, sf):
@@ -711,7 +719,7 @@ def q_window_tumbling(spark, sf):
     ev = _events(spark, sf)
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), _sumd("value", "sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _fsum("value", "sum_value", dp=6))
         .select(
             F.col("w.start").cast("long").alias("w_start"),
             "event_type", "n_events", "sum_value",
@@ -1298,8 +1306,8 @@ def q_udtf_tokens(spark, sf):
 @_q(
     "pivot_status",
     """SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(ROUND(l_quantity) AS BIGINT) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_quantity) AS BIGINT) END) AS DOUBLE) AS qty_F
 FROM lineitem GROUP BY l_returnflag""",
 )
 def q_pivot_status(spark, sf):
@@ -1308,7 +1316,7 @@ def q_pivot_status(spark, sf):
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .agg(F.sum(scaled_long("l_quantity", 0)).cast("double"))
     )
     return out.select(
         "l_returnflag",
@@ -1598,7 +1606,7 @@ def q_agg_having(spark, sf):
     "subquery_scalar",
     """SELECT o_orderkey FROM orders
 WHERE o_totalprice > (
-  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 / COUNT(*)
   FROM orders)""",
 )
 def q_subquery_scalar(spark, sf):
@@ -1607,7 +1615,7 @@ def q_subquery_scalar(spark, sf):
     return spark.sql(
         """SELECT o_orderkey FROM orders_sq
            WHERE o_totalprice > (
-             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
                     / COUNT(*)
              FROM orders_sq)"""
     )
@@ -1686,7 +1694,7 @@ def q_lookup_skew_salted(spark, sf):
 @_q(
     "bucketed_join",
     """SELECT o.o_orderkey, o.o_totalprice,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS lineitem_total
+       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS lineitem_total
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey, o.o_totalprice""",
 )
@@ -1711,7 +1719,7 @@ def q_bucketed_join(spark, sf):
     )
     j = bucketed_join(spark, ot, lt, "o_orderkey", "l_orderkey", how="inner")
     return j.groupBy("o_orderkey", "o_totalprice").agg(
-        F.sum(_dec("l_extendedprice")).cast("double").alias("lineitem_total")
+        fp_sum("l_extendedprice", 2).alias("lineitem_total")
     )
 
 
@@ -1767,10 +1775,10 @@ def q_window_rank(spark, sf):
 @_q(
     "window_range_frame",
     """SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey
          ORDER BY CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
-         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_30d
 FROM orders""",
 )
 def q_window_range_frame(spark, sf):
@@ -1788,7 +1796,7 @@ def q_window_range_frame(spark, sf):
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+        (F.sum(scaled_long("o_totalprice", 2)).over(w) / F.lit(100.0)).alias("trailing_30d"),
     )
 
 
@@ -1811,7 +1819,7 @@ def q_unpivot_part(spark, sf):
 @_q(
     "tpch_q3_shipping",
     """SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        CAST(o.o_orderdate AS DATE) AS o_orderdate
 FROM customer c
@@ -1840,7 +1848,7 @@ def q_tpch_q3_shipping(spark, sf):
             li["l_orderkey"],
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(_fsum(revenue, "revenue", dp=4))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
@@ -1848,7 +1856,7 @@ def q_tpch_q3_shipping(spark, sf):
 @_q(
     "tpch_q5_local_supplier",
     """SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1880,7 +1888,7 @@ def q_tpch_q5_local_supplier(spark, sf):
         .join(n, s["s_nationkey"] == n["n_nationkey"])
         .join(r, n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(_fsum(revenue, "revenue", dp=4))
     )
 
 
@@ -1957,7 +1965,7 @@ def q_map_funcs(spark, sf):
     """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
 FROM lineitem l
 WHERE l.l_quantity < (
-  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+  SELECT 0.2 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
                 / COUNT(*))
   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
 )
@@ -1969,7 +1977,7 @@ def q_correlated_subquery(spark, sf):
         """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
            FROM lineitem_cs l
            WHERE l.l_quantity < (
-             SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             SELECT 0.2 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
                            / COUNT(*))
              FROM lineitem_cs l2 WHERE l2.l_partkey = l.l_partkey)"""
     )
@@ -2015,10 +2023,10 @@ def q_not_in_subquery(spark, sf):
 @_q(
     "q18_volume",
     """SELECT o.o_orderkey, o.o_custkey,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey, o.o_custkey
-HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 150""",
+HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 150""",
 )
 def q_q18_volume(spark, sf):
     """B32: join + aggregate + HAVING on the aggregate (TPC-H Q18)."""
@@ -2027,7 +2035,7 @@ def q_q18_volume(spark, sf):
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderkey", "o_custkey")
-        .agg(F.sum(_dec("l_quantity")).alias("__q__"))
+        .agg(F.sum(scaled_long("l_quantity", 0)).alias("__q__"))
         .filter(F.col("__q__") > 150)
         .select(
             "o_orderkey", "o_custkey",
@@ -2201,7 +2209,7 @@ def q_pipeline_curate(spark, sf):
 @_q(
     "q10_returned",
     """SELECT c.c_custkey, c.c_name, n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2222,7 +2230,7 @@ def q_q10_returned(spark, sf):
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(_fsum(revenue, "revenue", dp=4))
     )
 
 
@@ -2230,7 +2238,7 @@ def q_q10_returned(spark, sf):
     "q7_volume_shipping",
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
@@ -2260,7 +2268,7 @@ def q_q7_volume_shipping(spark, sf):
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(_fsum(revenue, "revenue", dp=4))
     )
 
 
@@ -2494,8 +2502,8 @@ def q_corpus_mix(spark, sf):
     "anomaly_zscore",
     """WITH s AS (
   SELECT user_id, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sv,
-         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS svv
+         SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sv,
+         SUM(CAST(ROUND(value * value * 1000000) AS BIGINT)) / 1000000.0 AS svv
   FROM events GROUP BY user_id)
 SELECT e.event_id, e.user_id,
        ROUND((e.value - sv / n) / SQRT((svv - sv * sv / n) / (n - 1)), 6) AS z
@@ -2512,8 +2520,8 @@ def q_anomaly_zscore(spark, sf):
     e = _events(spark, sf).select("event_id", "user_id", "value")
     stats = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("value")).cast("double").alias("sv"),
-        F.sum(_dec(F.col("value") * F.col("value"))).cast("double").alias("svv"),
+        fp_sum("value", 6).alias("sv"),
+        fp_sum(F.col("value") * F.col("value"), 6).alias("svv"),
     )
     n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
     var = (svv - sv * sv / n) / (n - 1)
@@ -2604,7 +2612,7 @@ def q_tpch_q4_priority(spark, sf):
 
 @_q(
     "tpch_q6_forecast",
-    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+    """SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0
          AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2623,9 +2631,7 @@ def q_tpch_q6_forecast(spark, sf):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
-        .cast("double")
-        .alias("revenue")
+        fp_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
     )
 
 
@@ -2633,9 +2639,9 @@ def q_tpch_q6_forecast(spark, sf):
     "tpch_q14_promo",
     """SELECT ROUND(
   100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
-                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+                        THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+        / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE),
   6) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -2650,8 +2656,8 @@ def q_tpch_q14_promo(spark, sf):
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
     p = _t(spark, sf, "part").select("p_partkey", "p_type")
-    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    zero = F.lit(0).cast("decimal(38,6)")
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero = F.lit(0).cast("long")
     j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     return j.agg(
         F.round(
@@ -2666,7 +2672,7 @@ def q_tpch_q14_promo(spark, sf):
 
 @_q(
     "tpch_q19_disjunctive",
-    """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+    """SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -2693,19 +2699,17 @@ def q_tpch_q19_disjunctive(spark, sf):
         | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
     )
     return j.filter(disj).agg(
-        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-        .cast("double")
-        .alias("revenue")
+        _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", dp=4)
     )
 
 
 @_q(
     "tpch_q22_dormant",
     """SELECT n.n_name, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+       SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*)
         FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY n.n_name""",
@@ -2718,7 +2722,7 @@ def q_tpch_q22_dormant(spark, sf):
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+            (fp_sum("c_acctbal", 2) / F.count(F.lit(1)))
             .alias("__avg_bal__")
         )
     )
@@ -2734,7 +2738,7 @@ def q_tpch_q22_dormant(spark, sf):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _sumd("c_acctbal", "totacctbal"),
+            _fsum("c_acctbal", "totacctbal", dp=2),
         )
     )
 
@@ -2751,11 +2755,11 @@ def q_tpch_q22_dormant(spark, sf):
     "tpch_q8_market_share",
     """SELECT o_year,
        ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                           ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                           ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
              / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
-         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS volume,
          n2.n_name AS nation
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2798,8 +2802,8 @@ def q_tpch_q8_market_share(spark, sf):
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     )
-    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    zero = F.lit(0).cast("decimal(38,6)")
+    vol = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    zero = F.lit(0).cast("long")
     return (
         j.select(
             F.year("o_orderdate").alias("o_year"),
@@ -2821,12 +2825,12 @@ def q_tpch_q8_market_share(spark, sf):
 @_q(
     "tpch_q9_profit",
     """SELECT nation, o_year,
-       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       SUM(amount) / 1000000.0 AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          EXTRACT(year FROM o.o_orderdate) AS o_year,
-         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
-           - CAST(0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(38,6)) AS amount
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)
+           - CAST(ROUND(0.1 * p.p_retailprice * l.l_quantity * 1000000) AS BIGINT) AS amount
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN part p ON p.p_partkey = l.l_partkey
@@ -2852,9 +2856,9 @@ def q_tpch_q9_profit(spark, sf):
     )
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
-    amount = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - _dec(
-        0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    amount = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ) - scaled_long(0.1 * F.col("p_retailprice") * F.col("l_quantity"), 6)
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -2866,7 +2870,7 @@ def q_tpch_q9_profit(spark, sf):
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg((F.sum("amount") / F.lit(1e6)).alias("sum_profit"))
     )
 
 
@@ -2874,11 +2878,11 @@ def q_tpch_q9_profit(spark, sf):
     "tpch_q11_value_conc",
     """WITH pv AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS part_value
   FROM lineitem GROUP BY l_partkey)
 SELECT l_partkey, part_value FROM pv
 WHERE part_value > (
-  SELECT 1.3 * CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+  SELECT 1.3 * (SUM(CAST(ROUND(part_value * 100) AS BIGINT)) / 100.0) / COUNT(*)
   FROM pv)""",
 )
 def q_tpch_q11_value_conc(spark, sf):
@@ -2889,10 +2893,10 @@ def q_tpch_q11_value_conc(spark, sf):
     through decimal so both engines compute the identical scalar. The
     one-row threshold is broadcast; the per-part agg is computed once."""
     li = _t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
-    per_part = li.groupBy("l_partkey").agg(_sumd("l_extendedprice", "part_value"))
+    per_part = li.groupBy("l_partkey").agg(_fsum("l_extendedprice", "part_value", dp=2))
     thresh = per_part.agg(
         (
-            1.3 * F.sum(_dec("part_value")).cast("double") / F.count(F.lit(1))
+            1.3 * fp_sum("part_value", 2) / F.count(F.lit(1))
         ).alias("__thresh__")
     )
     return (
@@ -2938,7 +2942,7 @@ def q_tpch_q12_late_priority(spark, sf):
     "tpch_q15_top_supplier",
     """WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2960,9 +2964,10 @@ def q_tpch_q15_top_supplier(spark, sf):
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("double")
-            .alias("total_revenue")
+            _fsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue", dp=4,
+            )
         )
     )
     top = rev.agg(F.max("total_revenue").alias("__max_rev__"))
@@ -2976,12 +2981,12 @@ def q_tpch_q15_top_supplier(spark, sf):
 
 @_q(
     "tpch_q17_small_qty",
-    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+    """SELECT SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
          AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
   AND l.l_quantity < (
-    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+    SELECT 0.5 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
                   / COUNT(*))
     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
 )
@@ -3002,7 +3007,7 @@ def q_tpch_q17_small_qty(spark, sf):
         .agg(
             (
                 0.5
-                * F.sum(_dec("l_quantity")).cast("double")
+                * fp_sum("l_quantity", 0)
                 / F.count(F.lit(1))
             ).alias("__half_avg__")
         )
@@ -3011,7 +3016,7 @@ def q_tpch_q17_small_qty(spark, sf):
         brand_li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk__"))
         .filter(F.col("l_quantity") < F.col("__half_avg__"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+            (fp_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -3075,7 +3080,7 @@ def q_tpch_q21_waiting(spark, sf):
 @_q(
     "tpch_q7_volume",
     """SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       SUM(CAST(ROUND(volume * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
@@ -3127,14 +3132,14 @@ def q_tpch_q7_volume(spark, sf):
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(_dec(volume)).cast("double").alias("revenue"))
+        .agg(_fsum(volume, "revenue", dp=4))
     )
 
 
 @_q(
     "tpch_q10_returned",
     """SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        c.c_acctbal, n.n_name
 FROM customer c
@@ -3170,7 +3175,7 @@ def q_tpch_q10_returned(spark, sf):
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_dec(revenue)).cast("double").alias("revenue"))
+        .agg(_fsum(revenue, "revenue", dp=4))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
 
@@ -3210,7 +3215,7 @@ def q_tpch_q13_custdist(spark, sf):
     "tpch_q18_large_volume",
     """SELECT c.c_name, c.c_custkey, o.o_orderkey,
        CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -3253,7 +3258,7 @@ def q_tpch_q18_large_volume(spark, sf):
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
         )
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(_fsum("l_quantity", "total_qty", dp=0))
     )
 
 
@@ -3345,7 +3350,7 @@ WHERE s.s_suppkey IN (
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_suppkey
-    HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300.0)""",
+    HAVING CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) > 300.0)""",
 )
 def q_tpch_q20_promotion(spark, sf):
     """TPC-H Q20 shape (promotion candidates): IN over a grouped
@@ -3364,7 +3369,7 @@ def q_tpch_q20_promotion(spark, sf):
     heavy = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("__qty__"))
+        .agg(_fsum("l_quantity", "__qty__", dp=0))
         .filter(F.col("__qty__") > 300.0)
         .select("l_suppkey")
     )
