@@ -66,6 +66,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "dedup_semantic",
     "sketch_hll_rollup",
+    "sketch_quantile_rollup",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Mergeable quantile sketch: log-bucketed histograms as map columns.
+
+The 100 TB pre-aggregation idiom for percentiles, companion to the HLL
+distinct-count rollup (``sketch_hll_rollup``): exact percentiles need
+the raw values (selection), so any per-slice percentile over 100 TB
+either rescans raw data per slice or keeps a MERGEABLE summary. This
+module keeps an HdrHistogram-style summary — counts in geometric
+buckets ``[lo·base^k, lo·base^(k+1))`` — with three properties that
+make it the right distributed shape:
+
+- **bounded size**: a sketch is ≤ a few hundred (bucket, count) entries
+  regardless of input rows (map<int,long>), so leaf sketches for every
+  ingest partition fit in a tiny parquet table;
+- **exactly mergeable**: merging = summing counts per bucket. Unlike
+  rank-error sketches (GK/KLL) there is no merge-order dependence —
+  sketch(A ∪ B) EQUALS merge(sketch(A), sketch(B)), bit-for-bit, which
+  ``tests/test_sketches.py`` pins;
+- **bounded relative error**: a quantile read from the geometric bucket
+  midpoint is within ``sqrt(base)`` of the true value (±2% at the
+  default base 1.04) for values above ``lo`` — a VALUE-error bound,
+  independent of how many rows or merges produced the sketch.
+
+Everything is built-in expressions (groupBy/map/explode/window) — no
+Python workers; the sketch build is one partial-aggregated shuffle of
+(group, bucket) pairs, the rollup touches only sketch rows.
+
+Registered as rows-only (`sketch_quantile_rollup`): the bucketing uses
+``log``, whose last-ulp differences across engines' libm could flip a
+boundary value into the neighboring bucket, so no cross-engine exact
+oracle — accuracy is pinned in tests against Spark's own exact
+``F.percentile`` instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def log_bucket(value: str | Column, base: float = 1.04, lo: float = 0.01) -> Column:
+    """Geometric bucket index of a double: 0 for |v| ≤ lo (absolute-
+    error floor), else ``sign(v) · (floor(log(|v|/lo)/log(base)) + 1)``.
+    Negative values get mirrored negative indices, so the bucket order
+    is the value order."""
+    v = F.col(value) if isinstance(value, str) else value
+    mag = F.abs(v)
+    k = (F.floor(F.log(mag / F.lit(lo)) / F.lit(math.log(base))) + 1).cast("int")
+    return F.when(mag <= lo, F.lit(0)).otherwise(
+        F.when(v < 0, -k).otherwise(k)
+    )
+
+
+def bucket_value(bucket: str | Column, base: float = 1.04, lo: float = 0.01) -> Column:
+    """Representative value of a bucket: the geometric midpoint
+    ``sign · lo·base^(|k|-0.5)`` (0 for bucket 0) — the choice that
+    gives the symmetric ``sqrt(base)`` relative-error bound."""
+    k = F.col(bucket) if isinstance(bucket, str) else bucket
+    mid = F.lit(lo) * F.pow(F.lit(base), F.abs(k).cast("double") - 0.5)
+    return F.when(k == 0, F.lit(0.0)).otherwise(
+        F.when(k < 0, -mid).otherwise(mid)
+    )
+
+
+def qsketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    base: float = 1.04,
+    lo: float = 0.01,
+) -> DataFrame:
+    """Build one sketch row per group: ``sketch map<int,long>`` +
+    ``n_rows``. One partial-aggregated shuffle of (group, bucket) —
+    shuffle volume is O(groups × buckets), not O(rows)."""
+    per_bucket = (
+        df.select(*group_cols, log_bucket(value_col, base, lo).alias("__b__"))
+        .groupBy(*group_cols, "__b__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__b__", "__c__")))
+        ).alias("sketch"),
+        F.sum("__c__").alias("n_rows"),
+    )
+
+
+def qsketch_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll leaf sketches up to a coarser grouping by summing bucket
+    counts — touches ONLY sketch rows, never raw data. Output schema
+    matches ``qsketch``, and the result is exactly what ``qsketch``
+    would have produced on the raw union (pinned in tests)."""
+    exploded = df.select(
+        *group_cols, F.explode("sketch").alias("__b__", "__c__")
+    )
+    per_bucket = exploded.groupBy(*group_cols, "__b__").agg(
+        F.sum("__c__").alias("__c__")
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__b__", "__c__")))
+        ).alias("sketch"),
+        F.sum("__c__").alias("n_rows"),
+    )
+
+
+def qsketch_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    base: float = 1.04,
+    lo: float = 0.01,
+) -> DataFrame:
+    """Read quantiles out of sketch rows: per group, the value of the
+    first bucket whose running count reaches ``ceil(p · n)`` (the lower
+    exact-quantile convention), each within ``sqrt(base)`` relative
+    error of the true quantile. Buckets explode to O(groups × buckets)
+    rows — trivial — and the cumulative window runs per group in bucket
+    order."""
+    exploded = df.select(
+        *group_cols,
+        F.col("n_rows"),
+        F.explode("sketch").alias("__b__", "__c__"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = exploded.withColumn("__cum__", F.sum("__c__").over(w))
+    aggs = []
+    for p in probs:
+        target = F.ceil(F.lit(p) * F.col("n_rows"))
+        hit = F.when(
+            F.col("__cum__") >= target, F.col("__b__")
+        )
+        aggs.append(
+            bucket_value(F.min(hit), base, lo).alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            )
+        )
+    return cum.groupBy(*group_cols, "n_rows").agg(*aggs)

@@ -3629,3 +3629,34 @@ def q_sketch_hll_rollup(spark, sf):
         )
         .orderBy("source")
     )
+
+
+@_q("sketch_quantile_rollup")
+def q_sketch_quantile_rollup(spark, sf):
+    """B32 extension: MERGEABLE quantile rollup, the percentile twin of
+    ``sketch_hll_rollup``. Exact percentiles are selection-based —
+    per-slice p95s over 100 TB either rescan raw values per slice or
+    keep a mergeable summary. Here: per-(event_type, user-shard)
+    log-bucketed histogram sketches (one partial-aggregated shuffle of
+    (group, bucket) pairs, O(groups×buckets) shuffle volume), rolled up
+    to per-event_type by summing bucket counts — raw events are read
+    once and never re-shuffled, and unlike GK/KLL the merge is
+    order-independent and lossless (sketch(A∪B) == merge of sketches,
+    pinned in tests/test_sketches.py). p50/p95/p99 read from geometric
+    bucket midpoints, within sqrt(1.04) ≈ ±2% of the exact quantile
+    (also pinned). Rows-only: the log() bucket boundary can differ by
+    an ulp across engines' libm, so no cross-engine exact oracle."""
+    from lookup_transform_spark.operators.sketches import (
+        qsketch,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    ev = _events(spark, sf).select(
+        "event_type", (F.col("user_id") % 16).alias("shard"), "value"
+    )
+    leaf = qsketch(ev, ["event_type", "shard"], "value")
+    rolled = qsketch_merge(leaf, ["event_type"])
+    return qsketch_quantiles(
+        rolled, ["event_type"], [0.5, 0.95, 0.99]
+    ).orderBy("event_type")

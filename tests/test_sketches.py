@@ -1,0 +1,127 @@
+"""Mergeable quantile sketch guarantees (operators/sketches.py):
+
+1. Lossless merge: sketch(A ∪ B) == merge(sketch(A), sketch(B)) —
+   exact map equality, the property GK/KLL-style rank sketches lack.
+2. Quantile accuracy: every read quantile within the sqrt(base)
+   relative bound of Spark's exact F.percentile (plus the `lo`
+   absolute floor).
+3. Bucket order == value order (negatives mirrored), so cumulative
+   reads are correct across sign changes.
+4. The registered rollup runs and emits one row per event_type.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lookup_transform_spark.operators.sketches import (
+    bucket_value,
+    log_bucket,
+    qsketch,
+    qsketch_merge,
+    qsketch_quantiles,
+)
+
+BASE, LO = 1.04, 0.01
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    from lookup_transform_spark import registry
+
+    return registry._events(spark, sf_dir).select(
+        "event_type", (F.col("user_id") % 4).alias("shard"), "value"
+    )
+
+
+def _sketch_maps(df, keys):
+    return {
+        tuple(r[k] for k in keys): (dict(r["sketch"]), r["n_rows"])
+        for r in df.collect()
+    }
+
+
+def test_merge_is_lossless(ev):
+    direct = _sketch_maps(
+        qsketch(ev, ["event_type"], "value"), ["event_type"]
+    )
+    merged = _sketch_maps(
+        qsketch_merge(
+            qsketch(ev, ["event_type", "shard"], "value"), ["event_type"]
+        ),
+        ["event_type"],
+    )
+    assert direct == merged  # exact: maps AND counts
+
+
+def test_quantiles_within_relative_bound(ev, spark):
+    got = {
+        r["event_type"]: r
+        for r in qsketch_quantiles(
+            qsketch(ev, ["event_type"], "value"),
+            ["event_type"],
+            [0.5, 0.95],
+        ).collect()
+    }
+    # the sketch reads the DISCRETE lower quantile (the ceil(p·n)-th
+    # smallest element) — compare against that element, not the
+    # interpolated percentile, since the sqrt(base) bound is a bound on
+    # the selected VALUE
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    tol = math.sqrt(BASE)
+    for k, vals in by_type.items():
+        vals.sort()
+        for p, col in ((0.5, "p50"), (0.95, "p95")):
+            true = vals[math.ceil(p * len(vals)) - 1]
+            est = got[k][col]
+            if abs(true) <= LO:
+                assert abs(est) <= LO * tol
+            else:
+                assert true / tol - LO <= est <= true * tol + LO, (
+                    k, col, true, est,
+                )
+
+
+def test_bucket_order_matches_value_order(spark):
+    vals = [-120.0, -0.5, -0.005, 0.0, 0.004, 0.3, 7.7, 560.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = (
+        df.select(
+            "v",
+            log_bucket("v", BASE, LO).alias("b"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    buckets = [r["b"] for r in rows]
+    assert buckets == sorted(buckets)
+    # |v| <= lo collapses to bucket 0
+    assert [r["b"] for r in rows if abs(r["v"]) <= LO] == [0, 0, 0]
+    # representative value round-trips within the relative bound
+    rep = df.select(
+        "v", bucket_value(log_bucket("v", BASE, LO), BASE, LO).alias("r")
+    ).collect()
+    for r in rep:
+        if abs(r["v"]) > LO:
+            assert (r["r"] < 0) == (r["v"] < 0)
+            assert (
+                abs(r["v"]) / math.sqrt(BASE)
+                <= abs(r["r"])
+                <= abs(r["v"]) * math.sqrt(BASE)
+            )
+
+
+def test_registered_rollup_runs(spark, sf_dir):
+    from lookup_transform_spark import registry
+
+    out = registry.QUERIES["sketch_quantile_rollup"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert {"event_type", "n_rows", "p50", "p95", "p99"} <= set(out.columns)
+    for r in rows:
+        assert r["p50"] <= r["p95"] <= r["p99"]
