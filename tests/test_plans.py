@@ -334,3 +334,15 @@ def test_gopher_filter_single_pass_no_shuffle(spark):
     plan = explain_str(df)
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_quantile_rollup_single_scan_partial_counts(spark):
+    # the whole leaf-build -> merge -> quantile pipeline reads the raw
+    # events exactly once; every aggregation is map-side partial before
+    # its exchange, so shuffles carry (group,bucket) partials, not rows
+    df = registry.QUERIES["sketch_quantile_rollup"](spark, SF)
+    plan = explain_str(df)
+    # one file-scan node in the whole pipeline (formatted mode prints
+    # each node twice: tree line + detail block)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in plan
