@@ -198,7 +198,7 @@ def _cap_group_size(
 
 
 def _exact_precluster(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame, id_col: str, text_col: str, pin_width: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact-duplicate texts to one representative per group
     BEFORE candidate generation.
@@ -230,14 +230,17 @@ def _exact_precluster(
     small implicit window shuffle down to one partition, which then
     serializes every downstream signature/shingle UDF stage on a single
     core — measured 5.1 s vs 1.0 s for the whole minhash query at sf0.1
-    (the round-4 dedup_minhash regression). Pinning the width keeps the
-    CPU-bound stages wide; at scale the shuffle is corpus-sized either
-    way.
+    (the round-4 dedup_minhash regression), and 2.44 s vs 2.65 s for
+    simhash (interleaved min-of-4; the lighter its downstream UDF, the
+    smaller the pin's margin). ``pin_width=False`` opts out for callers
+    whose downstream is trivially cheap. At cluster scale the shuffle is
+    corpus-sized either way and AQE won't coalesce it — the knob only
+    matters where the corpus is small relative to the executor count.
     """
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col))).repartition(
-        n, F.col("__fp__")
-    )
+    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col)))
+    if pin_width:
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        fp = fp.repartition(n, F.col("__fp__"))
     w = Window.partitionBy("__fp__")
     tagged = fp.withColumn("__rep__", F.min(F.col(id_col)).over(w)).drop("__fp__")
     star = tagged.filter(F.col(id_col) != F.col("__rep__")).select(
@@ -485,15 +488,20 @@ def simhash_signature_text(
 def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
     """Bit-identical to ``simhash_signature_text`` with token hashing
     JVM-side and the bit-vote accumulation vectorized in numpy."""
+    if bits % 8:
+        raise ValueError(f"bits must be a multiple of 8, got {bits}")
+
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:
         # Vectorized ACROSS rows: flatten the ragged token-hash lists,
-        # unpack sign bits for the whole flat array once, and segment-sum
-        # the votes with np.add.reduceat — no per-row Python loop.
-        # Chunking is by flattened ELEMENT count so the (tokens × bits)
-        # vote matrix stays ~100k × bits regardless of doc length.
-        js = np.arange(bits, dtype=np.uint64)
-        weights = np.uint64(1) << js
+        # unpack the sign bits of the whole flat array with
+        # np.unpackbits (uint8 bit matrix — 8× smaller than the previous
+        # int32 formulation, so the element budget is 4× larger for the
+        # same worker footprint), and segment-sum the votes with
+        # np.add.reduceat — no per-row Python loop. Chunking is by
+        # flattened ELEMENT count so the (tokens × bits) vote matrix
+        # stays ~400k × bits ≈ 25 MB regardless of doc length mix.
+        weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
         n = len(hashes)
         out = np.zeros(n, dtype=np.int64)
         arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
@@ -503,24 +511,31 @@ def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
         _s = int(weights.sum(dtype=np.uint64))
         empty_sig = np.int64(_s - (1 << 64)) if _s >= (1 << 63) else np.int64(_s)
         all_lens = np.array([a.size for a in arrs], dtype=np.int64)
-        for lo, hi in _ragged_chunks(all_lens, 100_000, 8192):
+        nbytes = bits // 8
+        for lo, hi in _ragged_chunks(all_lens, 400_000, 32768):
             seg = arrs[lo:hi]
             lens = all_lens[lo:hi]
             nonempty = np.flatnonzero(lens)
             out[lo + np.flatnonzero(lens == 0)] = empty_sig
             if nonempty.size == 0:
                 continue
-            flat = np.concatenate([seg[i] for i in nonempty]).astype(np.uint64)
-            bitm = ((flat[:, None] >> js[None, :]) & np.uint64(1)).astype(
-                np.int32
+            # little-endian layout: byte 0 carries bits 0-7, so
+            # bitorder="little" unpacks column j == bit j exactly
+            # (astype("<u8", copy=False) is a no-op on LE platforms)
+            flat = (
+                np.concatenate([seg[i] for i in nonempty])
+                .view(np.uint64)
+                .astype("<u8", copy=False)
             )
+            byte_view = flat.view(np.uint8).reshape(-1, 8)[:, :nbytes]
+            bitm = np.unpackbits(byte_view, axis=1, bitorder="little")
             starts = np.cumsum(lens[nonempty]) - lens[nonempty]
-            votes = 2 * np.add.reduceat(bitm, starts, axis=0) - lens[
-                nonempty
-            ][:, None].astype(np.int32)  # (n_nonempty, bits)
-            sigs = np.where(votes >= 0, weights[None, :], np.uint64(0)).sum(
-                axis=1, dtype=np.uint64
-            )
+            ones = np.add.reduceat(bitm, starts, axis=0, dtype=np.int64)
+            # majority vote: ±1 votes sum >= 0  ⟺  2·ones >= token count
+            maj = (2 * ones >= lens[nonempty][:, None]).astype(np.uint8)
+            packed = np.zeros((maj.shape[0], 8), dtype=np.uint8)
+            packed[:, :nbytes] = np.packbits(maj, axis=1, bitorder="little")
+            sigs = packed.view(np.dtype("<u8")).ravel().astype(np.uint64)
             out[lo + nonempty] = sigs.view(np.int64)  # exact bit reinterpret
         return pd.Series(out, dtype="int64")
 
