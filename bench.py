@@ -50,6 +50,7 @@ HEADLINE = [
     "window_topk",
     "join_semi",
     "bucketed_join",
+    "join_bloom_semi",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",

@@ -3631,6 +3631,49 @@ def q_sketch_hll_rollup(spark, sf):
     )
 
 
+@_q(
+    "join_bloom_semi",
+    """SELECT l.l_returnflag, COUNT(*) AS n_lines,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+    AND o_totalprice > 150000.0)
+GROUP BY l.l_returnflag""",
+)
+def q_join_bloom_semi(spark, sf):
+    """B37 extension: Bloom-prefiltered semi join (operators/bloomjoin.py)
+    — revenue of lineitems belonging to high-value orders of one
+    quarter. The selective key set is summarized into a 1 MiB bitmap
+    (one pass, tree-merged), broadcast, and probed on the fact scan
+    BEFORE the join exchange, so the lineitem shuffle carries only
+    probable matches; the closing exact semi join removes the Bloom
+    false positives, making the result bit-identical to the plain
+    semi join and the SQL oracle. This is the 100 TB shape Spark's own
+    runtime bloom injection can't reach without CBO statistics (a
+    filtered scan keeps its unfiltered sizeInBytes, so the creation-side
+    gate never opens — measured in round 5; see PLANS.md)."""
+    from lookup_transform_spark.operators.bloomjoin import bloom_semi_join
+
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_totalprice") > 150000.0)
+    ).select("o_orderkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    sj = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return sj.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _fsum(rev, "revenue", dp=4),
+    )
+
+
 @_q("sketch_quantile_rollup")
 def q_sketch_quantile_rollup(spark, sf):
     """B32 extension: MERGEABLE quantile rollup, the percentile twin of

@@ -1,0 +1,72 @@
+"""Bloom-prefiltered semi join guarantees (operators/bloomjoin.py):
+
+1. Exactness: bloom_semi_join == plain left_semi join, bit-identical
+   (false positives removed by the closing exact join; false negatives
+   impossible).
+2. The prefilter actually filters: survivors ≈ true matches, with a
+   false-positive rate far under the sizing bound.
+3. The tree merge produces the same filter as a single-partition build.
+4. The registered query matches its oracle shape end-to-end (covered by
+   the parity matrix; here just run it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lookup_transform_spark.operators.bloomjoin import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 150000.0
+    ).select("o_orderkey")
+    return li, o
+
+
+def test_bloom_semi_join_exact(tables):
+    li, o = tables
+    got = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    want = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi")
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_prefilter_rate(tables, spark):
+    li, o = tables
+    bloom = build_bloom(o, "o_orderkey")
+    survivors = li.filter(
+        bloom_might_contain(li, "l_orderkey", bloom)
+    ).count()
+    true_matches = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"], "left_semi"
+    ).count()
+    total = li.count()
+    assert survivors >= true_matches  # no false negatives
+    non_matches = total - true_matches
+    fp = survivors - true_matches
+    # m=2^23, k=5, n≈a few hundred keys → fp rate ≪ 1e-3
+    assert fp <= max(5, 0.001 * non_matches)
+
+
+def test_tree_merge_equals_flat_build(tables):
+    _, o = tables
+    wide = build_bloom(o.repartition(13), "o_orderkey", merge_fanin=2)
+    flat = build_bloom(o.coalesce(1), "o_orderkey")
+    assert wide == flat
+
+
+def test_registered_query_runs(spark, sf_dir):
+    from lookup_transform_spark import registry
+
+    rows = registry.QUERIES["join_bloom_semi"](spark, sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} <= {"A", "N", "R"}
+    assert all(r["n_lines"] > 0 for r in rows)

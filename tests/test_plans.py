@@ -346,3 +346,15 @@ def test_quantile_rollup_single_scan_partial_counts(spark):
     # each node twice: tree line + detail block)
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "partial_count" in plan
+
+
+def test_bloom_semi_probe_filters_fact_before_join(spark):
+    # the bloom probe (ArrowEvalPython + Filter pythonUDF) must sit on
+    # the fact side BELOW the semi join, so any join exchange reads
+    # only probe survivors
+    df = registry.QUERIES["join_bloom_semi"](spark, SF)
+    plan = explain_str(df, "simple")
+    join_at = plan.find("LeftSemi")
+    probe_at = plan.find("Filter pythonUDF")
+    assert join_at > 0 and probe_at > join_at  # probe printed under the join
+    assert "ArrowEvalPython" in plan
