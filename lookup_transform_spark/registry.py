@@ -1228,6 +1228,65 @@ def q_sink_partitioned(spark, sf):
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
 
 
+@_q(
+    "sink_upsert",
+    """WITH upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (900000001, 'O', CAST(50.0 AS DOUBLE)),
+                        (900000002, 'F', CAST(60.0 AS DOUBLE))) t(k, s, p)
+), merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM merged GROUP BY o_orderstatus""",
+)
+def q_sink_upsert(spark, sf):
+    """B3 extension: partition-level MERGE/upsert into the partitioned
+    sink (``sources/writers.upsert_partitioned``) — the per-batch
+    ingestion primitive: rewrite only the partitions the update batch
+    lands in; untouched partitions keep their files byte-for-byte
+    (pinned in tests/test_upsert.py). The update batch is derived from
+    the PRISTINE fixture (absolute rows, not deltas), so re-running the
+    query converges to the same table state — the oracle computes the
+    same merge relationally. Scan-back aggregates count + price sum per
+    partition, so both the surviving and replaced rows are value-checked.
+    """
+    from lookup_transform_spark.sources import write_parquet_partitioned
+    from lookup_transform_spark.sources.writers import upsert_partitioned
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    src = _t(spark, sf, "orders").select(*cols)
+    path = f"{SCRATCH}/orders_upsert_{os.path.basename(sf)}"
+    success = f"{path}/_SUCCESS"
+    fixture = os.path.join(sf, "orders.parquet")
+    stale = os.path.exists(success) and os.path.exists(fixture) and (
+        os.path.getmtime(fixture) > os.path.getmtime(success)
+    )
+    if stale or not os.path.exists(success):
+        write_parquet_partitioned(src, path, partition_by=["o_orderstatus"])
+
+    updates = src.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    ).unionByName(
+        spark.createDataFrame(
+            [(900000001, "O", 50.0), (900000002, "F", 60.0)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+    )
+    upsert_partitioned(spark, path, updates, ["o_orderkey"], "o_orderstatus")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _fsum("o_totalprice", "sum_price", dp=2),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B39: UDF / UDAF / UDTF surface
 # ---------------------------------------------------------------------------

@@ -64,3 +64,63 @@ def write_binary_files(
     df.select(id_col, payload_col).foreachPartition(_write)
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
+
+
+def upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE-style upsert into a hive-partitioned parquet table, touching
+    only the partitions the update batch lands in.
+
+    The 100 TB ingestion primitive vanilla parquet lacks (table formats
+    get it from MERGE INTO): per-batch cost must be O(affected
+    partitions), never a rewrite of the table. Mechanics:
+
+    1. the update batch's partition values are collected (partition-
+       cardinality-sized — the same dimension-collect class as the IVF
+       centroid table);
+    2. existing rows of ONLY those partitions are read back (the IN-list
+       becomes a partition filter — directory pruning, pinned in
+       tests/test_upsert.py), minus rows whose key is being replaced
+       (left-anti on the key);
+    3. survivors ∪ updates are written with DYNAMIC partition overwrite,
+       so Spark stages and commits just the affected directories —
+       untouched partitions keep their files byte-for-byte (also
+       pinned).
+
+    The read-modify-write cycle targets the same path it reads, which
+    Spark's overwrite check rejects on a lazy plan — the merged batch is
+    ``localCheckpoint``ed (materialized executor-side) first. That
+    materialization is affected-partitions-sized, not table-sized.
+
+    Semantics: a key present in both sides takes the update's row
+    (upsert); keys appearing only in updates insert. Updates must not
+    move a key across partitions (enforced: the anti-join is on key
+    within the affected partition set).
+    """
+    from pyspark.sql import functions as F
+
+    existing = spark.read.parquet(path)
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    keep = (
+        existing.filter(F.col(partition_col).isin(parts))
+        .join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    merged = merged.localCheckpoint()  # break lineage: source == sink path
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
