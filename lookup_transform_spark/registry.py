@@ -1588,6 +1588,31 @@ def q_stream_dedup(spark, sf):
     return run_to_memory(out, "mem_stream_dedup").select("event_id", "user_id")
 
 
+@_q("stream_ingest_dedup")
+def q_stream_ingest_dedup(spark, sf):
+    """B63 extension: continuous-ingest dedup — the foreachBatch shape a
+    training-data pipeline runs. Documents arrive in 4 staged batches
+    (later batches re-send texts from the first under fresh ids); each
+    micro-batch dedups within itself (min-id per content fingerprint),
+    anti-joins the standing at-rest fingerprint index, and appends
+    survivors to corpus + index so the NEXT batch sees them. Per-batch
+    cost O(batch) — the dedup state lives in the parquet index, not a
+    state store, so the corpus can grow without bounding executor
+    memory (contrast: streaming dropDuplicates state is resident
+    forever). Rows-only (multi-batch side effects aren't one SQL
+    query); stream-ingest ≡ batch replay ≡ global min-id dedup is
+    pinned in tests/test_streaming.py."""
+    from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
+
+    work = f"{SCRATCH}/stream_ingest_{os.path.basename(sf)}"
+    out = stream_ingest_dedup(spark, sf, work)
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_distinct"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B30/B35/B38 breadth: sort/limit, regexp, case, having, subquery, arrays
 # ---------------------------------------------------------------------------

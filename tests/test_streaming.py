@@ -363,3 +363,38 @@ def test_lifetime_stats_tws_impl(spark):
         ).collect()
     }
     _assert_lifetime_matches(got, _lifetime_want(spark))
+
+
+def test_stream_ingest_dedup_matches_batch_replay(spark, sf_dir, tmp_path):
+    """Continuous-ingest dedup (streaming/ingest.py): the corpus built by
+    the foreachBatch stream equals (a) a batch replay of the same
+    arrival files in order, and (b) global min-id-per-fingerprint dedup
+    over everything that arrived — i.e. batching boundaries are
+    invisible in the result."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.text import content_fingerprint
+    from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
+
+    work = str(tmp_path / "ingest")
+    corpus = stream_ingest_dedup(spark, sf_dir, work, n_files=4)
+    got = {(r["f"], r["doc_id"]) for r in corpus.collect()}
+
+    # global min-id dedup over every staged arrival row
+    arrivals = spark.read.parquet(f"{work}/arrivals/batch_*")
+    want_df = (
+        arrivals.select("doc_id", content_fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want = {(r["f"], r["doc_id"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+    # duplicates were actually injected AND actually dropped
+    n_arrived = arrivals.count()
+    assert n_arrived > len(got)
+
+    # re-running the finished stream is a no-op (checkpoint: batches
+    # already committed), so the corpus is stable across restarts
+    again = stream_ingest_dedup(spark, sf_dir, work, n_files=4)
+    assert {(r["f"], r["doc_id"]) for r in again.collect()} == got
