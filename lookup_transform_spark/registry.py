@@ -1588,6 +1588,47 @@ def q_stream_dedup(spark, sf):
     return run_to_memory(out, "mem_stream_dedup").select("event_id", "user_id")
 
 
+@_q(
+    "quarantine_bad_json",
+    """WITH m AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0
+              THEN substring(props, 1, length(props) - 2)
+              ELSE props END AS s
+  FROM events),
+p AS (SELECT event_id, TRY_CAST(s AS JSON) AS j FROM m)
+SELECT event_id,
+       CAST(j ->> '$.k' AS BIGINT) AS k,
+       CASE WHEN j ->> '$.k' IS NOT NULL THEN 'ok' ELSE 'quarantined' END
+         AS status
+FROM p""",
+)
+def q_quarantine_bad_json(spark, sf):
+    """B55/B30 robustness: bad-record quarantine — the split every
+    ingest pipeline needs when upstream JSON can be malformed. Rows
+    whose payload fails the strict schema (here: every 13th row's JSON
+    deterministically truncated, standing in for upstream corruption)
+    are tagged 'quarantined' instead of failing the job or silently
+    dropping; good rows carry the parsed value. One pass, pure codegen
+    (`from_json` PERMISSIVE yields null fields on parse failure — no
+    exception path, no second scan), so the quarantine tee is free at
+    any scale. The oracle replicates the corruption and the
+    json_valid split relationally — exact match."""
+    ev = _events(spark, sf).select("event_id", "props")
+    mangled = F.when(
+        F.col("event_id") % 13 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    k = F.from_json(mangled, "k bigint")["k"]
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k.isNull(), F.lit("quarantined"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
 @_q("stream_ingest_dedup")
 def q_stream_ingest_dedup(spark, sf):
     """B63 extension: continuous-ingest dedup — the foreachBatch shape a
