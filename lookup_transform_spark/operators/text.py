@@ -192,3 +192,23 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         quality_score(text_col).alias("quality"),
         content_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Canonical text normalization — the pass every dedup/fingerprint
+    stage should share so byte-different-but-equal texts collide:
+    Unicode NFC (composed form), lowercase, whitespace runs collapsed
+    to one space, ends trimmed. NFC runs in a vectorized pandas UDF
+    (Spark SQL has no normalization builtin; pandas ``str.normalize``
+    is the Arrow-batched path); case/whitespace stay JVM-side so the
+    UDF does exactly the one thing Spark can't.
+    """
+    import pandas as pd  # noqa: F401  (doc: pandas str backend)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize("NFC")
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(_nfc(c)), r"\s+", " "))

@@ -1589,6 +1589,27 @@ def q_stream_dedup(spark, sf):
 
 
 @_q(
+    "text_normalize",
+    """SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+         AS norm_text
+FROM documents""",
+)
+def q_text_normalize(spark, sf):
+    """B53: canonical text normalization (NFC + casefold + whitespace
+    collapse) — the shared pre-pass that makes byte-different-but-equal
+    texts collide in every fingerprint/dedup stage. NFC is the one step
+    Spark SQL lacks a builtin for: it runs as a vectorized pandas UDF
+    (`pandas .str.normalize`), case/whitespace stay codegen. Both
+    engines implement the same Unicode normal form, so the oracle match
+    is exact."""
+    from lookup_transform_spark.operators.text import normalize_text
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", normalize_text("text").alias("norm_text"))
+
+
+@_q(
     "quarantine_bad_json",
     """WITH m AS (
   SELECT event_id,

@@ -56,6 +56,9 @@ EXCLUDE = {
     "stream_dedup", "stream_lifetime_stats", "stream_lookup",
     "stream_session", "stream_sessionize_stateful", "stream_stream_join",
     "stream_tumbling",
+    # checkpointed side-effecting ingest: repeat runs are no-ops by
+    # design (exactly-once), so repeat timing measures nothing
+    "stream_ingest_dedup",
     # fixed-size synthetic source; ignores sf_dir entirely
     "scan_generator_source",
 }
