@@ -67,6 +67,13 @@ def main() -> None:
         "excluded (they measure micro-batch trigger floors, not data-size",
         "scaling). Regenerate this file with `scripts/scaling_report.py`.",
         "",
+        "Comparability note: the probe box's throughput drifts up to ~1.5×",
+        "over hours (shared-host variance, visible on untouched control",
+        "queries), so numbers are comparable WITHIN one probe run — both",
+        "engines are timed in the same run under the same conditions —",
+        "but not across runs or rounds; cross-round deltas below the drift",
+        "band are noise, not regressions.",
+        "",
         "## Headline",
         "",
         f"- Over the {len(both)} queries BOTH engines finish at 32×, this",
