@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lookup_transform_spark.functions.fixedpoint import fp_sum
+
 
 def _assign_udf(
     cent: np.ndarray, id_col: str, vec_col: str, carry_vec: bool
@@ -99,13 +101,19 @@ def kmeans_assign(
         assigned = src.mapInPandas(
             _assign_udf(cent, id_col, vec_col, carry_vec=True), carry_schema
         )
-        # DECIMAL accumulation → partition-order-independent means.
+        # Fixed-point long accumulation → partition-order-independent
+        # means (the repo-wide determinism rule, functions/fixedpoint.py;
+        # replaces an equivalent decimal(28,10) formulation — end-to-end
+        # cost is the same here because the Arrow assign stage dominates
+        # the pass, measured 1.4 vs 1.5 s/iteration at 32×). dp=7
+        # out-resolves float32 inputs (~1e-7 relative precision) while
+        # bounding the scaled per-cluster total at ~9e11 rows for
+        # unit-normalized dims.
         means = (
             assigned.groupBy("cluster_id")
             .agg(
                 *[
-                    F.avg(F.col(vec_col)[i].cast("decimal(28,10)"))
-                    .cast("double")
+                    (fp_sum(F.col(vec_col)[i], 7) / F.count(F.lit(1)))
                     .alias(f"c{i}")
                     for i in range(dim)
                 ]
