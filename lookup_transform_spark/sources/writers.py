@@ -72,6 +72,7 @@ def upsert_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    validate_no_key_moves: bool = False,
 ) -> None:
     """MERGE-style upsert into a hive-partitioned parquet table, touching
     only the partitions the update batch lands in.
@@ -98,13 +99,39 @@ def upsert_partitioned(
     materialization is affected-partitions-sized, not table-sized.
 
     Semantics: a key present in both sides takes the update's row
-    (upsert); keys appearing only in updates insert. Updates must not
-    move a key across partitions (enforced: the anti-join is on key
-    within the affected partition set).
+    (upsert); keys appearing only in updates insert. CALLER CONTRACT:
+    an update must carry its key's existing partition value — a key
+    "moved" to a different partition would leave the old row in place
+    (its partition isn't read) and write the new one, duplicating the
+    key. This is NOT checked by default, because detecting it requires
+    scanning the key column of the WHOLE table, which breaks the
+    O(affected-partitions) cost contract; ``validate_no_key_moves=True``
+    opts into that full-key-scan check (the key column alone is read —
+    column-pruned — and the job fails loudly listing offenders before
+    anything is written).
     """
     from pyspark.sql import functions as F
 
     existing = spark.read.parquet(path)
+    if validate_no_key_moves:
+        moved = (
+            existing.select(*key_cols, partition_col)
+            .join(
+                updates.select(
+                    *key_cols,
+                    F.col(partition_col).alias("__new_part__"),
+                ),
+                on=key_cols,
+            )
+            .filter(F.col(partition_col) != F.col("__new_part__"))
+        )
+        offenders = moved.limit(5).collect()
+        if offenders:
+            raise ValueError(
+                "upsert_partitioned: update batch moves key(s) across "
+                f"partitions (first offenders: {offenders}); an upsert "
+                "must keep each key in its existing partition"
+            )
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]

@@ -98,3 +98,23 @@ def test_affected_read_is_partition_pruned(spark, table):
         back.explain("formatted")
     pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
     assert pf and "o_orderstatus" in pf[0]
+
+
+def test_key_move_detected_when_validation_on(spark, table):
+    path, orders = table
+    victim = orders.filter("o_orderstatus = 'O'").limit(1).collect()[0]
+    moved = spark.createDataFrame(
+        [(victim["o_orderkey"], "F", 1.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    with pytest.raises(ValueError, match="moves key"):
+        upsert_partitioned(
+            spark, path, moved, ["o_orderkey"], "o_orderstatus",
+            validate_no_key_moves=True,
+        )
+    # and nothing was written: the table still holds the original row
+    back = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert back[victim["o_orderkey"]] == "O"
