@@ -83,6 +83,21 @@ def stream_ingest_dedup(
     corpus = os.path.join(work_dir, "corpus")
     index = os.path.join(work_dir, "fp_index")
     ckpt = os.path.join(work_dir, "ckpt")
+    # a REGENERATED fixture (newer than the staging marker) invalidates
+    # the ENTIRE work dir — staged arrivals, corpus, index, and the
+    # stream checkpoint age together (the same staleness rule the
+    # at-rest IVF layout uses; a stale checkpoint would otherwise mark
+    # the old files processed and return the old corpus silently)
+    marker = os.path.join(stage, "_staged")
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    if (
+        os.path.exists(marker)
+        and os.path.exists(fixture)
+        and os.path.getmtime(fixture) > os.path.getmtime(marker)
+    ):
+        import shutil
+
+        shutil.rmtree(work_dir, ignore_errors=True)
     for d in (corpus, index):
         os.makedirs(d, exist_ok=True)
     stage_document_batches(spark, sf_dir, stage, n_files)

@@ -398,3 +398,33 @@ def test_stream_ingest_dedup_matches_batch_replay(spark, sf_dir, tmp_path):
     # already committed), so the corpus is stable across restarts
     again = stream_ingest_dedup(spark, sf_dir, work, n_files=4)
     assert {(r["f"], r["doc_id"]) for r in again.collect()} == got
+
+
+def test_stream_ingest_invalidates_on_fixture_regeneration(
+    spark, sf_dir, tmp_path
+):
+    """A regenerated fixture (newer mtime than the staging marker) must
+    wipe the ingest work dir — staged arrivals, corpus, index, AND the
+    stream checkpoint — so the stream re-processes instead of silently
+    returning the stale corpus."""
+    import os
+    import shutil
+
+    from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
+
+    # copy the fixture so its mtime can be touched without writing to
+    # the read-only testdata tree
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    shutil.copyfile(
+        f"{sf_dir}/documents.parquet", fx / "documents.parquet"
+    )
+    work = str(tmp_path / "work")
+    first = stream_ingest_dedup(spark, str(fx), work, n_files=2).count()
+    ckpt_before = os.path.getmtime(f"{work}/ckpt")
+
+    os.utime(fx / "documents.parquet")  # "regenerate" the fixture
+    second = stream_ingest_dedup(spark, str(fx), work, n_files=2).count()
+    assert second == first  # same data → same corpus
+    # but the run really started over: fresh checkpoint dir
+    assert os.path.getmtime(f"{work}/ckpt") > ckpt_before
