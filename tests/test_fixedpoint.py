@@ -122,3 +122,33 @@ def test_scaled_long_rounding_matches_duckdb():
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = [r[0] for r in df.select(scaled_long("v", 2)).collect()]
     assert got == duck
+
+
+def test_fp_sum_matches_exact_rational_sum_property(spark):
+    """Property (hypothesis): for any batch of 2dp-quantized doubles,
+    fp_sum equals the exact Fraction-arithmetic sum — i.e. fixed-point
+    long accumulation is EXACT, not approximately right. Few examples,
+    many values each: the property is per-expression, not per-plan."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-10_000_000, max_value=10_000_000),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    def check(cents):
+        vals = [c / 100.0 for c in cents]  # 2dp fixed-point as doubles
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(fp_sum("v", 2).alias("s")).collect()[0]["s"]
+        # the scaled totals here stay well under 2^53, so the exact sum
+        # is representable and equality must be BIT-exact
+        exact = Fraction(sum(cents), 100)
+        assert got == float(exact), (got, float(exact))
+
+    check()
