@@ -358,3 +358,16 @@ def test_bloom_semi_probe_filters_fact_before_join(spark):
     probe_at = plan.find("Filter pythonUDF")
     assert join_at > 0 and probe_at > join_at  # probe printed under the join
     assert "ArrowEvalPython" in plan
+
+
+def test_q1_aggregates_are_fixed_point_not_decimal(spark):
+    # the determinism rule runs on long accumulators; a regression to
+    # decimal casts would silently fall off whole-stage codegen
+    # (functions/fixedpoint.py has the 2.5x measurements)
+    df = registry.QUERIES["tpch_q1"](spark, SF)
+    plan = explain_str(df)
+    agg_lines = [ln for ln in plan.splitlines() if "Functions" in ln]
+    assert agg_lines
+    for ln in agg_lines:
+        assert "decimal" not in ln, ln
+        assert "as bigint" in ln or "count" in ln, ln
