@@ -142,3 +142,39 @@ def qsketch_quantiles(
             )
         )
     return cum.groupBy(*group_cols, "n_rows").agg(*aggs)
+
+
+def write_qsketch_leaves(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    path: str,
+    base: float = 1.04,
+    lo: float = 0.01,
+) -> None:
+    """Materialize leaf sketches at rest: one pass over the raw data,
+    one tiny parquet table of (group, sketch, n_rows) rows. In steady
+    state this is maintained per ingest partition (append a leaf row
+    per batch — sketches for the same group simply merge downstream),
+    and every later percentile query reads ONLY this table."""
+    qsketch(df, group_cols, value_col, base, lo).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def qsketch_quantiles_at_rest(
+    spark,
+    path: str,
+    group_cols: list[str],
+    probs: list[float],
+    base: float = 1.04,
+    lo: float = 0.01,
+) -> DataFrame:
+    """Percentiles from the at-rest leaf table: merge + quantile read
+    over sketch rows only — the raw corpus is never rescanned (the
+    query's only file scan is the sketch table; equality with the
+    raw-data sketch is pinned in tests/test_sketches.py)."""
+    leaves = spark.read.parquet(path)
+    return qsketch_quantiles(
+        qsketch_merge(leaves, group_cols), group_cols, probs, base, lo
+    )

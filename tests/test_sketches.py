@@ -125,3 +125,37 @@ def test_registered_rollup_runs(spark, sf_dir):
     assert {"event_type", "n_rows", "p50", "p95", "p99"} <= set(out.columns)
     for r in rows:
         assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
+    """The at-rest path — leaf sketches written once, percentiles read
+    from the leaf table — must equal the in-plan sketch on the raw
+    data, and its plan must scan ONLY the sketch table."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lookup_transform_spark.operators.sketches import (
+        qsketch_quantiles_at_rest,
+        write_qsketch_leaves,
+    )
+
+    path = str(tmp_path / "qsketch_leaves")
+    write_qsketch_leaves(ev, ["event_type", "shard"], "value", path)
+    at_rest = qsketch_quantiles_at_rest(
+        spark, path, ["event_type"], [0.5, 0.95]
+    )
+    direct = qsketch_quantiles(
+        qsketch(ev, ["event_type"], "value"), ["event_type"], [0.5, 0.95]
+    )
+    a = {r["event_type"]: (r["n_rows"], r["p50"], r["p95"])
+         for r in at_rest.collect()}
+    b = {r["event_type"]: (r["n_rows"], r["p50"], r["p95"])
+         for r in direct.collect()}
+    assert a == b
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        at_rest.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines() if "InMemoryFileIndex" in ln]
+    assert len(scans) == 1 and "qsketch_leaves" in scans[0]
