@@ -1589,6 +1589,38 @@ def q_stream_dedup(spark, sf):
 
 
 @_q(
+    "agg_mode",
+    """WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity)
+SELECT l_returnflag,
+       MIN(l_quantity) FILTER (n = mx) AS mode_qty,
+       CAST(mx AS BIGINT) AS mode_count
+FROM (SELECT *, MAX(n) OVER (PARTITION BY l_returnflag) AS mx FROM c)
+GROUP BY l_returnflag, mx""",
+)
+def q_agg_mode(spark, sf):
+    """B32: deterministic MODE — most frequent value per group with a
+    min-value tiebreak. Spark 3.4's ``F.mode`` (and DuckDB's ``mode``)
+    break ties arbitrarily, which is useless for a reproducible
+    pipeline; the two-level formulation (count per value → max count →
+    min value at that count) is engine-independent and exact. Two
+    partial-aggregated shuffles, both O(distinct values), the second
+    O(groups)."""
+    li = _t(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.min_by(
+            "l_quantity",
+            F.struct((-F.col("n")).alias("neg_n"), F.col("l_quantity")),
+        ).alias("mode_qty"),
+        F.max("n").alias("mode_count"),
+    )
+
+
+@_q(
     "text_normalize",
     """SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
