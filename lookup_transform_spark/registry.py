@@ -1621,6 +1621,52 @@ def q_agg_mode(spark, sf):
 
 
 @_q(
+    "agg_corr",
+    """WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity * l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+         SUM(CAST(ROUND(l_extendedprice * l_extendedprice * 100) AS BIGINT)) / 100.0 AS syy,
+         SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT)) / 100.0 AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+FROM s""",
+)
+def q_agg_corr(spark, sf):
+    """B32: Pearson correlation from fixed-point moment sums. The
+    built-in ``F.corr`` accumulates co-moments in doubles, so its low
+    bits depend on partitioning — not reproducible, not oracle-
+    hashable. Summing the five moments as fixed-point longs (the
+    anomaly_zscore pattern) makes every term exact and order-free;
+    both engines then evaluate the identical closed-form double
+    expression. One partial-aggregated shuffle of O(groups) rows."""
+    li = _t(spark, sf, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        fp_sum(q, 0).alias("sx"),
+        fp_sum(p, 2).alias("sy"),
+        fp_sum(q * q, 0).alias("sxx"),
+        fp_sum(p * p, 2).alias("syy"),
+        fp_sum(q * p, 2).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@_q(
     "text_normalize",
     """SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
