@@ -47,13 +47,24 @@ def asof_join(
     right_ts: str,
     value_fields: list[str],
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
     """left LEFT ASOF JOIN right: for each left row, the right row with
-    the greatest right_ts <= left_ts within the same key group.
+    the greatest right_ts <= left_ts (``direction="backward"``, the
+    default — DuckDB's ``ON l.ts >= r.ts``, pandas merge_asof default)
+    or the smallest right_ts >= left_ts (``direction="forward"`` —
+    DuckDB's ``ON l.ts <= r.ts``) within the same key group. Both
+    directions are the same single-shuffle union-sort plan; forward just
+    sorts the per-key pass descending so ``last(ignorenulls)`` carries
+    the nearest LATER right row instead.
 
     Returns all left columns + ``value_fields`` (renamed with ``suffix``),
-    nullable (no earlier right row → null, left-outer semantics).
+    nullable (no matching right row → null, left-outer semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     out_names = [v + suffix for v in value_fields]
 
@@ -83,7 +94,11 @@ def asof_join(
     # struct sorts last and therefore wins last(); left rows all carry a
     # null struct so their relative order is immaterial. Skipped (order
     # left arbitrary, as in DuckDB) when a value field is non-orderable.
-    order = [F.col("__ts__").asc(), F.col("__tag__").asc()]
+    ts_order = (
+        F.col("__ts__").asc() if direction == "backward"
+        else F.col("__ts__").desc()
+    )
+    order = [ts_order, F.col("__tag__").asc()]
     if _orderable(packed_type):
         order.append(F.col("__v__").asc_nulls_first())
     w = (

@@ -286,6 +286,39 @@ def q_lookup_asof(spark, sf):
 
 
 @_q(
+    "lookup_asof_forward",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.value AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY value DESC NULLS LAST) = 1) c
+ON p.user_id = c.user_id AND p.ts <= c.ts""",
+)
+def q_lookup_asof_forward(spark, sf):
+    """B19 as-of, FORWARD direction: earliest click at-or-after each
+    purchase, per user (pandas merge_asof direction="forward"; DuckDB
+    ``ON l.ts <= r.ts``). Same single-shuffle union-sort plan as the
+    backward default — the per-key pass just sorts descending."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("next_click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_fields=["next_click_value"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "next_click_value",
+    )
+
+
+@_q(
     "lookup_asof_multi",
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value, c.click_props
