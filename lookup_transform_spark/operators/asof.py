@@ -61,9 +61,14 @@ def asof_join(
     Returns all left columns + ``value_fields`` (renamed with ``suffix``),
     nullable (no matching right row → null, left-outer semantics).
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, value_fields, suffix
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
         )
     keys = [on] if isinstance(on, str) else list(on)
     out_names = [v + suffix for v in value_fields]
@@ -117,6 +122,48 @@ def asof_join(
             *[F.col(c) for c in left.columns],
             *[F.col("__v__").getField(o).alias(o) for o in out_names],
         )
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    value_fields: list[str],
+    suffix: str,
+) -> DataFrame:
+    """direction="nearest": the right row minimizing |right_ts −
+    left_ts|, ties broken toward BACKWARD (the at-or-before row) — the
+    scalar tie key is ``2·|Δt| + direction_flag``, which the oracle
+    mirrors as a ``min_by`` key. Composed from one backward and one
+    forward pass (each the single-shuffle union-sort plan), then a
+    per-row pick — no extra shuffles beyond the two passes."""
+    ts_f = "__match_ts__"
+    r2 = right.withColumn(ts_f, F.col(right_ts))
+    b = asof_join(
+        left, r2, on, left_ts, right_ts,
+        [ts_f] + value_fields, suffix="__b__", direction="backward",
+    )
+    f = asof_join(
+        b, r2, on, left_ts, right_ts,
+        [ts_f] + value_fields, suffix="__f__", direction="forward",
+    )
+    lt = F.unix_micros(F.col(left_ts))
+    d_b = lt - F.unix_micros(F.col(ts_f + "__b__"))
+    d_f = F.unix_micros(F.col(ts_f + "__f__")) - lt
+    use_b = F.col(ts_f + "__f__").isNull() | (
+        F.col(ts_f + "__b__").isNotNull() & (d_b <= d_f)
+    )
+    return f.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(use_b, F.col(v + "__b__"))
+            .otherwise(F.col(v + "__f__"))
+            .alias(v + suffix)
+            for v in value_fields
+        ],
     )
 
 

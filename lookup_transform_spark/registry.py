@@ -319,6 +319,44 @@ def q_lookup_asof_forward(spark, sf):
 
 
 @_q(
+    "lookup_asof_nearest",
+    """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY value DESC NULLS LAST) = 1)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       (SELECT min_by(c.value,
+                      2 * abs(epoch_us(p.ts) - epoch_us(c.ts))
+                      + CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END)
+        FROM c WHERE c.user_id = p.user_id) AS nearest_click_value
+FROM p""",
+)
+def q_lookup_asof_nearest(spark, sf):
+    """B19 as-of, NEAREST direction (merge_asof direction="nearest"):
+    the click minimizing |Δt| from each purchase, ties toward the
+    at-or-before row. Composed from the backward and forward union-sort
+    passes plus a per-row pick; the oracle mirrors the exact tie rule
+    as a scalar ``min_by`` key (2·|Δt| + direction flag)."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("nearest_click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_fields=["nearest_click_value"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "nearest_click_value",
+    )
+
+
+@_q(
     "lookup_asof_multi",
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value, c.click_props

@@ -103,3 +103,36 @@ def test_suffix_renames_packed_fields(spark):
     )
     assert out.columns == ["k", "ts", "a_asof"]
     assert _rows(out) == [(1, 10, 1.0)]
+
+
+def test_asof_directions_match_brute_force(spark):
+    """backward/forward/nearest against a per-row brute-force pick on a
+    toy fixture with both-side candidates, ties, and misses."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 10), (3, 2, 100), (4, 3, 7)],
+        "id long, k long, ts long",
+    ).select("id", "k", F.timestamp_micros(F.col("ts")).alias("ts"))
+    right = spark.createDataFrame(
+        # k=1: candidates straddling both lefts; k=2: exact-tie distance
+        # (95 and 105 around 100 -> backward wins); k=3: no rows
+        [(1, 40, 4.0), (1, 55, 5.5), (1, 8, 0.8),
+         (2, 95, 9.5), (2, 105, 10.5)],
+        "k long, ts long, v double",
+    ).select("k", F.timestamp_micros(F.col("ts")).alias("ts"), "v")
+
+    def got(direction):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_fields=["v"], direction=direction,
+        )
+        return {r["id"]: r["v"] for r in out.collect()}
+
+    assert got("backward") == {1: 4.0, 2: 0.8, 3: 9.5, 4: None}
+    assert got("forward") == {1: 5.5, 2: 4.0, 3: 10.5, 4: None}
+    # nearest: id1 |50-55|=5 vs |50-40|=10 -> 5.5; id2 8 closest; id3
+    # tie (5 vs 5) -> backward 9.5; id4 no candidates
+    assert got("nearest") == {1: 5.5, 2: 0.8, 3: 9.5, 4: None}
