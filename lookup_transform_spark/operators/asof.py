@@ -48,6 +48,7 @@ def asof_join(
     value_fields: list[str],
     suffix: str = "",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """left LEFT ASOF JOIN right: for each left row, the right row with
     the greatest right_ts <= left_ts (``direction="backward"``, the
@@ -58,9 +59,39 @@ def asof_join(
     sorts the per-key pass descending so ``last(ignorenulls)`` carries
     the nearest LATER right row instead.
 
+    ``tolerance_us`` (pandas merge_asof ``tolerance``): a match farther
+    than this many microseconds from the left ts is nulled out — a
+    post-mask on the carried match, so the plan is unchanged and the
+    semantics stay left-outer (the row survives with null values).
+
     Returns all left columns + ``value_fields`` (renamed with ``suffix``),
     nullable (no matching right row → null, left-outer semantics).
     """
+    if tolerance_us is not None:
+        if direction == "nearest":
+            raise ValueError(
+                "tolerance_us with direction='nearest' is not supported"
+            )
+        if tolerance_us < 0:
+            raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
+        ts_f = "__tol_ts__"
+        r2 = right.withColumn(ts_f, F.col(right_ts))
+        out = asof_join(
+            left, r2, on, left_ts, right_ts,
+            [ts_f] + value_fields, suffix, direction,
+        )
+        delta = F.abs(
+            F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col(ts_f + suffix))
+        )
+        within = delta <= F.lit(tolerance_us)
+        return out.select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(within, F.col(v + suffix)).alias(v + suffix)
+                for v in value_fields
+            ],
+        )
     if direction == "nearest":
         return _asof_nearest(
             left, right, on, left_ts, right_ts, value_fields, suffix

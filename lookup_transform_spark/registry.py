@@ -357,6 +357,43 @@ def q_lookup_asof_nearest(spark, sf):
 
 
 @_q(
+    "lookup_asof_tolerance",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+            THEN c.value END AS recent_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY value DESC NULLS LAST) = 1) c
+ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def q_lookup_asof_tolerance(spark, sf):
+    """B19 as-of with a tolerance bound (merge_asof ``tolerance``): the
+    latest click at-or-before each purchase counts only within 30
+    minutes — stale context is null, not silently ancient. A post-mask
+    on the carried match ts, so the plan is the same single-shuffle
+    union-sort pass; the oracle mirrors it as a CASE over the ASOF
+    match."""
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("recent_click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_fields=["recent_click_value"],
+        tolerance_us=30 * 60 * 1_000_000,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "recent_click_value",
+    )
+
+
+@_q(
     "lookup_asof_multi",
     """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_value, c.click_props

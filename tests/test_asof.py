@@ -136,3 +136,22 @@ def test_asof_directions_match_brute_force(spark):
     # nearest: id1 |50-55|=5 vs |50-40|=10 -> 5.5; id2 8 closest; id3
     # tie (5 vs 5) -> backward 9.5; id4 no candidates
     assert got("nearest") == {1: 5.5, 2: 0.8, 3: 9.5, 4: None}
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 1000)], "id long, k long, ts long"
+    ).select("id", "k", F.timestamp_micros(F.col("ts")).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 95, 9.5)], "k long, ts long, v double"
+    ).select("k", F.timestamp_micros(F.col("ts")).alias("ts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], tolerance_us=10,
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 9.5, 2: None}  # 5µs within; 905µs masked
