@@ -155,3 +155,21 @@ def test_asof_tolerance_masks_stale_matches(spark):
     )
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: 9.5, 2: None}  # 5µs within; 905µs masked
+
+
+def test_asof_multi_key_groups_independent(spark):
+    # composite key (k1,k2): matches must never leak across key groups
+    left = spark.createDataFrame(
+        [(1, 1, "x", 100), (2, 1, "y", 100), (3, 2, "x", 100)],
+        "id long, k1 long, k2 string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", 90, 1.0), (1, "y", 95, 2.0), (2, "z", 99, 9.0)],
+        "k1 long, k2 string, ts long, v double",
+    )
+    out = asof_join(
+        left, right, on=["k1", "k2"], left_ts="ts", right_ts="ts",
+        value_fields=["v"],
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}
