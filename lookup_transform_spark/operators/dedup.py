@@ -314,6 +314,31 @@ def _exact_precluster(
     return reps, star
 
 
+def _band_explode(sig_col: str, bands: int, rows_per_band: int) -> F.Column:
+    """Explode a minhash signature into (band, bucket) structs — shared
+    by the in-plan pair generation and the at-rest LSH index so both
+    bucket identically."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(sig_col, b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("__band__")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -373,26 +398,7 @@ def minhash_lsh_pairs(
     # times); hashed shingle sets rejoin by id for verification below,
     # so shuffle volume stays at ~2× the corpus regardless of band count.
     banded = sig.select(
-        "__id__",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__sig__", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band__"),
+        "__id__", _band_explode("__sig__", bands, rows_per_band)
     ).select("__id__", F.col("__band__.band"), F.col("__band__.bucket"))
     banded = _cap_group_size(banded, ["band", "bucket"], max_bucket_size)
 
@@ -947,3 +953,142 @@ def incremental_probe(
         content_fingerprint(text_col).alias("f"),
     )
     return new.join(idx, "f", "left_anti").select("doc_id")
+
+
+def write_lsh_index(
+    spark,
+    docs: DataFrame,
+    table_prefix: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> None:
+    """At-rest LSH index: the NEAR-dup analog of ``write_fingerprint_index``
+    — the missing half of continuous ingest (exact incremental dedup
+    catches byte-duplicates; this catches near-duplicates of anything
+    already accepted, without re-banding the corpus per batch).
+
+    Two bucketed tables, both computed in one pass over the corpus:
+    - ``{prefix}_bands`` (band, bucket, __bb__, doc_id), bucketed by
+      ``__bb__`` = xxhash64(band, bucket) — a new batch's banding probes
+      it co-located, so only the batch shuffles;
+    - ``{prefix}_docs`` (doc_id, sorted shingle-hash array), bucketed by
+      doc_id — the verify stage's side of the Jaccard check, read
+      co-located by candidate doc_id.
+
+    Banding/shingle hashing is byte-identical to ``minhash_lsh_pairs``
+    (shared ``_band_explode`` / ``with_shingle_hashes``), so an index
+    probe generates exactly the candidates the in-plan operator would.
+    """
+    from lookup_transform_spark.operators.bucketing import ensure_bucketed
+
+    rows_per_band = num_hashes // bands
+    base = with_shingle_hashes(
+        _ensure_parallel(docs, id_col), text_col, shingle_n
+    )
+    sig = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("__sh_arr__"),
+        minhash_signature_from_hashes(
+            F.col("__sh_arr__"), num_hashes, seed
+        ).alias("__sig__"),
+    )
+    # the index key is ONE column: __bb__ = xxhash64(band, bucket).
+    # Storing band/bucket separately and joining on all three would make
+    # Spark hash-partition on the triple (re-shuffling the index — any
+    # post-join residual gets pushed back into the join keys); the
+    # single-column key keeps the probe co-located with the bucketed
+    # layout. A cross-(band,bucket) __bb__ collision is the same 2^-64
+    # class as every fingerprint here, and harmless anyway: candidates
+    # only ever ADD pairs, and the exact Jaccard verify removes them.
+    banded = (
+        sig.select("doc_id", _band_explode("__sig__", bands, rows_per_band))
+        .select(
+            "doc_id",
+            F.xxhash64("__band__.band", "__band__.bucket").alias("__bb__"),
+        )
+    )
+    ensure_bucketed(
+        spark, banded, f"{table_prefix}_bands", "__bb__", n_buckets,
+        f"{path}/bands",
+    )
+    store = sig.select(
+        "doc_id", F.array_sort("__sh_arr__").alias("__sh__")
+    )
+    ensure_bucketed(
+        spark, store, f"{table_prefix}_docs", "doc_id", n_buckets,
+        f"{path}/docs",
+    )
+
+
+def incremental_minhash_probe(
+    spark,
+    new_docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ids of new-batch docs with NO verified near-dup in the standing
+    LSH index (the novel docs an ingest should accept).
+
+    Only the new batch is shingled, signed, and shuffled — into the
+    index's bucket layout for the banding probe, then by candidate
+    doc_id for the verify join; both standing tables are read bucketed,
+    co-located, never re-shuffled or recomputed. Per-ingest cost is
+    O(batch + collisions), not O(corpus).
+    """
+    rows_per_band = num_hashes // bands
+    base = with_shingle_hashes(
+        _ensure_parallel(new_docs, id_col), text_col, shingle_n
+    )
+    sig = base.select(
+        F.col(id_col).alias("__nid__"),
+        F.col("__sh_arr__"),
+        minhash_signature_from_hashes(
+            F.col("__sh_arr__"), num_hashes, seed
+        ).alias("__sig__"),
+    )
+    new_banded = sig.select(
+        "__nid__", _band_explode("__sig__", bands, rows_per_band)
+    ).select(
+        "__nid__",
+        F.xxhash64("__band__.band", "__band__.bucket").alias("__bb__"),
+    )
+    idx = spark.table(f"{table_prefix}_bands")
+    # single-key join on __bb__ — matches the index's bucket layout, so
+    # the standing side is read co-located (see write_lsh_index)
+    cand = (
+        new_banded.join(idx, new_banded["__bb__"] == idx["__bb__"])
+        .select("__nid__", F.col("doc_id").alias("__sid__"))
+        .dropDuplicates(["__nid__", "__sid__"])
+    )
+    store = spark.table(f"{table_prefix}_docs")
+    new_sets = sig.select(
+        F.col("__nid__").alias("__na__"),
+        F.array_sort("__sh_arr__").alias("__sh_new__"),
+    )
+    verified = (
+        cand.join(store, cand["__sid__"] == store["doc_id"])
+        .join(new_sets, cand["__nid__"] == F.col("__na__"))
+    )
+    inter = F.size(F.array_intersect("__sh_new__", "__sh__"))
+    union = F.size(F.array_union("__sh_new__", "__sh__"))
+    dup_ids = (
+        verified.filter(inter / union >= threshold)
+        .select(F.col("__nid__").alias(id_col))
+        .distinct()
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(dup_ids, on=id_col, how="left_anti")
+    )

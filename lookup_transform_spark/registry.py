@@ -1836,6 +1836,46 @@ def q_quarantine_bad_json(spark, sf):
     )
 
 
+@_q("dedup_incremental_minhash")
+def q_dedup_incremental_minhash(spark, sf):
+    """B51 at-rest path: incremental NEAR-dup — the fuzzy analog of
+    `dedup_incremental_indexed`, and the missing half of continuous
+    ingest (exact fingerprints catch byte-duplicates; this rejects new
+    docs that are near-duplicates of anything already accepted). The
+    standing corpus's LSH banding + shingle sets live in two bucketed
+    tables (write_lsh_index, write-once/probe-many); each probe
+    shingles, signs, and shuffles ONLY the new batch — the banding join
+    and the Jaccard verify both read the standing tables co-located
+    (bucketed scans pinned in tests/test_plans.py). Returns the novel
+    doc ids the ingest should accept. Rows-only (hash-seeded LSH);
+    equality with the in-plan batch-vs-standing computation is pinned
+    in tests/test_dedup_caps.py."""
+    from lookup_transform_spark.operators.dedup import (
+        incremental_minhash_probe,
+        write_lsh_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
+    table = f"lshidx_{tag}"
+    path = f"{SCRATCH}/lshidx_{os.path.basename(sf)}"
+    success = f"{path}/bands/_SUCCESS"
+    fixture = os.path.join(sf, "documents.parquet")
+    stale = os.path.exists(success) and os.path.exists(fixture) and (
+        os.path.getmtime(fixture) > os.path.getmtime(success)
+    )
+    if stale:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_docs")
+        shutil.rmtree(path, ignore_errors=True)
+    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
+    write_lsh_index(spark, standing, table, path)
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+    return incremental_minhash_probe(spark, new, table).orderBy("doc_id")
+
+
 @_q("stream_ingest_dedup")
 def q_stream_ingest_dedup(spark, sf):
     """B63 extension: continuous-ingest dedup — the foreachBatch shape a

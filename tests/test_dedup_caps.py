@@ -346,3 +346,53 @@ def test_minhash_signature_jvm_and_pandas_bit_identical(spark):
     assert both
     for r in both:
         assert list(r["jvm"]) == list(r["arrow"]), r["doc_id"]
+
+
+def test_incremental_minhash_matches_in_plan(spark):
+    """The at-rest LSH probe must accept exactly the new docs the
+    in-plan batch-vs-standing near-dup computation would accept: the
+    index stores the SAME banding and shingle sets (shared expression
+    helpers), so candidates and verification agree bit-for-bit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        incremental_minhash_probe,
+        minhash_lsh_pairs,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.sql("DROP TABLE IF EXISTS lshidx_test_bands")
+        spark.sql("DROP TABLE IF EXISTS lshidx_test_docs")
+        write_lsh_index(spark, standing, "lshidx_test", d)
+        got = {
+            r["doc_id"]
+            for r in incremental_minhash_probe(
+                spark, new, "lshidx_test"
+            ).collect()
+        }
+        spark.sql("DROP TABLE IF EXISTS lshidx_test_bands")
+        spark.sql("DROP TABLE IF EXISTS lshidx_test_docs")
+
+    # in-plan reference: near-dup pairs over the UNION, restricted to
+    # (new, standing) cross pairs — a new doc with any such pair is a
+    # duplicate. precluster off: the probe has no cross-batch exact
+    # pre-clustering, and identical texts collide in every band anyway.
+    pairs = minhash_lsh_pairs(docs, precluster_exact=False).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    standing_ids = {r["doc_id"] for r in standing.select("doc_id").collect()}
+    dup_new = set()
+    for r in pairs:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if a in new_ids and b in standing_ids:
+            dup_new.add(a)
+        elif b in new_ids and a in standing_ids:
+            dup_new.add(b)
+    assert got == new_ids - dup_new
+    assert dup_new, "fixture should reject at least one near-dup"

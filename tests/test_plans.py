@@ -371,3 +371,40 @@ def test_q1_aggregates_are_fixed_point_not_decimal(spark):
     for ln in agg_lines:
         assert "decimal" not in ln, ln
         assert "as bigint" in ln or "count" in ln, ln
+
+
+def test_incremental_minhash_standing_tables_read_bucketed(spark, tmp_path):
+    """The LSH index contract: a probe shuffles only the NEW batch; both
+    standing tables (band index, doc store) are read as BUCKETED scans —
+    co-located with the probe joins, never re-shuffled or recomputed."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        incremental_minhash_probe,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS lshplan_bands")
+    spark.sql("DROP TABLE IF EXISTS lshplan_docs")
+    write_lsh_index(
+        spark, docs.filter("doc_id % 10 < 8"), "lshplan", str(tmp_path / "lsh")
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_minhash_probe(
+            spark, docs.filter("doc_id % 10 >= 8"), "lshplan"
+        )
+        plan = explain_str(out)
+        scans = [
+            ln for ln in plan.splitlines()
+            if "Location" in ln and "lsh" in ln
+        ]
+        buck = plan.count("Bucketed: true")
+        assert buck >= 2, plan[:2000]  # both standing tables bucketed
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS lshplan_bands")
+        spark.sql("DROP TABLE IF EXISTS lshplan_docs")
