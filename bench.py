@@ -52,6 +52,7 @@ HEADLINE = [
     "bucketed_join",
     "join_bloom_semi",
     "dedup_exact",
+    "dedup_incremental_minhash",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
