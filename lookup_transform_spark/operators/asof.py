@@ -69,8 +69,9 @@ def asof_join(
     """
     if tolerance_us is not None:
         if direction == "nearest":
-            raise ValueError(
-                "tolerance_us with direction='nearest' is not supported"
+            return _asof_nearest(
+                left, right, on, left_ts, right_ts, value_fields, suffix,
+                tolerance_us=tolerance_us,
             )
         if tolerance_us < 0:
             raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
@@ -164,6 +165,7 @@ def _asof_nearest(
     right_ts: str,
     value_fields: list[str],
     suffix: str,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """direction="nearest": the right row minimizing |right_ts −
     left_ts|, ties broken toward BACKWARD (the at-or-before row) — the
@@ -187,12 +189,20 @@ def _asof_nearest(
     use_b = F.col(ts_f + "__f__").isNull() | (
         F.col(ts_f + "__b__").isNotNull() & (d_b <= d_f)
     )
+    picked = F.when(use_b, F.lit(True)).otherwise(F.lit(False))
+    if tolerance_us is not None:
+        chosen_delta = F.when(use_b, d_b).otherwise(d_f)
+        keep = chosen_delta <= F.lit(tolerance_us)
+    else:
+        keep = F.lit(True)
     return f.select(
         *[F.col(c) for c in left.columns],
         *[
-            F.when(use_b, F.col(v + "__b__"))
-            .otherwise(F.col(v + "__f__"))
-            .alias(v + suffix)
+            F.when(
+                keep,
+                F.when(picked, F.col(v + "__b__"))
+                .otherwise(F.col(v + "__f__")),
+            ).alias(v + suffix)
             for v in value_fields
         ],
     )

@@ -173,3 +173,23 @@ def test_asof_multi_key_groups_independent(spark):
     )
     got = {r["id"]: r["v"] for r in out.collect()}
     assert got == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_asof_nearest_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 5000)], "id long, k long, ts long"
+    ).select("id", "k", F.timestamp_micros(F.col("ts")).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 103, 1.3), (1, 4000, 4.0)], "k long, ts long, v double"
+    ).select("k", F.timestamp_micros(F.col("ts")).alias("ts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], direction="nearest", tolerance_us=10,
+    )
+    got = {r["id"]: r["v"] for r in out.collect()}
+    # id1: nearest is 103 (3µs) within tol; id2: nearest is 4000 (1000µs) masked
+    assert got == {1: 1.3, 2: None}
