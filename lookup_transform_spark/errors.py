@@ -15,15 +15,28 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class ValidationFailure:
-    """One validation problem (message + corrective action + config property).
+    """One validation problem (message + corrective action + target).
 
-    Mirrors ``FailureCollector.addFailure(message, correctiveAction)
-    .withConfigProperty(prop)`` (e.g. Lookup.java:486-488).
+    Mirrors ``FailureCollector.addFailure(message, correctiveAction)``
+    plus the reference's three targeting affordances
+    (Lookup.java:237-254's ``InvalidJoinException`` remap):
+
+    - ``config_property`` — ``withConfigProperty(prop)`` (JOIN_KEY /
+      JOIN_KEY_FIELD errors target ``input_key_field``;
+      Lookup.java:240-243, 486-488);
+    - ``config_element`` — ``withConfigElement(prop, element)``: the
+      failure points at ONE element of a multi-valued property, e.g.
+      ``("lookup_value_field", "lkp.category as category")`` for a
+      SELECTED_FIELD error (Lookup.java:244-248);
+    - ``output_schema_field`` — ``withOutputSchemaField(field)`` for an
+      OUTPUT_SCHEMA error (Lookup.java:249-252).
     """
 
     message: str
     corrective_action: str = ""
     config_property: str | None = None
+    config_element: tuple[str, str] | None = None
+    output_schema_field: str | None = None
 
     def __str__(self) -> str:
         parts = [self.message]
@@ -31,6 +44,11 @@ class ValidationFailure:
             parts.append(self.corrective_action)
         if self.config_property:
             parts.append(f"(property: {self.config_property})")
+        if self.config_element:
+            prop, element = self.config_element
+            parts.append(f"(element: {prop}[{element}])")
+        if self.output_schema_field:
+            parts.append(f"(output schema field: {self.output_schema_field})")
         return " ".join(parts)
 
 
@@ -53,9 +71,17 @@ class FailureCollector:
         message: str,
         corrective_action: str = "",
         config_property: str | None = None,
+        config_element: tuple[str, str] | None = None,
+        output_schema_field: str | None = None,
     ) -> None:
         self.failures.append(
-            ValidationFailure(message, corrective_action, config_property)
+            ValidationFailure(
+                message,
+                corrective_action,
+                config_property,
+                config_element,
+                output_schema_field,
+            )
         )
 
     def raise_if_any(self) -> None:

@@ -68,13 +68,13 @@ def asof_join(
     nullable (no matching right row → null, left-outer semantics).
     """
     if tolerance_us is not None:
+        if tolerance_us < 0:
+            raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
         if direction == "nearest":
             return _asof_nearest(
                 left, right, on, left_ts, right_ts, value_fields, suffix,
                 tolerance_us=tolerance_us,
             )
-        if tolerance_us < 0:
-            raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
         ts_f = "__tol_ts__"
         r2 = right.withColumn(ts_f, F.col(right_ts))
         out = asof_join(

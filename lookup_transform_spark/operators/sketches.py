@@ -73,9 +73,16 @@ def qsketch(
 ) -> DataFrame:
     """Build one sketch row per group: ``sketch map<int,long>`` +
     ``n_rows``. One partial-aggregated shuffle of (group, bucket) —
-    shuffle volume is O(groups × buckets), not O(rows)."""
+    shuffle volume is O(groups × buckets), not O(rows).
+
+    Null handling: null values are dropped before bucketing (the same
+    contract as Spark's ``percentile``/``median`` and SQL aggregates —
+    nulls don't contribute to any quantile, and ``n_rows`` counts only
+    non-null values). Without the filter a null value would map to a
+    null bucket index and fail ``map_from_entries`` at runtime."""
     per_bucket = (
-        df.select(*group_cols, log_bucket(value_col, base, lo).alias("__b__"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, log_bucket(value_col, base, lo).alias("__b__"))
         .groupBy(*group_cols, "__b__")
         .agg(F.count(F.lit(1)).alias("__c__"))
     )

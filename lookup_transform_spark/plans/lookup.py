@@ -285,13 +285,19 @@ class LookupSpec:
                         "lookup_key_field",
                     )
         if "lookup_value_field" not in macros:
-            for v in self.value_fields:
+            # SELECTED_FIELD analog: target the ONE offending element of
+            # the multi-valued property as "stage.field as alias", the
+            # reference's withConfigElement form (Lookup.java:244-248)
+            for v, out in zip(self.value_fields, self.output_fields):
                 if v not in lk_names:
                     fc.add(
                         f"Lookup value field '{v}' is not in lookup dataset "
                         f"'{self.lookup_dataset}'.",
                         "Set lookup_value_field to a column of the lookup dataset.",
-                        "lookup_value_field",
+                        config_element=(
+                            "lookup_value_field",
+                            f"{self.lookup_dataset}.{v} as {out}",
+                        ),
                     )
         if "input_key_field" not in macros:
             for k in self.input_keys:
@@ -326,7 +332,10 @@ class LookupSpec:
                         "input_key_field",
                     )
 
-        # output-name collision (Lookup.java:515-518)
+        # output-name collision (Lookup.java:515-518) — OUTPUT_SCHEMA
+        # analog: target the offending output-schema field by name
+        # (withOutputSchemaField, Lookup.java:249-252), keeping the
+        # config_property for the non-CDAP-UI consumer
         if "output_field" not in macros and "lookup_value_field" not in macros:
             for out in self.output_fields:
                 if out in in_names:
@@ -335,6 +344,7 @@ class LookupSpec:
                         f"'{input_name}'.",
                         "Set output_field to a name not present in the input.",
                         "output_field",
+                        output_schema_field=out,
                     )
         fc.raise_if_any()
 

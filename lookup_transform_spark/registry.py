@@ -52,6 +52,17 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table; when ``stats.register_stats_tables`` has
+    catalogued this sf_dir (bench/scaling runs), serve the stats-backed
+    catalog table instead so CBO join reordering and runtime Bloom
+    filters can engage — same files, same rows, better plans. The
+    correctness path never registers stats, so oracle comparisons run
+    on plain parquet reads."""
+    from lookup_transform_spark import stats
+
+    db = stats.stats_db_for(sf_dir)
+    if db is not None and name in stats.STATS_TABLES:
+        return spark.table(f"{db}.{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

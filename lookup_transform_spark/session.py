@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Pin ANSI mode explicitly: fixedpoint.py's fail-loud-on-overflow
+        # contract for long accumulators must not depend on the Spark 4.x
+        # default (Spark 3.x defaults ANSI off, which would silently wrap).
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -141,13 +141,12 @@ def upsert_partitioned(
     )
     merged = keep.unionByName(updates.select(*existing.columns))
     merged = merged.localCheckpoint()  # break lineage: source == sink path
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, NOT a session-conf save/restore: scoping dynamic
+    # overwrite to this writer means a concurrent write in the same
+    # session can't inherit it, and there's no restore to race
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

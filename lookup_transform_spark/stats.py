@@ -1,0 +1,126 @@
+"""Table statistics + CBO enablement: the missing piece that lets
+Spark's own cost-based optimizations engage on the fact-fact join tier.
+
+Why this exists (the 100 TB story): Catalyst's join REORDERING and
+runtime Bloom-filter INJECTION are both statistics-gated. Without
+catalog stats a filtered scan keeps its unfiltered ``sizeInBytes``, so
+
+- the CBO join reorderer never runs (``spark.sql.cbo.enabled`` is only
+  consulted when every join input has row counts), leaving join order
+  exactly as the query author wrote it — e.g. TPC-H Q5 joining
+  customer x orders FIRST and filtering by region LAST; and
+- ``InjectRuntimeFilter``'s creation-side size gate never opens, so a
+  selective dimension filter is never pushed across a join as a Bloom
+  filter on the fact side's scan (measured in PLANS.md: enabling the
+  flag alone changes nothing).
+
+On a production warehouse statistics are computed at ingest
+(``ANALYZE TABLE ... COMPUTE STATISTICS``) and every later query
+benefits; this module reproduces that shape for the parquet fixture
+dirs: external catalog tables + NTZ-safe column stats, registered once
+per (process, sf_dir) into a dedicated database, plus a conf helper to
+switch the session's CBO/runtime-filter knobs on.
+
+Spark 4.1 bug worked around here: ``FilterEstimation.evaluateBinary``
+has no case for ``TimestampNTZType`` and throws ``scala.MatchError``
+when estimating a filter over an NTZ column that HAS column stats
+(hit via tpch_q8's o_orderdate predicate). NTZ columns are therefore
+excluded from ANALYZE — table-level row counts still cover them, and
+every other column keeps full min/max/ndv stats.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+# tables worth cataloguing: the relational tier the CBO acts on.
+# documents/embeddings deliberately excluded — their queries are
+# single-table scans (text/ANN operators) where stats change nothing
+# and ANALYZE would re-scan megabytes of text/vector payload.
+STATS_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events",
+)
+
+# column types ANALYZE ... FOR COLUMNS supports AND FilterEstimation
+# handles; TimestampNTZType is excluded (MatchError, see module doc)
+_STATS_TYPES = (
+    T.NumericType, T.StringType, T.DateType, T.TimestampType,
+    T.BooleanType,
+)
+
+# process-level registry: sf_dir -> database name (a fresh process
+# re-ANALYZEs, so regenerated fixtures can never serve stale stats)
+_REGISTERED: dict[str, str] = {}
+
+
+def _db_name(sf_dir: str) -> str:
+    return "lt_stats_" + re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+
+
+def register_stats_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = STATS_TABLES
+) -> str:
+    """Create external parquet tables for ``sf_dir`` in a dedicated
+    database and compute table + column statistics (NTZ-safe). Returns
+    the database name; idempotent per process. Cost: one column-pruned
+    scan per table — the ingest-time cost a warehouse pays once, NOT
+    part of any query's time."""
+    if sf_dir in _REGISTERED:
+        return _REGISTERED[sf_dir]
+    db = _db_name(sf_dir)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        spark.sql(f"CREATE TABLE {db}.{t} USING parquet LOCATION '{path}'")
+        cols = [
+            f.name for f in spark.table(f"{db}.{t}").schema.fields
+            if isinstance(f.dataType, _STATS_TYPES)
+            and not isinstance(f.dataType, T.TimestampNTZType)
+        ]
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(cols)
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS")
+    _REGISTERED[sf_dir] = db
+    return db
+
+
+def stats_db_for(sf_dir: str) -> str | None:
+    """Database holding stats-backed tables for sf_dir, if registered."""
+    return _REGISTERED.get(sf_dir)
+
+
+def enable_cbo(
+    spark: SparkSession,
+    application_side_threshold: str | None = None,
+) -> None:
+    """Switch on the statistics-consuming optimizations.
+
+    ``application_side_threshold`` scales the runtime-Bloom-filter
+    injection gate to the data: Spark's default (10GB of scanned
+    bytes on the application side) is right for a cluster reading
+    terabytes and means "never" on a test fixture. The bench passes
+    ~10MB so the same plans materialize at fixture scale; a real
+    deployment leaves the default. Injection remains cost-gated by
+    creation-side stats either way, and Bloom false positives only
+    cost shuffle bytes — the closing join keeps results exact."""
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if application_side_threshold is not None:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            application_side_threshold,
+        )

@@ -16,11 +16,16 @@ the index is the bucketed layout of ``write_fingerprint_index``; the
 demo appends plain parquet, which only changes the anti-join's shuffle,
 not the semantics.)
 
-Dedup rule: min doc_id per normalized-content fingerprint wins —
-order-independent (the same survivor the batch operators pick), so the
-final corpus is deterministic no matter how arrivals are batched;
+Dedup rule: min doc_id per fingerprint WITHIN a batch; ACROSS batches
+the first-accepted fingerprint wins (the index has no id to compare —
+a later batch's row loses even if its doc_id is smaller). The corpus
+therefore matches global min-id dedup under the usual ingest
+precondition that re-sends/duplicates carry ids ≥ the original (true
+of any monotonic id assignment, and of the staged fixture); under
+out-of-order id arrival the set of deduped CONTENTS is still
+batching-independent, only the surviving id differs.
 ``tests/test_streaming.py`` pins stream-ingest ≡ batch replay ≡ global
-min-id dedup.
+min-id dedup on such monotonic arrivals.
 """
 
 from __future__ import annotations

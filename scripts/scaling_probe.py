@@ -215,6 +215,14 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     if "--skip-build" not in sys.argv:
         build_scaled(spark)
+    # same protocol as bench.py: ingest-time catalog stats + CBO,
+    # registered outside every timed window (stats.py rationale)
+    if os.environ.get("SPARK_GRAFT_BENCH_STATS", "1") != "0":
+        from lookup_transform_spark import stats
+
+        stats.register_stats_tables(spark, SF_DIR)
+        stats.register_stats_tables(spark, OUT)
+        stats.enable_cbo(spark, application_side_threshold="10MB")
     names = [q for q in sorted(registry.QUERIES) if q not in EXCLUDE]
     results: dict[str, dict] = {}
     if "--only" in sys.argv:

@@ -193,3 +193,20 @@ def test_asof_nearest_tolerance(spark):
     got = {r["id"]: r["v"] for r in out.collect()}
     # id1: nearest is 103 (3µs) within tol; id2: nearest is 4000 (1000µs) masked
     assert got == {1: 1.3, 2: None}
+
+
+def test_asof_negative_tolerance_rejected_all_directions(spark):
+    # a negative tolerance must raise, not silently null every match
+    # (the nearest branch used to dispatch before the validation)
+    import pytest as _pytest
+
+    from lookup_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100)], "id long, k long, ts long")
+    right = spark.createDataFrame([(1, 95, 9.5)], "k long, ts long, v double")
+    for direction in ("backward", "forward", "nearest"):
+        with _pytest.raises(ValueError, match="tolerance_us"):
+            asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                value_fields=["v"], direction=direction, tolerance_us=-1,
+            )

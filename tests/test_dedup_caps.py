@@ -396,3 +396,65 @@ def test_incremental_minhash_matches_in_plan(spark):
             dup_new.add(b)
     assert got == new_ids - dup_new
     assert dup_new, "fixture should reject at least one near-dup"
+
+
+def test_lsh_append_then_probe_equals_reband(spark):
+    """Continuous near-dup ingest loop (VERDICT r5 #2): probe batch B
+    against the standing index, append B's survivors, probe batch C —
+    acceptance must be IDENTICAL to probing C against an index re-banded
+    from scratch over standing + B's survivors. A planted near-copy of a
+    B survivor in C proves the appended rows are live in the probe."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        append_to_lsh_index,
+        incremental_minhash_probe,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = docs.select("doc_id", "text")
+    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 6)
+    batch_b = docs.filter(F.pmod("doc_id", F.lit(10)).isin(6, 7))
+    batch_c = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
+
+    def probe_ids(new_df, prefix):
+        return {
+            r["doc_id"]
+            for r in incremental_minhash_probe(spark, new_df, prefix).collect()
+        }
+
+    for t in ("lsha_bands", "lsha_docs", "lshb_bands", "lshb_docs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with tempfile.TemporaryDirectory() as d:
+        # ingest path: index(standing) -> probe B -> append survivors
+        write_lsh_index(spark, standing, "lsha", f"{d}/a")
+        acc_b = probe_ids(batch_b, "lsha")
+        survivors_b = batch_b.filter(F.col("doc_id").isin(list(acc_b)))
+        append_to_lsh_index(spark, survivors_b, "lsha")
+
+        # plant a near-copy of one B survivor into batch C: it can only
+        # be rejected if the appended rows participate in the probe
+        some_b = survivors_b.orderBy("doc_id").limit(1).collect()[0]
+        planted_id = 77_000_001
+        planted = spark.createDataFrame(
+            [(planted_id, some_b["text"] + " x")], "doc_id long, text string"
+        )
+        batch_c2 = batch_c.unionByName(planted)
+
+        acc_c = probe_ids(batch_c2, "lsha")
+        assert planted_id not in acc_c, (
+            "planted near-copy of an appended survivor was accepted — "
+            "append is not live in the probe"
+        )
+
+        # reference path: re-band from scratch over standing + survivors
+        write_lsh_index(
+            spark, standing.unionByName(survivors_b), "lshb", f"{d}/b"
+        )
+        acc_c_ref = probe_ids(batch_c2, "lshb")
+        assert acc_c == acc_c_ref
+    for t in ("lsha_bands", "lsha_docs", "lshb_bands", "lshb_docs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

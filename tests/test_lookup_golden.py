@@ -148,6 +148,37 @@ def test_validation_taxonomy():
     assert schema.fieldNames() == ["customer_id", "first_name", "last_name", "phone"]
 
 
+def test_error_targeting_granularity():
+    """InvalidJoinException remap targets (Lookup.java:237-254): each
+    JoinError type attaches a distinct affordance — JOIN_KEY errors a
+    config property, SELECTED_FIELD errors a (property, element) pair in
+    'stage.field as alias' form, OUTPUT_SCHEMA errors the schema field."""
+    inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
+    # JOIN_KEY / JOIN_KEY_FIELD → config property (Lookup.java:240-243)
+    with pytest.raises(LookupConfigError) as ei:
+        LookupSpec(
+            "phone_numbers", "zzz", "customer_id", "phone_number"
+        ).validate(inputs)
+    (f,) = ei.value.failures
+    assert f.config_property == "input_key_field"
+    assert f.config_element is None and f.output_schema_field is None
+    # SELECTED_FIELD → one element of the multi-valued property, in the
+    # reference's "stage.field as alias" form (Lookup.java:244-248)
+    with pytest.raises(LookupConfigError) as ei:
+        LookupSpec(
+            "phone_numbers", "customer_id", "customer_id", "zzz", "phone"
+        ).validate(inputs)
+    (f,) = ei.value.failures
+    assert f.config_element == ("lookup_value_field", "phone_numbers.zzz as phone")
+    assert f.config_property is None
+    # OUTPUT_SCHEMA → the offending output-schema field (Lookup.java:249-252)
+    with pytest.raises(LookupConfigError) as ei:
+        replace(SPEC, output_field="first_name").validate(inputs)
+    (f,) = ei.value.failures
+    assert f.output_schema_field == "first_name"
+    assert "first_name" in str(f)
+
+
 def test_macros_defer_validation():
     inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
     spec = LookupSpec(

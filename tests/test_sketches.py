@@ -127,6 +127,19 @@ def test_registered_rollup_runs(spark, sf_dir):
         assert r["p50"] <= r["p95"] <= r["p99"]
 
 
+def test_null_values_dropped_not_fatal(spark):
+    """Null values must be dropped (the SQL-aggregate contract), not
+    become a null map key that fails map_from_entries at runtime."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)],
+        "g string, v double",
+    )
+    got = _sketch_maps(qsketch(df, ["g"], "v", BASE, LO), ["g"])
+    assert got[("a",)][1] == 2  # n_rows counts only non-null values
+    assert ("b",) not in got  # all-null group: no bucket rows at all
+    assert None not in got[("a",)][0]
+
+
 def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
     """The at-rest path — leaf sketches written once, percentiles read
     from the leaf table — must equal the in-plan sketch on the raw
