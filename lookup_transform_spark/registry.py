@@ -1188,7 +1188,9 @@ def q_simsearch_ivf(spark, sf):
     """B52 scale path: IVF-style centroid probing (approximate)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=32, nprobe=8, refine_iters=5
+    )
 
 
 @_q("simsearch_ivf_pruned")
@@ -1205,7 +1207,11 @@ def q_simsearch_ivf_pruned(spark, sf):
     )
 
     emb = _t(spark, sf, "embeddings")
-    path = f"{SCRATCH}/ivf_layout_{os.path.basename(sf)}"
+    # cache key carries the layout parameters: a config change must
+    # miss the cache, not silently probe an index built with the old
+    # centroid count/refinement (the mtime gate only catches fixture
+    # regeneration)
+    path = f"{SCRATCH}/ivf_layout_{os.path.basename(sf)}_c32i5"
     # an IVF layout is write-once / probe-many: build only when absent
     # so repeated runs measure the steady-state probe, not the indexing.
     # Staleness gate: a regenerated fixture must invalidate the cached
@@ -1221,9 +1227,9 @@ def q_simsearch_ivf_pruned(spark, sf):
 
         shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(success):
-        write_ivf_layout(emb, path, n_centroids=16)
+        write_ivf_layout(emb, path, n_centroids=32, refine_iters=5)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_probe_topk(spark, path, queries, k=10, nprobe=4)
+    return ivf_probe_topk(spark, path, queries, k=10, nprobe=8)
 
 
 # ---------------------------------------------------------------------------
