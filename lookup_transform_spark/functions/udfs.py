@@ -93,6 +93,60 @@ def grouped_median(
     return df.groupBy(*group_cols).applyInPandas(_median, schema)
 
 
+def grouped_median_vectorized(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "median_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Partition-vectorized grouped-median UDAF: the production shape
+    for a custom Python aggregate Spark lacks.
+
+    ``grouped_median`` (above) is the applyInPandas *surface demo*; its
+    cost is one Python/pandas dispatch PER GROUP, which at high group
+    cardinality dwarfs the actual math (~30× the built-in at 32× scale,
+    SCALING32.json). This formulation repartitions on the group key —
+    so every group lands wholly in one partition — then runs ONE
+    C-level ``pandas.groupby().median()`` over each partition inside
+    ``mapInPandas``. Per-group dispatch disappears; what remains is the
+    Arrow transfer of the (group, value) rows, the irreducible toll of
+    any Python-side aggregate. Measured 4.05 s → ~0.7 s at 32× on
+    ``udaf_median`` (~6× the built-in ``F.median``, vs ~30×).
+
+    Memory: one partition's rows are concatenated into a single pandas
+    frame, so size shuffle partitions such that
+    rows-per-key-partition × row-width fits the Python worker — the
+    same contract applyInPandas imposes per group, here per partition,
+    and the reason ``num_partitions`` is exposed. Median per group is
+    unchanged by batching (whole partition concatenated first), so the
+    result stays deterministic and oracle-checkable.
+    """
+    df = (
+        df.repartition(num_partitions, *group_cols)
+        if num_partitions
+        else df.repartition(*group_cols)
+    )
+    group_schema = ", ".join(
+        f"{c} {t}" for c, t in df.select(*group_cols).dtypes
+    )
+    schema = f"{group_schema}, {out_col} double"
+
+    def _agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        )
+        out = pdf.groupby(group_cols, as_index=False, sort=False)[
+            value_col
+        ].median()
+        yield out.rename(columns={value_col: out_col})
+
+    return df.select(*group_cols, value_col).mapInPandas(_agg, schema)
+
+
 def explode_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """UDTF-shaped table function via mapInPandas: one output row per
     token. (The built-in equivalent is posexplode(split(...)) — this is

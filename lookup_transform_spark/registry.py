@@ -1452,23 +1452,23 @@ def q_agg_median(spark, sf):
     "SELECT user_id, median(value) AS median_value FROM events GROUP BY user_id",
 )
 def q_udaf_median(spark, sf):
-    """B39: grouped-aggregate UDAF via applyInPandas — exact median is
+    """B39: custom Python aggregate, partition-vectorized — repartition
+    on the group key, then ONE C-level ``pandas.groupby().median()``
+    per partition inside ``mapInPandas``. Exact median is
     selection-based (order-independent), hence oracle-checkable.
 
-    PERF NOTE (documented toll, not a plan defect): this is the UDAF
-    *surface demo*. Arrow transfer of every (group, value) row into
-    Python workers plus per-group pandas dispatch costs ~30× the
-    built-in ``F.median`` at 32× scale (4.07 s vs 0.12 s oracle,
-    SCALING32.json) — inherent to any applyInPandas aggregate Spark has
-    natively. Production plans should use ``agg_median`` above; reach
-    for this shape only for aggregates Spark genuinely lacks (the
-    docstring of ``grouped_median`` shows where a custom estimator
-    would slot in). Equality with the built-in is pinned in
-    ``tests/test_property.py``."""
-    from lookup_transform_spark.functions.udfs import grouped_median
+    This is the production shape for an aggregate Spark lacks: the
+    naive per-group ``applyInPandas`` formulation (``grouped_median``,
+    kept as the surface demo and pinned equal in
+    ``tests/test_property.py``) pays a Python dispatch per group —
+    ~30× the built-in ``F.median`` at 32× (4.05 s, SCALING32.json r5);
+    vectorizing per partition leaves only the Arrow transfer, the
+    irreducible toll of any Python-side aggregate. For median itself
+    the built-in twin ``agg_median`` above remains the plan to run."""
+    from lookup_transform_spark.functions.udfs import grouped_median_vectorized
 
     ev = _events(spark, sf).select("user_id", "value")
-    return grouped_median(ev, ["user_id"], "value")
+    return grouped_median_vectorized(ev, ["user_id"], "value")
 
 
 @_q(

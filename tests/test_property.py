@@ -183,6 +183,36 @@ def test_grouped_median_udaf_equals_builtin(spark):
         grouped_median(df, ["g"], "value", pre_partitions="al")
 
 
+def test_grouped_median_vectorized_equals_builtin(spark):
+    """The partition-vectorized formulation (repartition-on-key +
+    per-partition pandas groupby — the registered `udaf_median` path)
+    must agree with F.median on every group, including groups that span
+    multiple Arrow batches within a partition (the concat step), and
+    must be invariant to the partition count."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.functions.udfs import grouped_median_vectorized
+
+    rows = [
+        (g, float((v * 17) % 23))
+        for g in range(7)
+        for v in range((g * 13) % 9 + 1)
+    ]
+    df = spark.createDataFrame(rows, "g long, value double")
+    builtin = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.median("value").alias("m")).collect()
+    }
+    for nparts in (None, 1, 5):
+        got = {
+            r["g"]: r["median_value"]
+            for r in grouped_median_vectorized(
+                df, ["g"], "value", num_partitions=nparts
+            ).collect()
+        }
+        assert got == builtin, f"num_partitions={nparts}"
+
+
 def test_text_metric_bounds_on_adversarial_strings(spark):
     """Quality/punct metrics stay in [0,1] and lang_id stays in its
     domain for adversarial inputs: empty, whitespace-only, punctuation
