@@ -34,7 +34,60 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lookup_transform_spark.functions.fixedpoint import fp_sum
+# dp=7 fixed-point scale for centroid sums (see iteration comment in
+# kmeans_assign; matches the fp_sum convention in functions/fixedpoint.py)
+_FP_SCALE = float(10**7)
+
+
+def _partials_udf(cent: np.ndarray, vec_col: str, dim: int):
+    """Fused assign + centroid-partial-sum mapInPandas stage: per Arrow
+    batch, nearest-centroid labels (matmul) then an exact int64
+    reduction of dp=7 fixed-point elements per cluster (sorted
+    ``np.add.reduceat`` — order-independent by construction). Emits
+    k×(d+1) rows per partition: (cluster_id, i, s) element sums plus an
+    (cluster_id, -1, count) row per cluster."""
+    k = len(cent)
+
+    def partials(batches):
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (m @ cent.T)
+            lab = np.argmin(d2, axis=1)
+            # one rounding per element (half-away-from-zero, the fp_sum
+            # convention), THEN exact integer sums
+            scaled = np.trunc(
+                m * _FP_SCALE + np.copysign(0.5, m)
+            ).astype(np.int64)
+            order = np.argsort(lab, kind="stable")
+            sl = lab[order]
+            starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+            sums[sl[starts]] += np.add.reduceat(scaled[order], starts, axis=0)
+            counts += np.bincount(lab, minlength=k)
+        if not seen:
+            return
+        present = np.flatnonzero(counts)
+        yield pd.DataFrame(
+            {
+                "cluster_id": np.concatenate(
+                    [np.repeat(present, dim), present]
+                ),
+                "i": np.concatenate(
+                    [np.tile(np.arange(dim, dtype=np.int32), len(present)),
+                     np.full(len(present), -1, dtype=np.int32)]
+                ),
+                "s": np.concatenate(
+                    [sums[present].ravel(), counts[present]]
+                ),
+            }
+        )
+
+    return partials
 
 
 def _assign_udf(
@@ -98,31 +151,40 @@ def kmeans_assign(
     out_schema = f"{id_col} long, cluster_id long"
     carry_schema = f"{out_schema}, {vec_col} array<float>"
     for _ in range(iters):
-        assigned = src.mapInPandas(
-            _assign_udf(cent, id_col, vec_col, carry_vec=True), carry_schema
+        # One fused assign+partial-sum pass per iteration: each Arrow
+        # batch is assigned (matmul) and immediately reduced to k×(d+1)
+        # integer partials INSIDE the same Python worker, so the corpus
+        # never ships back out of Python and no n-row JVM aggregate
+        # runs. (The previous shape — assign with carry_vec=True, then
+        # d fixed-point column aggregates — moved n×d floats out of
+        # Python and back every iteration.) Determinism rule
+        # unchanged (functions/fixedpoint.py): each element is rounded
+        # ONCE to dp=7 fixed point (half-away-from-zero, the fp_sum
+        # convention), partials sum in int64 via sorted reduceat, and
+        # the JVM merge is a long sum — exact at every step, so means
+        # are independent of partitioning and row order. dp=7
+        # out-resolves float32 inputs while bounding the scaled
+        # per-cluster total at ~9e11 rows for unit-normalized dims.
+        # Shuffle volume: k×(d+1) longs per map task after partial
+        # aggregation; driver collects k×(d+1) rows.
+        partials = src.mapInPandas(
+            _partials_udf(cent, vec_col, dim), "cluster_id long, i int, s long"
         )
-        # Fixed-point long accumulation → partition-order-independent
-        # means (the repo-wide determinism rule, functions/fixedpoint.py;
-        # replaces an equivalent decimal(28,10) formulation — end-to-end
-        # cost is the same here because the Arrow assign stage dominates
-        # the pass, measured 1.4 vs 1.5 s/iteration at 32×). dp=7
-        # out-resolves float32 inputs (~1e-7 relative precision) while
-        # bounding the scaled per-cluster total at ~9e11 rows for
-        # unit-normalized dims.
-        means = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                *[
-                    (fp_sum(F.col(vec_col)[i], 7) / F.count(F.lit(1)))
-                    .alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+        merged = (
+            partials.groupBy("cluster_id", "i")
+            .agg(F.sum("s").alias("s"))
             .collect()
         )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.float64)
+        for r in merged:
+            if r["i"] < 0:
+                counts[r["cluster_id"]] = r["s"]
+            else:
+                sums[r["cluster_id"], r["i"]] = r["s"]
         nxt = cent.copy()  # empty cluster keeps its previous centroid
-        for r in means:
-            nxt[r["cluster_id"]] = [r[f"c{i}"] for i in range(dim)]
+        nonempty = counts > 0
+        nxt[nonempty] = sums[nonempty] / counts[nonempty, None] / _FP_SCALE
         cent = nxt
     return src.mapInPandas(
         _assign_udf(cent, id_col, vec_col, carry_vec=with_vectors),
