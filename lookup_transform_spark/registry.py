@@ -3279,17 +3279,22 @@ def q_tpch_q11_value_conc(spark, sf):
     only where it exceeds 1.3x the mean per-key value. The threshold is
     scale-free (a fixed fraction of the total empties out as the key
     count grows), and the mean re-accumulates the per-part doubles
-    through decimal so both engines compute the identical scalar. The
-    one-row threshold is broadcast; the per-part agg is computed once."""
+    through fixed point so both engines compute the identical scalar.
+    The threshold is an empty-frame window aggregate over the per-part
+    result, so lineitem is scanned and aggregated ONCE (the
+    aggregate-then-self-join formulation evaluates the CTE twice); the
+    window pass runs over |parts| aggregated rows, not the fact table."""
     li = _t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     per_part = li.groupBy("l_partkey").agg(_fsum("l_extendedprice", "part_value", dp=2))
-    thresh = per_part.agg(
-        (
-            1.3 * fp_sum("part_value", 2) / F.count(F.lit(1))
-        ).alias("__thresh__")
+    w = Window.partitionBy()
+    thresh = (
+        1.3
+        * (F.sum(scaled_long("part_value", 2)).over(w) / 100.0)
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        per_part.join(F.broadcast(thresh), F.col("part_value") > F.col("__thresh__"))
+        per_part.withColumn("__thresh__", thresh)
+        .filter(F.col("part_value") > F.col("__thresh__"))
         .select("l_partkey", "part_value")
     )
 
@@ -3343,9 +3348,13 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
 )
 def q_tpch_q15_top_supplier(spark, sf):
     """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
-    the argmax row(s) via a one-row broadcast of MAX(revenue). Equality
-    on double is safe cross-engine because both totals are the same
-    exact-decimal sum cast once."""
+    the argmax row(s) via an empty-frame window MAX over the aggregate
+    — lineitem is scanned and aggregated ONCE (the max-then-self-join
+    formulation evaluates the revenue CTE twice; the two branches'
+    exchanges differ, so Spark's reuse rule can't collapse them). The
+    window's single-partition pass runs over |suppliers| aggregated
+    rows, not the fact table. Equality on double is safe cross-engine
+    because both totals are the same exact-fixed-point sum cast once."""
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -3359,10 +3368,11 @@ def q_tpch_q15_top_supplier(spark, sf):
             )
         )
     )
-    top = rev.agg(F.max("total_revenue").alias("__max_rev__"))
+    w = Window.partitionBy()
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("__max_rev__"))
+        rev.withColumn("__max_rev__", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("__max_rev__"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -3391,18 +3401,18 @@ def q_tpch_q17_small_qty(spark, sf):
     )
     li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    per_part = (
-        brand_li.groupBy(F.col("l_partkey").alias("__pk__"))
-        .agg(
-            (
-                0.5
-                * fp_sum("l_quantity", 0)
-                / F.count(F.lit(1))
-            ).alias("__half_avg__")
-        )
+    # the per-part average as a window over the brand-filtered rows:
+    # ONE lineitem scan (the aggregate-then-re-join formulation
+    # evaluates the filtered join twice) and one shuffle of only the
+    # brand survivors, keyed by part
+    w = Window.partitionBy("l_partkey")
+    half_avg = (
+        0.5
+        * F.sum(scaled_long("l_quantity", 0)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        brand_li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("__pk__"))
+        brand_li.withColumn("__half_avg__", half_avg)
         .filter(F.col("l_quantity") < F.col("__half_avg__"))
         .agg(
             (fp_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly")
