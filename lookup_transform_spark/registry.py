@@ -2982,18 +2982,32 @@ WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
 GROUP BY o.o_orderpriority""",
 )
 def q_tpch_q4_priority(spark, sf):
-    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a
-    non-equi residual (l_shipdate > o_orderdate) alongside the key."""
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi residual
+    (l_shipdate > o_orderdate) alongside the key.
+
+    Written as inner join + distinct-on-o_orderkey rather than
+    left-semi: the two are equivalent because o_orderkey is unique in
+    orders, but Spark can only BUILD on the right side of a semi join —
+    the huge fact side here — so the semi formulation is stuck in a
+    both-sides shuffle. The inner form lets CBO/AQE build a broadcast
+    hash join on the quarter-filtered orders, and the distinct's
+    map-side partial aggregation caps the remaining shuffle at the
+    matched-order keys per partition. No broadcast hint: the filtered
+    size is a planner decision (catalog stats plan-time, AQE runtime),
+    so a 1000x orders table degrades to a shuffled join instead of an
+    OOM'd driver."""
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     cond = (o["o_orderkey"] == li["l_orderkey"]) & (
         li["l_shipdate"] > o["o_orderdate"]
     )
     return (
-        o.join(li, cond, "left_semi")
+        li.join(o, cond)
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )

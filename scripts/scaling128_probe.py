@@ -1,13 +1,31 @@
 """Heavy-tier scaling probe at 128x derived scale (VERDICT r5 #4).
 
 The 100 TB claims for the dedup/ANN/clustering family rested on
-19.2M-row (32x) evidence; this probe runs that family at 128x —
-documents/embeddings/lineitem four more key-shifted copies of the
-scale32 fixture (same construction: per-copy text tags keep near-dup
-families non-byte-identical, key shifts keep ids unique) — and records
-per-query seconds at 32x and 128x so growth curves are visible.
-Sublinear growth in the per-row sense (time ratio < 4x for 4x rows)
-is the pass criterion the artifact exposes.
+19.2M-row (32x) evidence; this probe runs that family at 128x and
+records per-query seconds at 32x and 128x so growth curves are
+visible. Growth below 4x for 4x rows means sublinear per-row cost —
+the pass criterion the artifact exposes.
+
+**The 128x fixture holds near-dup family size CONSTANT** — that is the
+regime a real corpus presents (a 4x-bigger crawl has ~4x more
+duplicate families, not 4x-bigger ones), and the one under which a
+growth ratio measures volume scaling rather than the O(family²)
+pair-verification blowup a family-growing fixture manufactures (a
+first cut that key-shifted near-identical copies measured dedup_minhash
+at 9x growth for 4x rows — all of it family-size quadratics, none of
+it volume). Each of the 4 copies of scale32 is made DISTINCT from the
+others while preserving its internal near-dup structure exactly:
+
+- documents: every word in copy i>0 gets an ``_i`` suffix (regexp, one
+  pass). Within a copy, pairwise shingle sets transform identically, so
+  every Jaccard/minhash/simhash relation is preserved bit-for-bit;
+  across copies, token sets are disjoint, so shingle overlap is zero.
+  ``source`` is tagged per copy so block sizes stay at their 32x shape.
+- embeddings: copy i>0 is rotated by a deterministic signed
+  permutation (exactly orthogonal, so within-copy cosines are
+  preserved to the ulp; cross-copy inner products decorrelate — the
+  sign flips kill the positive-components bias a bare permutation
+  would keep).
 
 Only the heavy tier runs: these are the operators whose cost is
 dominated by data volume, not by Spark's fixed per-query floor, so
@@ -63,10 +81,26 @@ SCALED = ("documents", "embeddings")
 COPIED = ("region", "nation", "customer", "supplier", "part")
 
 
+def _signed_perm(dim: int, copy: int) -> tuple[list[int], list[int]]:
+    """Deterministic signed permutation for copy i: an exactly
+    orthogonal rotation built from coprime striding (perm) and a
+    copy-dependent sign pattern — no RNG, reproducible across runs."""
+    import math
+
+    stride = {1: 3, 2: 7, 3: 11}[copy]
+    while math.gcd(stride, dim) != 1:  # bijection needs coprimality
+        stride += 2
+    perm = [(j * stride + copy) % dim for j in range(dim)]
+    signs = [1 if ((j * (copy + 2)) // 2) % 2 == 0 else -1 for j in range(dim)]
+    return perm, signs
+
+
 def build_scaled(spark) -> None:
-    """scale128 = 4 key-shifted copies of scale32 (which is itself 32
-    key-shifted copies of sf0.1), so every id stays unique and each
-    32x near-dup family becomes a 128-doc family."""
+    """scale128 = 4 mutually-DISTINCT copies of scale32 (key-shifted
+    ids; per-word token suffix + per-copy source tag for documents,
+    signed-permutation rotation for embeddings — see module docstring).
+    Near-dup family sizes stay at their 32x shape; the corpus gains 4x
+    more families."""
     if os.path.exists(f"{OUT}/_done"):
         return
     if not os.path.exists(f"{BASE32}/_done"):
@@ -81,16 +115,37 @@ def build_scaled(spark) -> None:
         keys = shifts[table]
         maxes = df.agg(*[F.max(k) for k in keys]).collect()[0]
         steps = [m + 1 for m in maxes]
+        if table == "embeddings":
+            dim = len(df.select("embedding").first()[0])
         big = None
         for i in range(4):
             part = df
             for k, step in zip(keys, steps):
                 part = part.withColumn(k, F.col(k) + F.lit(i * step))
             if table == "documents" and i:
+                part = (
+                    part.withColumn(
+                        "text",
+                        F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}"),
+                    )
+                    .withColumn("n_chars", F.length("text"))
+                    .withColumn(
+                        "source", F.concat(F.col("source"), F.lit(f"_{i}"))
+                    )
+                )
+            if table == "embeddings" and i:
+                perm, signs = _signed_perm(dim, i)
                 part = part.withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" d{i}"))
-                ).withColumn(
-                    "n_chars", F.col("n_chars") + F.lit(len(f" d{i}"))
+                    "embedding",
+                    F.array(
+                        *[
+                            (
+                                F.element_at("embedding", perm[j] + 1)
+                                * F.lit(float(signs[j]))
+                            ).cast("float")
+                            for j in range(dim)
+                        ]
+                    ),
                 )
             big = part if big is None else big.unionByName(part)
         n_out = {"documents": 32, "embeddings": 16}.get(table, 32)
@@ -140,6 +195,15 @@ def main() -> None:
     spark = get_spark("scaling128-probe")
     if "--skip-build" not in sys.argv:
         build_scaled(spark)
+    # same protocol as bench.py / scaling_probe.py: ingest-time catalog
+    # stats + CBO, registered outside every timed window — without this
+    # the two probes measure different planner regimes
+    if os.environ.get("SPARK_GRAFT_BENCH_STATS", "1") != "0":
+        from lookup_transform_spark import stats
+
+        stats.register_stats_tables(spark, BASE32)
+        stats.register_stats_tables(spark, OUT)
+        stats.enable_cbo(spark, application_side_threshold="10MB")
     results: dict[str, dict] = {}
     for label, sf_dir in (("32x", BASE32), ("128x", OUT)):
         for name in HEAVY:
@@ -150,9 +214,20 @@ def main() -> None:
                 f"spark={rec[f'spark_{label}'].get('sec', rec[f'spark_{label}'])}",
                 flush=True,
             )
+    # expected asymptotics, so a growth ratio is read against the
+    # operator's actual complexity class: exact all-pairs cosine is
+    # O(n²) BY DESIGN (its scale path is the LSH/IVF tier), so ~16x
+    # time for 4x rows is the correct result there, not a regression
+    quadratic = {"embedding_near_dup"}
     for name, rec in results.items():
         a = rec.get("spark_32x", {}).get("sec")
         b = rec.get("spark_128x", {}).get("sec")
+        rec["expected"] = (
+            "quadratic (exact all-pairs by design; LSH/IVF/semantic "
+            "tiers are the at-scale substitutes)"
+            if name in quadratic
+            else "sublinear-to-linear in rows"
+        )
         if a and b:
             rec["growth_128_over_32"] = round(b / a, 2)
     out = {
