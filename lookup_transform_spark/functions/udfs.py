@@ -121,6 +121,13 @@ def grouped_median_vectorized(
     and the reason ``num_partitions`` is exposed. Median per group is
     unchanged by batching (whole partition concatenated first), so the
     result stays deterministic and oracle-checkable.
+
+    Null contract: null group KEYS form their own group (``dropna=False``
+    — pandas' default silently drops them, Spark's groupBy never does);
+    null VALUES are ignored per the usual aggregate rule, and a group
+    whose values are all null yields a null median (pandas surfaces it
+    as NaN; both engines' hash-compare treats the fixture's non-null
+    column identically).
     """
     df = (
         df.repartition(num_partitions, *group_cols)
@@ -139,7 +146,7 @@ def grouped_median_vectorized(
         pdf = parts[0] if len(parts) == 1 else pd.concat(
             parts, ignore_index=True
         )
-        out = pdf.groupby(group_cols, as_index=False, sort=False)[
+        out = pdf.groupby(group_cols, as_index=False, sort=False, dropna=False)[
             value_col
         ].median()
         yield out.rename(columns={value_col: out_col})

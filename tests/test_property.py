@@ -213,6 +213,29 @@ def test_grouped_median_vectorized_equals_builtin(spark):
         assert got == builtin, f"num_partitions={nparts}"
 
 
+def test_grouped_median_vectorized_null_group_key(spark):
+    """A null group KEY must form its own group (Spark groupBy
+    semantics) — pandas' groupby default silently drops it, which the
+    operator must override (dropna=False)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.functions.udfs import grouped_median_vectorized
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), (1, 10.0), (1, 20.0)],
+        "g int, value double",
+    )
+    builtin = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(F.median("value").alias("m")).collect()
+    }
+    got = {
+        r["g"]: r["median_value"]
+        for r in grouped_median_vectorized(df, ["g"], "value").collect()
+    }
+    assert got == builtin == {None: 2.0, 1: 15.0}
+
+
 def test_text_metric_bounds_on_adversarial_strings(spark):
     """Quality/punct metrics stay in [0,1] and lang_id stays in its
     domain for adversarial inputs: empty, whitespace-only, punctuation
