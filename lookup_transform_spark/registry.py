@@ -1077,8 +1077,19 @@ def q_ngram_jaccard(spark, sf):
 WHERE sim >= 0.4""",
 )
 def q_embedding_near_dup(spark, sf):
-    """B51: embedding-cosine near-duplicate pairs (exact)."""
-    return DD.embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    """B51: embedding-cosine near-duplicate pairs (exact).
+
+    ``blocks`` scales with the corpus so a tile side stays ~4k vectors
+    — the knob the operator docstring prescribes (a similarity tile is
+    side² float64s: 4k → 128 MB/task; a fixed block count grows the
+    tile quadratically with the corpus and OOMs the executor — measured
+    at the 128× probe scale, where blocks=8 meant 32k-side / 8.6 GB
+    tiles). Block count never changes results (the op is exact), only
+    tile shape; total FLOPs stay O(n²) by design."""
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    blocks = max(8, -(-n // 4000))
+    return DD.embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks)
 
 
 @_q(

@@ -164,11 +164,14 @@ def time_spark(spark, name: str, sf_dir: str) -> dict:
         result: dict = {}
 
         def target():
-            spark.sparkContext.setJobGroup(
-                "probe128", name, interruptOnCancel=True
-            )
+            # everything inside the try: a dead gateway throws from
+            # setJobGroup itself, and an empty result dict must read as
+            # an error, not a KeyError in the caller
             t0 = time.perf_counter()
             try:
+                spark.sparkContext.setJobGroup(
+                    "probe128", name, interruptOnCancel=True
+                )
                 df = registry.QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 result["sec"] = time.perf_counter() - t0
@@ -182,8 +185,8 @@ def time_spark(spark, name: str, sf_dir: str) -> dict:
             spark.sparkContext.cancelJobGroup("probe128")
             th.join(30)
             return {"timeout": SPARK_TIMEOUT}
-        if "err" in result:
-            err = result["err"]
+        if "sec" not in result:
+            err = result.get("err", "thread died without a result")
             break
         best = result["sec"] if best is None else min(best, result["sec"])
     if err:
