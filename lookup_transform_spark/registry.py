@@ -1079,16 +1079,19 @@ WHERE sim >= 0.4""",
 def q_embedding_near_dup(spark, sf):
     """B51: embedding-cosine near-duplicate pairs (exact).
 
-    ``blocks`` scales with the corpus so a tile side stays ~4k vectors
-    — the knob the operator docstring prescribes (a similarity tile is
-    side² float64s: 4k → 128 MB/task; a fixed block count grows the
-    tile quadratically with the corpus and OOMs the executor — measured
-    at the 128× probe scale, where blocks=8 meant 32k-side / 8.6 GB
-    tiles). Block count never changes results (the op is exact), only
-    tile shape; total FLOPs stay O(n²) by design."""
+    ``blocks`` scales with the corpus so a tile side stays ~8k vectors
+    — the knob the operator docstring prescribes. A similarity tile is
+    side² float64s: 8k → 512 MB/task, the shape the 32× fixture already
+    runs at full worker concurrency; a fixed block count grows the tile
+    quadratically with the corpus and OOMs the executor (measured at
+    the 128× probe scale, where blocks=8 meant 32k-side / 8.6 GB
+    tiles), while over-fragmenting (4k sides measured 1.75× slower at
+    32× — replication volume grows linearly in ``blocks``). Block count
+    never changes results (the op is exact), only tile shape; total
+    FLOPs stay O(n²) by design."""
     emb = _t(spark, sf, "embeddings")
     n = emb.count()
-    blocks = max(8, -(-n // 4000))
+    blocks = max(8, -(-n // 8000))
     return DD.embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks)
 
 
