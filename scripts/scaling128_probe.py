@@ -91,7 +91,13 @@ def _signed_perm(dim: int, copy: int) -> tuple[list[int], list[int]]:
     while math.gcd(stride, dim) != 1:  # bijection needs coprimality
         stride += 2
     perm = [(j * stride + copy) % dim for j in range(dim)]
-    signs = [1 if ((j * (copy + 2)) // 2) % 2 == 0 else -1 for j in range(dim)]
+    # balanced Walsh-style sign pattern, distinct per copy: bit
+    # (copy-1) of j alternates in blocks of 2^(copy-1) — exactly half
+    # the signs flip for every copy (a multiplicative formula tried
+    # first degenerated to all-+1 at copy=2, i.e. a bare permutation,
+    # which keeps cos≈0.7 self-correlation on positive vectors;
+    # pinned in tests/test_probe_fixture.py)
+    signs = [-1 if (j >> (copy - 1)) & 1 else 1 for j in range(dim)]
     return perm, signs
 
 
