@@ -33,7 +33,16 @@ def get_spark(
         # default (Spark 3.x defaults ANSI off, which would silently wrap).
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode runs executor tasks INSIDE the driver JVM: this is
+        # the heap all 32 task threads share. 24g keeps headroom against
+        # concurrent wide-shuffle + Arrow buffers (an 8g heap died at
+        # the 128x probe under 8.6GB similarity tiles) while staying
+        # under the ~32GB CompressedOops limit — a 48g heap measured
+        # 2.4x SLOWER on the shuffle-heavy tier (uncompressed oops),
+        # and 8g vs 24g measured equal where nothing OOMs. On a real
+        # cluster this setting stays driver-only and executor memory is
+        # its own knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
