@@ -34,15 +34,18 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode runs executor tasks INSIDE the driver JVM: this is
-        # the heap all 32 task threads share. 24g keeps headroom against
-        # concurrent wide-shuffle + Arrow buffers (an 8g heap died at
-        # the 128x probe under 8.6GB similarity tiles) while staying
-        # under the ~32GB CompressedOops limit — a 48g heap measured
-        # 2.4x SLOWER on the shuffle-heavy tier (uncompressed oops),
-        # and 8g vs 24g measured equal where nothing OOMs. On a real
-        # cluster this setting stays driver-only and executor memory is
-        # its own knob.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # the heap all 32 task threads share, and 8g is the measured
+        # sweet spot on this box, not an oversight. Measured on the
+        # heavy tier at the 128x probe scale: 48g runs 2.4x slower
+        # (past the ~32GB CompressedOops boundary), 24g hits G1
+        # GCLocker retry aborts on humongous shuffle allocations that
+        # 8g's smaller regions never trigger, 8g == 24g where neither
+        # fails. Operators are sized so per-task state stays bounded
+        # (tile/blocks scaling in the registry) rather than leaning on
+        # heap. Override with SPARK_GRAFT_DRIVER_MEM; on a real cluster
+        # this setting stays driver-only and executor memory is its own
+        # knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
