@@ -2763,6 +2763,94 @@ def q_tfidf_top_terms(spark, sf):
 
 
 @_q(
+    "bm25_retrieval",
+    """WITH consts AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(lower(text), '\\s+'))) AS sum_dl
+  FROM documents
+), tok AS (
+  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl,
+         unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE term IN ('join', 'window', 'hash', 'stream')
+  GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n_docs - COUNT(*) OVER (PARTITION BY tf.term) + 0.5)
+                / (COUNT(*) OVER (PARTITION BY tf.term) + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                           / (c.sum_dl::DOUBLE / c.n_docs))) AS s
+  FROM tf CROSS JOIN consts c
+)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def q_bm25_retrieval(spark, sf):
+    """B53 extension: BM25 (k1=1.2, b=0.75) top-20 retrieval for a
+    fixed query-term set — the lexical-retrieval scorer a curation
+    pipeline runs next to embedding search (hard-negative mining,
+    retrieval-based decontamination).
+
+    Scale shape: ONE corpus scan. Document length is ``size(split())``
+    computed per-row in the scan (no token-stream shuffle for lengths);
+    the explode is filtered to the |Q| query terms BEFORE the tf
+    aggregate, so the only shuffle carries O(docs_matching × |Q|) rows.
+    Document frequency is a window count over tf (one row per
+    (doc, term) — no second tokenize, no self-join), corpus constants
+    (N, avg doclen) are a 1-row agg collected outside the hot path,
+    and the top-20 compiles to TakeOrderedAndProject (O(k) per
+    partition, no global sort). At 100 TB: the filtered explode is
+    the whole story — the token stream for scoring is |Q| terms wide,
+    never the full corpus vocabulary.
+
+    Determinism vs the oracle: per-term double math is IEEE-identical
+    (same operand order as the SQL), the final sum is rounded to 6
+    decimals, and the top-20 cut is ordered (bm25 DESC, doc_id) on the
+    ROUNDED score so equal scores computed via different ln() paths
+    rank identically in both engines."""
+    # constants appear as the SAME double literals as in the SQL text
+    # (k1=1.2, b=0.75): k1+1 computed in Python could differ from the
+    # parsed literal 2.2 in the last ulp
+    K1, K1P1, ONE_MINUS_B, B = 1.2, 2.2, 0.25, 0.75
+    terms = ["join", "window", "hash", "stream"]
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n_docs, sum_dl = d.select(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).first()
+    avgdl = float(sum_dl) / float(n_docs)
+    tok = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - df_w + F.lit(0.5)) / (df_w + F.lit(0.5))
+    )
+    s = idf * (F.col("tf") * F.lit(K1P1)) / (
+        F.col("tf")
+        + F.lit(K1)
+        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.select("doc_id", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@_q(
     "embedding_centroids",
     """WITH e AS (
   SELECT label, unnest(embedding) AS v,
