@@ -61,6 +61,7 @@ HEADLINE = [
     "simsearch_cosine",
     "simsearch_ivf",
     "text_stats",
+    "bm25_retrieval",
     "lang_id",
     "decontaminate",
     "sessionize",
