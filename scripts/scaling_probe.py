@@ -170,7 +170,23 @@ def time_spark(spark, name: str, sf_dir: str) -> dict:
     return {"sec": round(best, 3)}
 
 
-def time_duck(con, sql: str) -> dict:
+def duck_timing_sqls(name: str, tmp: str) -> list[str]:
+    """The SQL statements DuckDB is timed on for ``name`` — the
+    correctness oracle, except where bench.py's
+    ORACLE_TIMING_OVERRIDES substitutes a write-shaped equivalent
+    (sink_upsert: the bare-SELECT oracle would bill the engine for a
+    partitioned parquet rewrite DuckDB never pays; same fairness rule
+    here so SCALING32.json and BENCH ratios agree)."""
+    import bench
+
+    if name in bench.ORACLE_TIMING_OVERRIDES:
+        return [s.format(tmp=tmp) for s in bench.ORACLE_TIMING_OVERRIDES[name]]
+    return [registry.ORACLES[name]]
+
+
+def time_duck(con, sqls: str | list[str]) -> dict:
+    if isinstance(sqls, str):
+        sqls = [sqls]
     best = None
     for _ in range(REPEATS):
         # The interrupt is gated by a lock-guarded flag: a Timer that
@@ -189,7 +205,8 @@ def time_duck(con, sql: str) -> dict:
         timer.start()
         t0 = time.perf_counter()
         try:
-            con.execute(sql).fetchall()
+            for sql in sqls:
+                con.execute(sql).fetchall()
             sec = time.perf_counter() - t0
         except duckdb.InterruptException:
             return {"timeout": DUCK_TIMEOUT}
@@ -233,6 +250,9 @@ def main() -> None:
         names = [q for q in names if q in only]
         with open(f"{REPO}/SCALING32.json") as f:
             results = json.load(f)["queries"]
+    import tempfile
+
+    duck_tmp = tempfile.mkdtemp(prefix="probe_duck_")
     for sf_label, sf_dir in (("1x", SF_DIR), ("32x", OUT)):
         con = make_duck(sf_dir)
         for name in names:
@@ -240,7 +260,7 @@ def main() -> None:
             rec[f"spark_{sf_label}"] = time_spark(spark, name, sf_dir)
             if name in registry.ORACLES:
                 rec[f"duck_{sf_label}"] = time_duck(
-                    con, registry.ORACLES[name]
+                    con, duck_timing_sqls(name, duck_tmp)
                 )
             print(
                 f"[{sf_label}] {name:32s} spark={fmt(rec[f'spark_{sf_label}']):>8s}"
