@@ -89,6 +89,25 @@ def test_window_topk_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_bm25_topk_no_global_sort_and_pruned_scan(spark):
+    """The BM25 scale contract: the top-20 compiles to
+    TakeOrderedAndProject (O(k) per partition — never a global sort of
+    scored docs), and the scoring scan reads only doc_id+text (no
+    corpus payload columns travel)."""
+    df = registry.QUERIES["bm25_retrieval"](spark, SF)
+    plan = explain_str(df)
+    # TakeOrderedAndProject proves the top-20 cut is O(k) per partition;
+    # the only Sort nodes left are the window's partition-local sort
+    # over the (doc, term) tf rows, which is |Q|-bounded per doc
+    assert "TakeOrderedAndProject" in plan
+    schema_lines = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert schema_lines and all(
+        "source" not in s and "lang" not in s for s in schema_lines
+    )
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     # both sides bucketed by the join key → SMJ reads buckets directly;
     # the only acceptable Exchange is AQE's post-agg coalesce, never a
