@@ -89,6 +89,25 @@ def test_window_topk_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_scan_once_rewrites_read_fact_table_once(spark):
+    """The self-referencing TPC-H shapes (q11/q15: aggregate vs a
+    scalar of the same aggregate; q17: decorrelated per-part average;
+    q4: semi rewritten to inner+distinct) each scan lineitem exactly
+    ONCE — the round-6 rewrite this pin protects. Counted on the
+    parquet file path because formatted explain puts scan locations on
+    their own detail lines, not the node line."""
+    for q in (
+        "tpch_q11_value_conc",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_qty",
+        "tpch_q4_priority",
+    ):
+        plan = explain_str(registry.QUERIES[q](spark, SF))
+        assert plan.count("lineitem.parquet") == 1, (
+            f"{q} re-scans lineitem: {plan.count('lineitem.parquet')} scans"
+        )
+
+
 def test_bm25_topk_no_global_sort_and_pruned_scan(spark):
     """The BM25 scale contract: the top-20 compiles to
     TakeOrderedAndProject (O(k) per partition — never a global sort of
