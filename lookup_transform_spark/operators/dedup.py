@@ -955,6 +955,54 @@ def incremental_probe(
     return new.join(idx, "f", "left_anti").select("doc_id")
 
 
+def _lsh_bands_and_store(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared shingle → signature → banding pipeline behind BOTH
+    ``write_lsh_index`` and ``append_to_lsh_index``: the
+    probe-after-append ≡ re-band-from-scratch invariant requires the
+    two write paths to band byte-identically, so there is exactly one
+    copy of the expression. Returns ``(banded, store)``:
+
+    - ``banded`` (doc_id, __bb__): one row per band, keyed by the ONE
+      column ``__bb__`` = xxhash64(band, bucket). Storing band/bucket
+      separately and joining on the pair would make Spark hash-partition
+      on the triple (re-shuffling the index); the single-column key
+      keeps probes co-located with the bucketed layout. A cross-
+      (band,bucket) __bb__ collision is the same 2^-64 class as every
+      fingerprint here, and harmless anyway: candidates only ever ADD
+      pairs, and the exact Jaccard verify removes them.
+    - ``store`` (doc_id, sorted shingle-hash array): the verify stage's
+      side of the Jaccard check.
+    """
+    rows_per_band = num_hashes // bands
+    base = with_shingle_hashes(
+        _ensure_parallel(docs, id_col), text_col, shingle_n
+    )
+    sig = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("__sh_arr__"),
+        minhash_signature_from_hashes(
+            F.col("__sh_arr__"), num_hashes, seed
+        ).alias("__sig__"),
+    )
+    banded = (
+        sig.select("doc_id", _band_explode("__sig__", bands, rows_per_band))
+        .select(
+            "doc_id",
+            F.xxhash64("__band__.band", "__band__.bucket").alias("__bb__"),
+        )
+    )
+    store = sig.select("doc_id", F.array_sort("__sh_arr__").alias("__sh__"))
+    return banded, store
+
+
 def write_lsh_index(
     spark,
     docs: DataFrame,
@@ -987,38 +1035,12 @@ def write_lsh_index(
     """
     from lookup_transform_spark.operators.bucketing import ensure_bucketed
 
-    rows_per_band = num_hashes // bands
-    base = with_shingle_hashes(
-        _ensure_parallel(docs, id_col), text_col, shingle_n
-    )
-    sig = base.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("__sh_arr__"),
-        minhash_signature_from_hashes(
-            F.col("__sh_arr__"), num_hashes, seed
-        ).alias("__sig__"),
-    )
-    # the index key is ONE column: __bb__ = xxhash64(band, bucket).
-    # Storing band/bucket separately and joining on all three would make
-    # Spark hash-partition on the triple (re-shuffling the index — any
-    # post-join residual gets pushed back into the join keys); the
-    # single-column key keeps the probe co-located with the bucketed
-    # layout. A cross-(band,bucket) __bb__ collision is the same 2^-64
-    # class as every fingerprint here, and harmless anyway: candidates
-    # only ever ADD pairs, and the exact Jaccard verify removes them.
-    banded = (
-        sig.select("doc_id", _band_explode("__sig__", bands, rows_per_band))
-        .select(
-            "doc_id",
-            F.xxhash64("__band__.band", "__band__.bucket").alias("__bb__"),
-        )
+    banded, store = _lsh_bands_and_store(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
     ensure_bucketed(
         spark, banded, f"{table_prefix}_bands", "__bb__", n_buckets,
         f"{path}/bands",
-    )
-    store = sig.select(
-        "doc_id", F.array_sort("__sh_arr__").alias("__sh__")
     )
     ensure_bucketed(
         spark, store, f"{table_prefix}_docs", "doc_id", n_buckets,
@@ -1056,28 +1078,10 @@ def append_to_lsh_index(
     corpus. Probe-after-append equivalence with a from-scratch re-band
     is pinned in tests/test_dedup_caps.py.
     """
-    rows_per_band = num_hashes // bands
-    base = with_shingle_hashes(
-        _ensure_parallel(accepted_docs, id_col), text_col, shingle_n
-    )
-    sig = base.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("__sh_arr__"),
-        minhash_signature_from_hashes(
-            F.col("__sh_arr__"), num_hashes, seed
-        ).alias("__sig__"),
-    )
-    banded = (
-        sig.select("doc_id", _band_explode("__sig__", bands, rows_per_band))
-        .select(
-            "doc_id",
-            F.xxhash64("__band__.band", "__band__.bucket").alias("__bb__"),
-        )
+    banded, store = _lsh_bands_and_store(
+        accepted_docs, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
     banded.write.insertInto(f"{table_prefix}_bands")
-    store = sig.select(
-        "doc_id", F.array_sort("__sh_arr__").alias("__sh__")
-    )
     store.write.insertInto(f"{table_prefix}_docs")
 
 

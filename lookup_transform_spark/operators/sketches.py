@@ -75,22 +75,34 @@ def qsketch(
     ``n_rows``. One partial-aggregated shuffle of (group, bucket) —
     shuffle volume is O(groups × buckets), not O(rows).
 
-    Null handling: null values are dropped before bucketing (the same
-    contract as Spark's ``percentile``/``median`` and SQL aggregates —
-    nulls don't contribute to any quantile, and ``n_rows`` counts only
-    non-null values). Without the filter a null value would map to a
-    null bucket index and fail ``map_from_entries`` at runtime."""
+    Null handling — the SQL aggregate contract: null values contribute
+    to no bucket and don't count toward ``n_rows`` (as with Spark's
+    ``percentile``/``median``), but the GROUP survives — an
+    all-null-value group emits (group, empty sketch, n_rows=0), never
+    disappears, exactly as ``SELECT g, percentile(v) … GROUP BY g``
+    emits (g, NULL). Null values ride through as a null bucket index
+    and are dropped by ``collect_list`` at map-build time (a null
+    bucket KEY would fail ``map_from_entries``, a null struct entry is
+    simply skipped)."""
     per_bucket = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, log_bucket(value_col, base, lo).alias("__b__"))
+        df.select(*group_cols, log_bucket(value_col, base, lo).alias("__b__"))
         .groupBy(*group_cols, "__b__")
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
     return per_bucket.groupBy(*group_cols).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__b__", "__c__")))
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__b__").isNotNull(),
+                        F.struct("__b__", "__c__"),
+                    )
+                )
+            )
         ).alias("sketch"),
-        F.sum("__c__").alias("n_rows"),
+        F.sum(
+            F.when(F.col("__b__").isNotNull(), F.col("__c__")).otherwise(0)
+        ).alias("n_rows"),
     )
 
 
@@ -99,17 +111,33 @@ def qsketch_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
     counts — touches ONLY sketch rows, never raw data. Output schema
     matches ``qsketch``, and the result is exactly what ``qsketch``
     would have produced on the raw union (pinned in tests)."""
+    # explode_outer + the null-skipping map build keep EMPTY sketches
+    # alive through the rollup (same group-survival contract as
+    # qsketch: a leaf whose values were all null must not delete its
+    # coarser group)
     exploded = df.select(
-        *group_cols, F.explode("sketch").alias("__b__", "__c__")
+        *group_cols, F.explode_outer("sketch").alias("__b__", "__c__")
     )
     per_bucket = exploded.groupBy(*group_cols, "__b__").agg(
         F.sum("__c__").alias("__c__")
     )
     return per_bucket.groupBy(*group_cols).agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("__b__", "__c__")))
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__b__").isNotNull(),
+                        F.struct("__b__", "__c__"),
+                    )
+                )
+            )
         ).alias("sketch"),
-        F.sum("__c__").alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__b__").isNotNull(), F.col("__c__"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_rows"),
     )
 
 

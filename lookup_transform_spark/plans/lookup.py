@@ -287,8 +287,18 @@ class LookupSpec:
         if "lookup_value_field" not in macros:
             # SELECTED_FIELD analog: target the ONE offending element of
             # the multi-valued property as "stage.field as alias", the
-            # reference's withConfigElement form (Lookup.java:244-248)
-            for v, out in zip(self.value_fields, self.output_fields):
+            # reference's withConfigElement form (Lookup.java:244-248).
+            # While output_field is an unresolved macro the aliases are
+            # unknowable — fall back to the value-field names (the
+            # default alias) so validation of the VALUE fields themselves
+            # still runs instead of tripping output_fields' count check
+            # on the raw "${...}" string.
+            outs = (
+                self.value_fields
+                if "output_field" in macros
+                else self.output_fields
+            )
+            for v, out in zip(self.value_fields, outs):
                 if v not in lk_names:
                     fc.add(
                         f"Lookup value field '{v}' is not in lookup dataset "

@@ -165,39 +165,12 @@ def build_scaled(spark) -> None:
 
 
 def time_spark(spark, name: str, sf_dir: str) -> dict:
-    best, err = None, None
-    for _ in range(REPEATS):
-        result: dict = {}
+    from probe_common import time_spark as _ts
 
-        def target():
-            # everything inside the try: a dead gateway throws from
-            # setJobGroup itself, and an empty result dict must read as
-            # an error, not a KeyError in the caller
-            t0 = time.perf_counter()
-            try:
-                spark.sparkContext.setJobGroup(
-                    "probe128", name, interruptOnCancel=True
-                )
-                df = registry.QUERIES[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                result["sec"] = time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001
-                result["err"] = f"{type(e).__name__}: {e}"[:200]
-
-        th = threading.Thread(target=target, daemon=True)
-        th.start()
-        th.join(SPARK_TIMEOUT)
-        if th.is_alive():
-            spark.sparkContext.cancelJobGroup("probe128")
-            th.join(30)
-            return {"timeout": SPARK_TIMEOUT}
-        if "sec" not in result:
-            err = result.get("err", "thread died without a result")
-            break
-        best = result["sec"] if best is None else min(best, result["sec"])
-    if err:
-        return {"err": err}
-    return {"sec": round(best, 3)}
+    return _ts(
+        spark, registry.QUERIES[name], name, sf_dir,
+        SPARK_TIMEOUT, REPEATS, "probe128",
+    )
 
 
 def main() -> None:

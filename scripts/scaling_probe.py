@@ -136,38 +136,12 @@ def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def time_spark(spark, name: str, sf_dir: str) -> dict:
-    """Min-of-REPEATS wall time for one registry query; job-group cancel
-    on timeout (the clock keeps running for the caller either way)."""
-    best, err = None, None
-    for _ in range(REPEATS):
-        result: dict = {}
+    from probe_common import time_spark as _ts
 
-        def target():
-            spark.sparkContext.setJobGroup(
-                "probe", name, interruptOnCancel=True
-            )
-            t0 = time.perf_counter()
-            try:
-                df = registry.QUERIES[name](spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                result["sec"] = time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001
-                result["err"] = f"{type(e).__name__}: {e}"[:200]
-
-        th = threading.Thread(target=target, daemon=True)
-        th.start()
-        th.join(SPARK_TIMEOUT)
-        if th.is_alive():
-            spark.sparkContext.cancelJobGroup("probe")
-            th.join(30)
-            return {"timeout": SPARK_TIMEOUT}
-        if "err" in result:
-            err = result["err"]
-            break
-        best = result["sec"] if best is None else min(best, result["sec"])
-    if err:
-        return {"err": err}
-    return {"sec": round(best, 3)}
+    return _ts(
+        spark, registry.QUERIES[name], name, sf_dir,
+        SPARK_TIMEOUT, REPEATS, "probe",
+    )
 
 
 def duck_timing_sqls(name: str, tmp: str) -> list[str]:
@@ -250,27 +224,36 @@ def main() -> None:
         names = [q for q in names if q in only]
         with open(f"{REPO}/SCALING32.json") as f:
             results = json.load(f)["queries"]
+    import contextlib
     import tempfile
 
-    duck_tmp = tempfile.mkdtemp(prefix="probe_duck_")
     for sf_label, sf_dir in (("1x", SF_DIR), ("32x", OUT)):
         con = make_duck(sf_dir)
-        for name in names:
-            rec = results.setdefault(name, {})
-            rec[f"spark_{sf_label}"] = time_spark(spark, name, sf_dir)
-            if name in registry.ORACLES:
-                rec[f"duck_{sf_label}"] = time_duck(
-                    con, duck_timing_sqls(name, duck_tmp)
-                )
-            print(
-                f"[{sf_label}] {name:32s} spark={fmt(rec[f'spark_{sf_label}']):>8s}"
-                + (
-                    f" duck={fmt(rec[f'duck_{sf_label}']):>8s}"
-                    if f"duck_{sf_label}" in rec
-                    else ""
-                ),
-                flush=True,
+        # fresh per-tier dir for write-shaped oracle overrides:
+        # OVERWRITE_OR_IGNORE only replaces name-colliding files, so
+        # reusing one dir would union the 1x tier's leftovers into the
+        # 32x scan-back; ExitStack cleans it up after the tier
+        with contextlib.ExitStack() as stack:
+            duck_tmp = stack.enter_context(
+                tempfile.TemporaryDirectory(prefix="probe_duck_")
             )
+            for name in names:
+                rec = results.setdefault(name, {})
+                rec[f"spark_{sf_label}"] = time_spark(spark, name, sf_dir)
+                if name in registry.ORACLES:
+                    rec[f"duck_{sf_label}"] = time_duck(
+                        con, duck_timing_sqls(name, duck_tmp)
+                    )
+                print(
+                    f"[{sf_label}] {name:32s} "
+                    f"spark={fmt(rec[f'spark_{sf_label}']):>8s}"
+                    + (
+                        f" duck={fmt(rec[f'duck_{sf_label}']):>8s}"
+                        if f"duck_{sf_label}" in rec
+                        else ""
+                    ),
+                    flush=True,
+                )
         con.close()
 
     out = {

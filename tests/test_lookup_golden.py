@@ -191,6 +191,25 @@ def test_macros_defer_validation():
     assert resolved.validate(inputs) is not None
 
 
+def test_macro_output_field_defers_count_check_not_value_validation():
+    """Regression: with a multi-valued lookup_value_field and a macro'd
+    output_field, validation must defer the alias count check (the raw
+    '${...}' string is not one alias) while STILL validating the value
+    fields themselves against the lookup schema."""
+    inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
+    spec = LookupSpec(
+        "phone_numbers", "customer_id", "customer_id",
+        ["phone_number", "customer_id"], "${outs}",
+    )
+    assert spec.validate(inputs) is None  # deferred, no count error
+    bad = LookupSpec(
+        "phone_numbers", "customer_id", "customer_id",
+        ["phone_number", "zzz"], "${outs}",
+    )
+    with pytest.raises(LookupConfigError, match="value field 'zzz'"):
+        bad.validate(inputs)
+
+
 def test_schema_json_override(customers, phones):
     schema = SPEC.output_schema(CUSTOMER_SCHEMA, PHONE_SCHEMA)
     spec = replace(SPEC, schema_json=schema.json())

@@ -462,12 +462,18 @@ def test_stats_cbo_runtime_bloom_filters_fact_scan(spark):
     from lookup_transform_spark import stats
 
     db = stats.register_stats_tables(spark, SF)
+    # save EVERY conf this test (via enable_cbo) mutates — the spark
+    # fixture is session-scoped, so a missed restore leaks runtime
+    # bloom-filter injection into every later plan-shape test
     saved = {
-        k: spark.conf.get(k)
+        k: spark.conf.get(k, None)
         for k in (
             "spark.sql.cbo.enabled",
             "spark.sql.cbo.joinReorder.enabled",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
         )
     }
     stats.enable_cbo(spark, application_side_threshold="0")
@@ -505,5 +511,8 @@ def test_stats_cbo_runtime_bloom_filters_fact_scan(spark):
         )
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         stats._REGISTERED.pop(SF, None)

@@ -127,17 +127,26 @@ def test_registered_rollup_runs(spark, sf_dir):
         assert r["p50"] <= r["p95"] <= r["p99"]
 
 
-def test_null_values_dropped_not_fatal(spark):
-    """Null values must be dropped (the SQL-aggregate contract), not
-    become a null map key that fails map_from_entries at runtime."""
+def test_null_values_dropped_groups_survive(spark):
+    """Null VALUES must be dropped (the SQL-aggregate contract: nulls
+    reach no bucket, don't count in n_rows, and never become a null map
+    key that fails map_from_entries) — but the GROUP must survive, the
+    way `SELECT g, percentile(v) ... GROUP BY g` emits (g, NULL) rather
+    than deleting g. The empty sketch must also survive a rollup."""
+    from lookup_transform_spark.operators.sketches import qsketch_merge
+
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 2.0), ("b", None)],
         "g string, v double",
     )
-    got = _sketch_maps(qsketch(df, ["g"], "v", BASE, LO), ["g"])
+    leaf = qsketch(df, ["g"], "v", BASE, LO)
+    got = _sketch_maps(leaf, ["g"])
     assert got[("a",)][1] == 2  # n_rows counts only non-null values
-    assert ("b",) not in got  # all-null group: no bucket rows at all
     assert None not in got[("a",)][0]
+    assert got[("b",)] == ({}, 0)  # all-null group: empty sketch, kept
+    merged = _sketch_maps(qsketch_merge(leaf, ["g"]), ["g"])
+    assert merged[("b",)] == ({}, 0)  # survives the rollup too
+    assert merged[("a",)] == got[("a",)]
 
 
 def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
