@@ -458,9 +458,19 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
     max_shingle_df: int | None = 1000,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs within a blocking
-    key (B51's exact small-block variant; oracle-checkable in DuckDB).
+    """Exact n-gram similarity for all pairs within a blocking key
+    (B51's exact small-block variant; oracle-checkable in DuckDB).
+
+    ``metric`` picks the score over the same |A∩B|/|A|/|B| counts:
+    - ``"jaccard"`` (default): |A∩B| / |A∪B| — symmetric near-dup.
+    - ``"containment"``: |A∩B| / min(|A|, |B|) — the overlap
+      coefficient; scores a short doc fully contained in a long one at
+      1.0 where Jaccard dilutes it by the length ratio. The shape
+      contamination/subset detection wants (a quote-heavy doc, an eval
+      item embedded in a crawl page). Output column is named after the
+      metric.
 
     Formulated as explode → shingle equi-join → pair count aggregate
     (|A∩B| from matches, |A∪B| = |A|+|B|-|A∩B|), which stays entirely
@@ -478,6 +488,8 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero-overlap pairs are pruned)")
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric must be jaccard|containment, got {metric!r}")
     # parallelize shingle building when the scan arrives narrow (gated)
     docs = _ensure_parallel(docs, id_col)
     blk = F.col(block_col) if block_col else F.lit(1)
@@ -511,14 +523,17 @@ def ngram_jaccard_pairs(
         F.first("__na__").alias("__na__"),
         F.first("__nb__").alias("__nb__"),
     )
-    jac = F.col("__common__") / (
-        F.col("__na__") + F.col("__nb__") - F.col("__common__")
-    )
+    if metric == "containment":
+        score = F.col("__common__") / F.least("__na__", "__nb__")
+    else:
+        score = F.col("__common__") / (
+            F.col("__na__") + F.col("__nb__") - F.col("__common__")
+        )
     return (
         pairs.select(
-            "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
+            "doc_id_a", "doc_id_b", F.round(score, 6).alias(metric)
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col(metric) >= threshold)
     )
 
 

@@ -1069,6 +1069,36 @@ def q_ngram_jaccard(spark, sf):
 
 
 @_q(
+    "ngram_containment",
+    """WITH d AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
+  FROM documents)
+SELECT doc_id_a, doc_id_b, containment FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / least(len(a.sh), len(b.sh)), 6) AS containment
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE containment >= 0.4""",
+)
+def q_ngram_containment(spark, sf):
+    """B51: n-gram containment (overlap coefficient |A∩B|/min(|A|,|B|))
+    pairs — the asymmetric-length contamination detector: a short doc
+    verbatim-embedded in a long one scores 1.0 where Jaccard dilutes it
+    by the length ratio. Same single-tokenize candidate pipeline as
+    ``ngram_jaccard`` (shared operator, ``metric`` switch)."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), block_col="source", shingle_n=3,
+        threshold=0.4, metric="containment",
+    )
+
+
+@_q(
     "embedding_near_dup",
     """SELECT vec_id_a, vec_id_b, sim FROM (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
