@@ -691,6 +691,60 @@ def q_join_anti(spark, sf):
 
 
 @_q(
+    "join_fuzzy_name",
+    """WITH s AS (
+  SELECT s_suppkey, s_name, s_nationkey FROM supplier)
+SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM s a JOIN s b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+ AND abs(len(a.s_name) - len(b.s_name)) <= 1
+ AND levenshtein(a.s_name, b.s_name) <= 1""",
+)
+def q_join_fuzzy_name(spark, sf):
+    """B37 extension: fuzzy (edit-distance) join — approximate key
+    matching for entity resolution, the lookup family's answer to
+    misspelled/near-miss keys.
+
+    Scale shape: blocked, banded, then verified — the equi-join on the
+    blocking key (nation) bounds the candidate space to O(block²), the
+    length band |len(a)-len(b)| ≤ k prunes candidates with a codegen'd
+    integer predicate BEFORE the O(mn) levenshtein runs (edit distance
+    is ≥ the length difference, so the band is lossless), and the
+    expensive comparison is last in the conjunction. At corpus scale
+    the blocking key is the lever (e.g. phonetic bucket, n-gram
+    prefix); the verify stage's cost is candidates, never all-pairs."""
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a = s.select(
+        F.col("s_suppkey").alias("suppkey_a"),
+        F.col("s_name").alias("__name_a__"),
+        F.col("s_nationkey").alias("__nk_a__"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("suppkey_b"),
+        F.col("s_name").alias("__name_b__"),
+        F.col("s_nationkey").alias("__nk_b__"),
+    )
+    dist = F.levenshtein("__name_a__", "__name_b__")
+    return (
+        a.join(
+            b,
+            (F.col("__nk_a__") == F.col("__nk_b__"))
+            & (F.col("suppkey_a") < F.col("suppkey_b"))
+            & (
+                F.abs(
+                    F.length("__name_a__") - F.length("__name_b__")
+                ) <= 1
+            )
+            & (dist <= 1),
+        )
+        .select("suppkey_a", "suppkey_b", dist.alias("dist"))
+    )
+
+
+@_q(
     "filter_predicates",
     """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 WHERE o_orderstatus IN ('O', 'F') AND o_totalprice BETWEEN 1000 AND 5000
