@@ -63,6 +63,7 @@ HEAVY = [
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
+    "ngram_containment",
     "embedding_near_dup",
     "dedup_clusters",
     "dedup_semantic",
@@ -186,9 +187,20 @@ def main() -> None:
         stats.register_stats_tables(spark, BASE32)
         stats.register_stats_tables(spark, OUT)
         stats.enable_cbo(spark, application_side_threshold="10MB")
+    names = list(HEAVY)
     results: dict[str, dict] = {}
+    if "--only" in sys.argv:
+        # same merge semantics as scaling_probe.py --only: re-time just
+        # the named queries into the existing artifact
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in HEAVY: {sorted(unknown)}")
+        names = [q for q in names if q in only]
+        with open(f"{REPO}/SCALING128.json") as f:
+            results = json.load(f)["queries"]
     for label, sf_dir in (("32x", BASE32), ("128x", OUT)):
-        for name in HEAVY:
+        for name in names:
             rec = results.setdefault(name, {})
             rec[f"spark_{label}"] = time_spark(spark, name, sf_dir)
             print(
