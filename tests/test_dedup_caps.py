@@ -61,6 +61,46 @@ def test_ngram_cap_drops_stop_shingle_pairs(spark):
         assert r.jaccard <= uncapped[(r.doc_id_a, r.doc_id_b)]
 
 
+def test_ngram_containment_matches_python_reference(spark):
+    """metric="containment" scores |A∩B|/min(|A|,|B|) over distinct
+    3-gram shingles — checked against a direct python set computation,
+    including the asymmetric case the metric exists for: a short doc
+    fully embedded in a long one scores 1.0 while its Jaccard is
+    diluted by the length ratio."""
+    short = "alpha beta gamma delta"
+    long_ = short + " epsilon zeta eta theta iota kappa"
+    rows = [(1, short, "s"), (2, long_, "s"),
+            (3, "unrelated words entirely over here", "s")]
+
+    def sh(text):
+        t = text.lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))}
+
+    expect = {}
+    for a in rows:
+        for b in rows:
+            if a[0] < b[0]:
+                inter = len(sh(a[1]) & sh(b[1]))
+                c = inter / min(len(sh(a[1])), len(sh(b[1])))
+                if c >= 0.3:
+                    expect[(a[0], b[0])] = round(c, 6)
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in ngram_jaccard_pairs(
+            _docs(spark, rows), threshold=0.3, metric="containment"
+        ).collect()
+    }
+    assert got == expect
+    assert got[(1, 2)] == 1.0  # full embedding scores 1.0
+    jac = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark, rows), threshold=0.05
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # ...where jaccard dilutes by length ratio
+
+
 def test_minhash_exact_dups_survive_any_bucket_cap(spark):
     # 6 identical docs would saturate every band-bucket, and a cap=5 < 6
     # used to drop ALL their pairs (the round-3 ADVICE hazard). The
