@@ -146,10 +146,17 @@ def kmeans_assign(
         .collect()
     )
     cent = np.array([r[vec_col] for r in init], dtype=np.float64)
+    # fewer rows than k: proceed with one cluster per row — the
+    # (k,)-shaped counts/sums below must match cent's actual row count
+    # or the boolean index raises on the first iteration
+    k = cent.shape[0]
 
     src = df.select(id_col, vec_col)
     out_schema = f"{id_col} long, cluster_id long"
-    carry_schema = f"{out_schema}, {vec_col} array<float>"
+    # echo the input element type — a hardcoded array<float> would let
+    # Arrow silently downcast double-typed embeddings on the carry path
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    carry_schema = f"{out_schema}, {vec_col} {vec_type}"
     for _ in range(iters):
         # One fused assign+partial-sum pass per iteration: each Arrow
         # batch is assigned (matmul) and immediately reduced to k×(d+1)

@@ -178,7 +178,14 @@ def _make_perm_min(num_hashes: int, seed: int):
         # bounded at ~num_hashes × 100k int64 ≈ 25 MB even when every doc
         # in the batch is long.
         out = np.empty(len(hashes), dtype=object)
-        arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
+        # NULL text ⇒ NULL shingle array: treat as empty, mirroring the
+        # JVM path where the whole signature expression nulls out —
+        # a crash here would kill the job on one bad row
+        arrs = [
+            np.asarray(h, dtype=np.int64) if h is not None
+            else np.empty(0, dtype=np.int64)
+            for h in hashes
+        ]
         empty_sig = np.full(num_hashes, _PRIME, dtype=np.int64)
         all_lens = np.array([a.size for a in arrs], dtype=np.int64)
         for lo, hi in _ragged_chunks(all_lens, 100_000, 4096):
@@ -594,7 +601,13 @@ def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
         weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
         n = len(hashes)
         out = np.zeros(n, dtype=np.int64)
-        arrs = [np.asarray(h, dtype=np.int64) for h in hashes]
+        # NULL text ⇒ NULL token-hash array: treat as empty (all-zero
+        # votes → empty_sig), never crash the task on one bad row
+        arrs = [
+            np.asarray(h, dtype=np.int64) if h is not None
+            else np.empty(0, dtype=np.int64)
+            for h in hashes
+        ]
         # votes all 0 → every bit set (>= 0 rule). Signed fold must be
         # conditional: for bits < 64 the sum is < 2^63 and already a valid
         # int64 — unconditionally subtracting 2^64 underflows int64.
@@ -662,6 +675,15 @@ def simhash_pairs(
     ``minhash_lsh_pairs``; a (distinct-text) pair lost to one saturated
     chunk usually still agrees on another chunk. None disables the cap.
     """
+    if max_hamming >= chunks:
+        # the pigeonhole guarantee is hamming < chunks: a pair differing
+        # in every chunk would collide in none and silently vanish from
+        # an output that claims completeness up to max_hamming
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({chunks}): "
+            "pigeonhole blocking only guarantees candidates for pairs "
+            "with hamming < chunks — raise chunks instead"
+        )
     chunk_bits = bits // chunks
     docs = _ensure_parallel(docs, id_col)
     star = None
@@ -1157,8 +1179,12 @@ def incremental_minhash_probe(
     )
     inter = F.size(F.array_intersect("__sh_new__", "__sh__"))
     union = F.size(F.array_union("__sh_new__", "__sh__"))
+    # round(…, 6) BEFORE the threshold compare — the same form as
+    # minhash_lsh_pairs' verify, so a boundary-value pair (e.g. exact
+    # jaccard 0.4999996 vs threshold 0.5) gets the same accept/reject
+    # decision on the ingest path as on the in-plan operator
     dup_ids = (
-        verified.filter(inter / union >= threshold)
+        verified.filter(F.round(inter / union, 6) >= threshold)
         .select(F.col("__nid__").alias(id_col))
         .distinct()
     )

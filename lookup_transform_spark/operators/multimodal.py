@@ -455,7 +455,7 @@ def resize_image(
     return img[rows[:, None], cols[None, :]]
 
 
-def extract_features(frame: DataFrame, batch_fake_decode: bool = True) -> DataFrame:
+def extract_features(frame: DataFrame) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     Arrow-batched shape a real decoder plugs into (one numpy pass per
     batch, no per-row Python).
@@ -468,7 +468,11 @@ def extract_features(frame: DataFrame, batch_fake_decode: bool = True) -> DataFr
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = decode_audio(bytes(payload), fake=batch_fake_decode)
+                # every emitted feature derives from the RAW bytes — no
+                # decode step here (a decode call whose result feeds
+                # nothing would waste a per-row conversion and, on
+                # non-audio payloads with fake=False, crash a stage
+                # whose features never needed the samples)
                 byts = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.histogram(byts, bins=8, range=(0, 256))[0]
                 p = hist / max(1, byts.size)

@@ -153,11 +153,16 @@ def qsketch_quantiles(
     exact-quantile convention), each within ``sqrt(base)`` relative
     error of the true quantile. Buckets explode to O(groups × buckets)
     rows — trivial — and the cumulative window runs per group in bucket
-    order."""
+    order.
+
+    Group-survival contract (same as ``qsketch``): an empty sketch
+    (all-null-value group) yields its group row with NULL quantiles —
+    ``explode_outer`` keeps the row a plain ``explode`` would drop,
+    and the null bucket falls through every ``when`` to a NULL min."""
     exploded = df.select(
         *group_cols,
         F.col("n_rows"),
-        F.explode("sketch").alias("__b__", "__c__"),
+        F.explode_outer("sketch").alias("__b__", "__c__"),
     )
     w = (
         Window.partitionBy(*group_cols)

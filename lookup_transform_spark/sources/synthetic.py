@@ -147,14 +147,17 @@ class _SyntheticDocsReader(DataSourceReader):
             yield _make_batch(self.seed, ids[start : start + _BATCH_ROWS])
 
 
-_REGISTERED: set[int] = set()
-
-
 def register(spark) -> None:
     """Idempotent per-session registration (repeat registration is a
     py4j round-trip + a replace warning per call — needless when the
-    same query runs in a bench loop)."""
-    if id(spark) in _REGISTERED:
+    same query runs in a bench loop).
+
+    The seen-marker is an attribute stamped ON the session object, not
+    an ``id()`` keyed set: a stopped session's memory address can be
+    reused by a brand-new session, which would then silently skip
+    registration and fail with DATA_SOURCE_NOT_FOUND; the attribute
+    dies with the object, which is exactly the cache lifetime wanted."""
+    if getattr(spark, "_synthdocs_registered", False):
         return
     spark.dataSource.register(SyntheticDocsDataSource)
-    _REGISTERED.add(id(spark))
+    spark._synthdocs_registered = True

@@ -31,11 +31,14 @@ def maintain_gold_counts(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # per-write option, NOT a session conf mutation: setting the
+        # session-wide partitionOverwriteMode inside foreachBatch would
+        # silently turn every later plain overwrite in this session into
+        # a dynamic one (same rationale as writers.upsert_partitioned)
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(key)
             .parquet(gold_path)
         )

@@ -147,6 +147,12 @@ def test_null_values_dropped_groups_survive(spark):
     merged = _sketch_maps(qsketch_merge(leaf, ["g"]), ["g"])
     assert merged[("b",)] == ({}, 0)  # survives the rollup too
     assert merged[("a",)] == got[("a",)]
+    qrows = {
+        r["g"]: r for r in qsketch_quantiles(leaf, ["g"], [0.5]).collect()
+    }
+    assert set(qrows) == {"a", "b"}  # quantile read keeps the group...
+    assert qrows["b"]["p50"] is None  # ...with NULL quantiles, like SQL
+    assert qrows["a"]["p50"] is not None
 
 
 def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
