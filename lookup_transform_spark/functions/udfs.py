@@ -33,12 +33,32 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     Arrow batch — the fast path for candidate re-scoring when the pair
     list is already materialized (interpreted higher-order-function
     cosine is ~100× slower per pair)."""
-    ma = np.array(list(a), dtype=np.float64)
-    mb = np.array(list(b), dtype=np.float64)
-    num = np.einsum("ij,ij->i", ma, mb)
-    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return pd.Series(num / den)
+    la, lb = list(a), list(b)
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(la, lb)],
+        dtype=bool,
+    )
+    if valid.all():
+        ma = np.array(la, dtype=np.float64)
+        mb = np.array(lb, dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+    # NULL arrays propagate NULL (the JVM higher-order-function form's
+    # behavior) instead of crashing the task on np.array(None)
+    out: list = [None] * len(la)
+    idx = np.flatnonzero(valid)
+    if idx.size:
+        ma = np.array([la[i] for i in idx], dtype=np.float64)
+        mb = np.array([lb[i] for i in idx], dtype=np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = num / den
+        for j, i in enumerate(idx):
+            out[i] = float(sims[j])
+    return pd.Series(out, dtype=object)
 
 
 def grouped_median(
@@ -166,6 +186,10 @@ def explode_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # drop NULL text BEFORE astype(str): astype turns None/NaN
+            # into the literal strings "None"/"nan", which would emit a
+            # bogus token row where posexplode(split(...)) emits none
+            pdf = pdf[pdf[text_col].notna()]
             toks = pdf[text_col].astype(str).str.lower().str.split()
             counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
             ids = np.repeat(pdf[id_col].to_numpy(dtype=np.int64), counts)

@@ -46,6 +46,13 @@ def normalize(rows: list[tuple], columns: list[str]) -> tuple[list, list]:
             return bytes(v)
         if isinstance(v, list):
             return tuple(norm(x) for x in v)
+        # struct columns: Spark collects Row, DuckDB returns dict —
+        # normalize both to a name-sorted (key, value) tuple so nested
+        # floats/bytes also pass through norm
+        if hasattr(v, "asDict"):  # pyspark Row
+            v = v.asDict()
+        if isinstance(v, dict):
+            return tuple(sorted((k, norm(x)) for k, x in v.items()))
         return v
 
     out = [tuple(norm(r[i]) for i in order) for r in rows]

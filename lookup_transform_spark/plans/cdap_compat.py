@@ -231,10 +231,28 @@ def run_pipeline(
                         "lookup_dataset")]
                 )
             (input_name,) = [i for i in inputs if i != lookup_name]
+            missing = [i for i in (input_name, lookup_name) if i not in bound]
+            if missing:
+                # config error, not a raw KeyError: every other config
+                # mistake in this module surfaces as LookupConfigError
+                raise LookupConfigError(
+                    [ValidationFailure(
+                        f"Stage '{name}' consumes unbound input(s) "
+                        f"{missing}.",
+                        "List producing stages before their consumers "
+                        "(or pass the table via tables=).")]
+                )
             bound[name] = spec.apply(bound[input_name], bound[lookup_name])
         else:
             raise LookupConfigError(
                 [ValidationFailure(f"Unknown stage type '{stype}'.",
                                    "Use parquet-source/table-source/Lookup.")]
             )
-    return bound[sink if sink else pipeline["stages"][-1]["name"]]
+    out_name = sink if sink else pipeline["stages"][-1]["name"]
+    if out_name not in bound:
+        raise LookupConfigError(
+            [ValidationFailure(
+                f"Sink stage '{out_name}' does not exist.",
+                f"Set sink to one of {sorted(bound)}.")]
+        )
+    return bound[out_name]

@@ -379,9 +379,22 @@ class LookupSpec:
     @staticmethod
     def parse_schema_json(schema_json: str) -> T.StructType:
         """Explicit output-schema override: parse-or-config-error
-        (Lookup.java:393-404)."""
+        (Lookup.java:393-404). Accepts BOTH the Spark StructType JSON
+        form and the reference's CDAP/Avro record form — a macro'd
+        CDAP ``schema`` property resolves to Avro JSON at apply() time,
+        after ``spec_from_cdap_config``'s eager normalization has
+        already been skipped, so the dispatch must live here."""
         try:
-            parsed = T.StructType.fromJson(json.loads(schema_json))
+            loaded = json.loads(schema_json)
+            if isinstance(loaded, dict) and loaded.get("type") == "record":
+                # lazy import: cdap_compat imports this module at load
+                from lookup_transform_spark.plans.cdap_compat import (
+                    _avro_to_struct,
+                )
+
+                parsed = _avro_to_struct(loaded)
+            else:
+                parsed = T.StructType.fromJson(loaded)
         except Exception as exc:
             # "Unable to parse schema" failure attached to the schema
             # property, as in Lookup.java:398-403.
@@ -423,29 +436,72 @@ class LookupSpec:
 
         key_aliases = [f"__lk_key_{i}__" for i in range(len(self.lookup_keys))]
         out_names = self.output_fields
+
+        # first_match_order names resolve against the ORIGINAL lookup
+        # schema: a value field renamed by output_field is ordered under
+        # its alias, and a lookup column outside the value list (a
+        # dedicated priority column) is carried through the pruned
+        # projection temporarily — pruning first and resolving after
+        # would make both spellings UNRESOLVED_COLUMN errors.
+        order_exprs: list = []
+        order_carry: list[tuple[str, str]] = []
+        if self.first_match:
+            cfg = (
+                [self.first_match_order]
+                if isinstance(self.first_match_order, str)
+                else list(self.first_match_order or out_names)
+            )
+            v2o = dict(zip(self.value_fields, out_names))
+            lk_names = set(lookup_df.columns)
+            for c in cfg:
+                if c in out_names:
+                    order_exprs.append(c)
+                elif c in v2o:
+                    order_exprs.append(v2o[c])
+                elif c in lk_names:
+                    alias = f"__ord_{len(order_carry)}__"
+                    order_carry.append((c, alias))
+                    order_exprs.append(alias)
+                else:
+                    raise LookupConfigError(
+                        [
+                            ValidationFailure(
+                                f"first_match_order column '{c}' is not "
+                                "in the lookup dataset.",
+                                "Order by a lookup column or an output "
+                                "field name.",
+                                "first_match_order",
+                            )
+                        ]
+                    )
+
         pruned = lookup_df.select(
             *[F.col(k).alias(a) for k, a in zip(self.lookup_keys, key_aliases)],
             *[
                 F.col(v).alias(o)
                 for v, o in zip(self.value_fields, out_names)
             ],
+            *[F.col(c).alias(a) for c, a in order_carry],
+            # miss marker for default_value: non-null on every MATCHED
+            # row, so found-but-NULL values stay distinguishable from
+            # no-match rows (a bare coalesce over the value column
+            # would rewrite matched NULLs too)
+            *([F.lit(True).alias("__matched__")]
+              if self.default_value is not None else []),
         )
 
         if self.first_match:
             # B15: deterministic map semantics — min-by-tiebreaker per key.
-            order_cols = (
-                [self.first_match_order]
-                if isinstance(self.first_match_order, str)
-                else list(self.first_match_order or out_names)
-            )
             w = Window.partitionBy(*key_aliases).orderBy(
-                *[F.col(c).asc_nulls_last() for c in order_cols]
+                *[F.col(c).asc_nulls_last() for c in order_exprs]
             )
             pruned = (
                 pruned.withColumn("__rn__", F.row_number().over(w))
                 .filter(F.col("__rn__") == 1)
                 .drop("__rn__")
             )
+        if order_carry:
+            pruned = pruned.drop(*[a for _, a in order_carry])
 
         use_broadcast = self.broadcast
         if use_broadcast and self.broadcast_threshold_rows is not None:
@@ -476,8 +532,13 @@ class LookupSpec:
             col = right[o]
             if self.default_value is not None:
                 # B12: the widget's declared-but-unshipped defaultValue
-                # (widgets/Lookup-batchjoiner.json:44-51)
-                col = F.coalesce(col, F.lit(self.default_value))
+                # (widgets/Lookup-batchjoiner.json:44-51) — "default when
+                # no value was found": keyed off the miss marker, so a
+                # matched row whose value is genuinely NULL keeps its
+                # NULL instead of being rewritten
+                col = F.when(
+                    right["__matched__"].isNull(), F.lit(self.default_value)
+                ).otherwise(col)
             outs.append(col.alias(o))
 
         result = joined.select(*[input_df[c] for c in input_df.columns], *outs)

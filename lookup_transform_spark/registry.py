@@ -60,7 +60,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on plain parquet reads."""
     from lookup_transform_spark import stats
 
-    db = stats.stats_db_for(sf_dir)
+    db = stats.stats_db_for(spark, sf_dir)
     if db is not None and name in stats.STATS_TABLES:
         return spark.table(f"{db}.{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -56,10 +56,12 @@ def get_spark(
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
-    """Read testdata parquet tables; returns a dict name → DataFrame."""
+    """Read testdata parquet tables; returns a dict name → DataFrame.
+    Defaults to the canonical fixture set (``parity.TABLES``) — one
+    shared constant, so the Spark loader and the DuckDB view
+    registration can't drift apart."""
     if not names:
-        names = (
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        )
+        from lookup_transform_spark.parity import TABLES
+
+        names = tuple(TABLES)
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -53,13 +53,32 @@ _STATS_TYPES = (
     T.BooleanType,
 )
 
-# process-level registry: sf_dir -> database name (a fresh process
-# re-ANALYZEs, so regenerated fixtures can never serve stale stats)
-_REGISTERED: dict[str, str] = {}
+def _registry(spark: SparkSession) -> dict[str, str]:
+    """Per-SESSION registry (sf_dir -> database name), stamped on the
+    session object: the catalog the registry describes is session-
+    scoped, so a process-global map would keep serving a database that
+    died with a stopped session (TABLE_OR_VIEW_NOT_FOUND downstream);
+    the attribute's lifetime matches the catalog's exactly. A fresh
+    session re-ANALYZEs, so regenerated fixtures never serve stale
+    stats either."""
+    reg = getattr(spark, "_lt_stats_registered", None)
+    if reg is None:
+        reg = {}
+        spark._lt_stats_registered = reg
+    return reg
 
 
 def _db_name(sf_dir: str) -> str:
-    return "lt_stats_" + re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    """Database name for a fixture dir: readable slug + an 8-hex path
+    hash, so dirs differing only in non-alphanumeric characters (or
+    relative-vs-absolute spellings) can never collide onto one
+    database and silently repoint each other's tables."""
+    import hashlib
+
+    norm = os.path.abspath(sf_dir)
+    slug = re.sub(r"[^a-z0-9]+", "_", norm.lower()).strip("_")[-48:]
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    return f"lt_stats_{slug}_{digest}".strip("_")
 
 
 def register_stats_tables(
@@ -67,11 +86,13 @@ def register_stats_tables(
 ) -> str:
     """Create external parquet tables for ``sf_dir`` in a dedicated
     database and compute table + column statistics (NTZ-safe). Returns
-    the database name; idempotent per process. Cost: one column-pruned
+    the database name; idempotent per session. Cost: one column-pruned
     scan per table — the ingest-time cost a warehouse pays once, NOT
     part of any query's time."""
-    if sf_dir in _REGISTERED:
-        return _REGISTERED[sf_dir]
+    sf_dir = os.path.abspath(sf_dir)
+    reg = _registry(spark)
+    if sf_dir in reg:
+        return reg[sf_dir]
     db = _db_name(sf_dir)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for t in tables:
@@ -92,13 +113,20 @@ def register_stats_tables(
             )
         else:
             spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS")
-    _REGISTERED[sf_dir] = db
+    reg[sf_dir] = db
     return db
 
 
-def stats_db_for(sf_dir: str) -> str | None:
-    """Database holding stats-backed tables for sf_dir, if registered."""
-    return _REGISTERED.get(sf_dir)
+def stats_db_for(spark: SparkSession, sf_dir: str) -> str | None:
+    """Database holding stats-backed tables for sf_dir in THIS session,
+    if registered."""
+    return _registry(spark).get(os.path.abspath(sf_dir))
+
+
+def unregister(spark: SparkSession, sf_dir: str) -> None:
+    """Forget the registration for sf_dir (tests restoring a pristine
+    planner regime; the catalog objects themselves are left in place)."""
+    _registry(spark).pop(os.path.abspath(sf_dir), None)
 
 
 def enable_cbo(

@@ -191,6 +191,48 @@ def test_macros_defer_validation():
     assert resolved.validate(inputs) is not None
 
 
+def test_default_value_applies_on_miss_only(spark):
+    """B12 semantics: default_value means 'no match found' — a MATCHED
+    row whose lookup value is genuinely NULL keeps its NULL (a bare
+    coalesce over the value column would rewrite it)."""
+    inp = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    lkp = spark.createDataFrame(
+        [(1, "a"), (2, None)], "k int, v string"
+    )
+    spec = LookupSpec("lkp", "k", "k", "v", default_value="MISS")
+    got = {r["k"]: r["v"] for r in spec.apply(inp, lkp).collect()}
+    assert got == {1: "a", 2: None, 3: "MISS"}
+
+
+def test_first_match_order_accepts_lookup_column_names(spark):
+    """first_match_order resolves original lookup column names even
+    when output_field renames the value, and accepts tiebreaker
+    columns outside the value list."""
+    inp = spark.createDataFrame([(1,)], "k int")
+    lkp = spark.createDataFrame(
+        [(1, "late", 9), (1, "early", 2)], "k int, v string, prio int"
+    )
+    # order by the ORIGINAL value-field name while renaming v -> val
+    spec = LookupSpec(
+        "lkp", "k", "k", "v", "val",
+        first_match=True, first_match_order=["v"],
+    )
+    assert spec.apply(inp, lkp).collect()[0]["val"] == "early"
+    # order by a lookup column that is NOT a value field
+    spec2 = LookupSpec(
+        "lkp", "k", "k", "v", "val",
+        first_match=True, first_match_order=["prio"],
+    )
+    assert spec2.apply(inp, lkp).collect()[0]["val"] == "early"
+    # unknown order column is a config error, not UNRESOLVED_COLUMN
+    spec3 = LookupSpec(
+        "lkp", "k", "k", "v", "val",
+        first_match=True, first_match_order=["zzz"],
+    )
+    with pytest.raises(LookupConfigError, match="first_match_order"):
+        spec3.apply(inp, lkp)
+
+
 def test_macro_output_field_defers_count_check_not_value_validation():
     """Regression: with a multi-valued lookup_value_field and a macro'd
     output_field, validation must defer the alias count check (the raw

@@ -515,4 +515,4 @@ def test_stats_cbo_runtime_bloom_filters_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-        stats._REGISTERED.pop(SF, None)
+        stats.unregister(spark, SF)
