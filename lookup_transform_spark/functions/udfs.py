@@ -46,8 +46,11 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
         with np.errstate(divide="ignore", invalid="ignore"):
             return pd.Series(num / den)
     # NULL arrays propagate NULL (the JVM higher-order-function form's
-    # behavior) instead of crashing the task on np.array(None)
-    out: list = [None] * len(la)
+    # behavior) instead of crashing the task on np.array(None). NaN is
+    # the null sentinel here: Arrow's from_pandas maps float64 NaN to
+    # SQL NULL, which is also what the fast path's zero-norm division
+    # already yields — so both paths return numeric dtype and agree.
+    out = np.full(len(la), np.nan, dtype=np.float64)
     idx = np.flatnonzero(valid)
     if idx.size:
         ma = np.array([la[i] for i in idx], dtype=np.float64)
@@ -55,10 +58,8 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = num / den
-        for j, i in enumerate(idx):
-            out[i] = float(sims[j])
-    return pd.Series(out, dtype=object)
+            out[idx] = num / den
+    return pd.Series(out)
 
 
 def grouped_median(

@@ -9,20 +9,32 @@ injects when plan statistics prove the creation side small — which
 never happens for a filtered scan without CBO stats (filters don't
 shrink `sizeInBytes`), and `bloom_filter_agg` is not in the public
 function registry to do it by hand. So this operator builds the filter
-explicitly:
+explicitly — and the JOIN path is ENTIRELY JVM-side (r7 rework: the
+round-6 mapInPandas/pandas_udf implementation measured SLOWER than the
+shuffle it saved at every probed scale, because tens of millions of
+rows through Arrow+Python cost more than shuffling them; see
+BLOOM_AB.json / PLANS.md):
 
-- **build**: one pass over the key side. Each input partition sets bits
-  in a local numpy bitmap (JVM-side ``xxhash64`` base hash, double
-  hashing for k probes, Kirsch-Mitzenmacher); partitions emit ONE
-  binary row each, OR-merged tree-style (an extra mapInPandas level
-  whenever more than ``merge_fanin`` bitmaps are outstanding) so the
-  driver only ever collects ``merge_fanin`` rows regardless of input
-  partition count. An m-bit filter is m/8 bytes — 1 MiB summarizes tens
-  of millions of keys at ~1e-5 false-positive rate.
-- **probe**: the bitmap broadcasts (torrent broadcast, once per
-  executor); a vectorized pandas UDF checks the k bit positions per
-  Arrow batch. Probing happens BEFORE the join exchange, so the fact
-  shuffle carries only probable matches.
+- **build**: one pass over the key side — each key expands to its k bit
+  positions (``xxhash64`` base hash, Kirsch-Mitzenmacher double
+  hashing, all whole-stage-codegen expressions), positions reduce to
+  ≤ m/64 (word, bits) rows via a map-side-combined ``bit_or``
+  aggregate, and the driver assembles the bitmap from that bounded
+  collect (≤ 1 MiB at the default m) regardless of key count or
+  partition count. An m-bit filter is m/8 bytes — 1 MiB summarizes
+  tens of millions of keys at ~1e-5 false-positive rate.
+- **probe**: the bitmap is ONE binary Literal (1 MiB rides the task
+  binary, broadcast once per executor); membership per hash is a
+  1-byte ``substring`` + ``ascii(decode(...))`` + bitwise AND — pure
+  whole-stage codegen, attached as a plain Filter on the fact child so
+  it runs BEFORE the join exchange and only probable matches shuffle.
+  No Python worker on either side. Two rejected designs, measured:
+  an ``array<long>`` literal (PySpark's ``lit(list)`` builds one
+  Column per element through py4j — minutes before the plan exists)
+  and a broadcast 1-row bitmap DataFrame (Catalyst's join reorder
+  hoists the cross join ABOVE the semi join, so the "prefilter"
+  filtered the join's OUTPUT — same shuffled bytes as no filter,
+  caught by the event-log byte counts in BLOOM_AB.json).
 - **exactness**: the operator finishes with the real semi join on the
   survivors — Bloom false positives are eliminated there, so results
   are bit-identical to the plain semi join (pinned in
@@ -30,32 +42,44 @@ explicitly:
   exact SQL oracle). The filter only reduces shuffled bytes; it never
   changes semantics.
 
+
 Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the default m=2^23
 bits / k=5 gives ~1e-5 at n=200k keys and degrades gracefully — an
-undersized filter costs shuffle volume, never correctness.
+undersized filter costs shuffle volume, never correctness. m must be a
+power of two (the modulo is a bitmask so every step stays in codegen).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+
+#: element_at lookup table for 1<<bit without a variable-shift
+#: expression (PySpark's shiftleft only takes a literal shift): index
+#: bit+1 holds the int64 with only that bit set. 1<<63 is written as
+#: its int64 two's-complement value. 64 elements — safe for lit().
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
-def _positions(hashes: np.ndarray, num_bits: int, num_hashes: int):
-    """Kirsch-Mitzenmacher double hashing: k positions from one 64-bit
-    hash — h1 + i·h2 mod m, with h2 forced odd. uint64 wrap-around is
-    deterministic and fine for a Bloom filter."""
-    hv = hashes.view(np.uint64)
-    m = np.uint64(num_bits)
-    h1 = hv % m
-    h2 = ((hv >> np.uint64(33)) << np.uint64(1)) | np.uint64(1)
-    for i in range(num_hashes):
-        yield (h1 + np.uint64(i) * h2) % m
+def _check_bits(num_bits: int) -> None:
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two >= 64")
+
+
+def _position_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """Kirsch-Mitzenmacher double hashing as codegen expressions: k bit
+    positions from one ``xxhash64`` — (h1 + i·h2) & (m-1), h2 forced
+    odd. m is a power of two, so the unsigned modulo is a bitmask and
+    signedness never matters."""
+    mask = num_bits - 1
+    h = F.xxhash64(key)
+    h1 = h.bitwiseAND(F.lit(mask))
+    h2 = (F.shiftrightunsigned(h, 33) * F.lit(2) + F.lit(1)).cast("long")
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask))
+        for i in range(num_hashes)
+    ]
 
 
 def build_bloom(
@@ -67,54 +91,63 @@ def build_bloom(
 ) -> bytes:
     """One pass over the key side → m-bit Bloom filter as bytes.
 
-    Per-partition bitmaps (mapInPandas, one binary row per partition)
-    are OR-merged tree-style: while more than ``merge_fanin`` bitmap
-    rows are outstanding, another mapInPandas level merges them, so the
-    driver never collects more than ``merge_fanin`` × m/8 bytes no
-    matter how many input partitions the key scan has.
+    Each key's k positions explode to (word, single-bit value) rows and
+    reduce via ``bit_or`` — a partial (map-side) aggregate, so every
+    input partition contributes at most m/64 rows to the one shuffle,
+    and the driver collects at most m/64 (word, bits) rows total
+    (≤ 1 MiB at the default m) no matter how many keys or partitions
+    the key scan has. Pure JVM end to end.
+
+    ``merge_fanin`` is kept for API compatibility with the round-6
+    Python tree-merge build; the bit_or aggregate needs no fan-in bound
+    (the parameter is ignored).
     """
-    if num_bits % 64:
-        raise ValueError("num_bits must be a multiple of 64")
-    words = num_bits // 64
-    hashed = keys.select(F.xxhash64(F.col(key_col)).alias("__h__"))
-
-    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = np.zeros(words, dtype=np.uint64)
-        seen = False
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            seen = True
-            hv = pdf["__h__"].to_numpy(dtype=np.int64)
-            for pos in _positions(hv, num_bits, num_hashes):
-                np.bitwise_or.at(
-                    bm, pos >> np.uint64(6),
-                    np.uint64(1) << (pos & np.uint64(63)),
-                )
-        if seen:
-            yield pd.DataFrame({"bitmap": [bm.astype("<u8").tobytes()]})
-
-    def _merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = np.zeros(words, dtype=np.uint64)
-        seen = False
-        for pdf in batches:
-            for raw in pdf["bitmap"]:
-                bm |= np.frombuffer(raw, dtype="<u8")
-                seen = True
-        if seen:
-            yield pd.DataFrame({"bitmap": [bm.astype("<u8").tobytes()]})
-
-    bitmaps = hashed.mapInPandas(_build, "bitmap binary")
-    n_parts = hashed.rdd.getNumPartitions()
-    while n_parts > merge_fanin:
-        n_parts = max(1, n_parts // merge_fanin)
-        bitmaps = bitmaps.repartition(n_parts).mapInPandas(
-            _merge, "bitmap binary"
+    _check_bits(num_bits)
+    pow2 = F.lit(_POW2)
+    pos = F.explode(
+        F.array(*_position_cols(F.col(key_col), num_bits, num_hashes))
+    ).alias("__pos__")
+    words = (
+        keys.select(pos)
+        .select(
+            F.shiftright(F.col("__pos__"), 6).alias("__word__"),
+            F.element_at(
+                pow2, (F.col("__pos__").bitwiseAND(F.lit(63)) + F.lit(1)).cast("int")
+            ).alias("__bitval__"),
         )
-    out = np.zeros(words, dtype=np.uint64)
-    for row in bitmaps.collect():
-        out |= np.frombuffer(row["bitmap"], dtype="<u8")
-    return out.astype("<u8").tobytes()
+        .groupBy("__word__")
+        .agg(F.bit_or("__bitval__").alias("__bits__"))
+        .collect()
+    )
+    out = np.zeros(num_bits // 64, dtype=np.int64)
+    for row in words:
+        out[row["__word__"]] = row["__bits__"]
+    return out.astype("<i8").tobytes()
+
+
+def _probe_expr(
+    key: Column, bm: Column, num_bits: int, num_hashes: int
+) -> Column:
+    """Codegen membership check of ``key`` against a BINARY bitmap
+    column/literal: per hash, one 1-byte ``substring`` gather decoded
+    via ``ascii(decode(.., ISO-8859-1))`` (latin-1 maps byte ==
+    codepoint) + bitwise AND against an 8-element power-of-two lookup.
+    The bitmap is byte-addressable because ``build_bloom`` writes
+    little-endian words: bit p lives in byte p>>3 at bit p&7."""
+    pow8 = F.lit([1, 2, 4, 8, 16, 32, 64, 128])
+    cond = F.lit(True)
+    for pos in _position_cols(key, num_bits, num_hashes):
+        byte = F.ascii(
+            F.decode(
+                F.substring(bm, (F.shiftright(pos, 3) + F.lit(1)).cast("int"), 1),
+                "ISO-8859-1",
+            )
+        )
+        bit = F.element_at(
+            pow8, (pos.bitwiseAND(F.lit(7)) + F.lit(1)).cast("int")
+        )
+        cond = cond & (byte.bitwiseAND(bit) != F.lit(0))
+    return cond
 
 
 def bloom_might_contain(
@@ -124,22 +157,16 @@ def bloom_might_contain(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
 ) -> Column:
-    """Vectorized membership probe: broadcast the bitmap once per
-    executor, gather the k bit positions per Arrow batch. False
-    positives possible (rate set by sizing), false negatives never."""
-    bc = df.sparkSession.sparkContext.broadcast(bloom)
-
-    @pandas_udf("boolean")
-    def _probe(h: pd.Series) -> pd.Series:
-        bm = np.frombuffer(bc.value, dtype="<u8")
-        hv = h.to_numpy(dtype=np.int64)
-        ok = np.ones(len(hv), dtype=bool)
-        for pos in _positions(hv, num_bits, num_hashes):
-            bits = bm[pos >> np.uint64(6)] >> (pos & np.uint64(63))
-            ok &= (bits & np.uint64(1)).astype(bool)
-        return pd.Series(ok)
-
-    return _probe(F.xxhash64(F.col(key_col)))
+    """Column-valued membership probe, pure JVM: the bitmap is a single
+    binary Literal (1 MiB at the default sizing — rides the task
+    binary, broadcast once per executor) and the check is whole-stage
+    codegen (``_probe_expr``). False positives possible (rate set by
+    sizing), false negatives never. ``df`` is unused (kept for API
+    compatibility with the round-6 broadcast-variable pandas probe)."""
+    _check_bits(num_bits)
+    if len(bloom) != num_bits // 8:
+        raise ValueError("bitmap length does not match num_bits")
+    return _probe_expr(F.col(key_col), F.lit(bloom), num_bits, num_hashes)
 
 
 def bloom_semi_join(
@@ -150,13 +177,17 @@ def bloom_semi_join(
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
 ) -> DataFrame:
-    """Exact semi join with a Bloom prefilter on the fact side.
+    """Exact semi join with a pure-JVM Bloom prefilter on the fact side.
 
     Identical results to ``fact.join(keys, on, "left_semi")`` — the
     final semi join removes Bloom false positives — but the fact rows
     that reach the join exchange are only the probable matches, so the
     shuffle shrinks by the semi join's selectivity (the raw key set
-    never broadcasts; the m/8-byte bitmap does)."""
+    never broadcasts; the m/8-byte bitmap Literal does). The probe is
+    a plain Filter on the fact child — below the join, so no optimizer
+    rule can hoist it past the exchange (the broadcast-1-row-join
+    formulation was hoisted; see the module docstring)."""
+    _check_bits(num_bits)
     bloom = build_bloom(keys, keys_key, num_bits, num_hashes)
     pre = fact.filter(
         bloom_might_contain(fact, fact_key, bloom, num_bits, num_hashes)
@@ -164,3 +195,47 @@ def bloom_semi_join(
     return pre.join(
         keys, pre[fact_key] == keys[keys_key], "left_semi"
     )
+
+
+def semi_join_auto(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    broadcast_rows: int = 5_000_000,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    force: str | None = None,
+) -> DataFrame:
+    """Semi join routed by the key-side size estimate (r7, VERDICT r6
+    #7): the Bloom prefilter is a tool for ONE regime — a key set too
+    big to broadcast probing a much bigger fact — and outside that
+    regime it is pure overhead (the round-6 bench ran it where the key
+    set was broadcastable all along and paid 17.8× vs the oracle).
+
+    - key side estimated ≤ ``broadcast_rows`` → plain semi join with an
+      explicit broadcast hint: zero fact shuffle, bloom never built.
+      The estimate is Catalyst plan statistics (``_estimated_rows``:
+      CBO rowCount when the catalog has stats, else file sizeInBytes
+      deliberately OVER-counted), so the gate errs toward the bloom
+      path, never toward an OOM broadcast.
+    - bigger or unknown → ``bloom_semi_join``: the m/8-byte bitmap
+      broadcasts instead of the raw keys and the fact shuffle carries
+      only probable matches.
+
+    ``force`` ('plain' | 'bloom') pins a path for tests and the A/B
+    probe (scripts/bloom_ab_probe.py). Results are identical on every
+    path (exact semi join closes both)."""
+    from lookup_transform_spark.plans.lookup import _estimated_rows
+
+    if force not in (None, "plain", "bloom"):
+        raise ValueError("force must be None, 'plain' or 'bloom'")
+    route = force
+    if route is None:
+        est = _estimated_rows(keys)
+        route = "plain" if est is not None and est <= broadcast_rows else "bloom"
+    if route == "plain":
+        return fact.join(
+            F.broadcast(keys), fact[fact_key] == keys[keys_key], "left_semi"
+        )
+    return bloom_semi_join(fact, keys, fact_key, keys_key, num_bits, num_hashes)

@@ -887,10 +887,19 @@ def substring_dup_rate(
     mostly shared boilerplate).
 
     Output: (doc_id, n_windows, n_dup_windows, dup_rate). Exact and
-    oracle-checkable. Scale shape: one span aggregate (map-side
-    combined) to find hot spans, one left-semi join back on the span
-    (equi-join on a hashed-string key, broadcastable when the hot-span
-    set is small), two per-doc aggregates — no self-join anywhere.
+    oracle-checkable.
+
+    Scale shape (r7 rework, VERDICT r6 #3): the explode+substring pass
+    runs ONCE — the old formulation evaluated the span subtree three
+    times (hot-set aggregate, per-doc totals, semi-join probe) and paid
+    a join. Now: (1) reduce windows to distinct (doc, span) pairs with
+    multiplicities — one map-side-combined aggregate, spans carried as
+    md5 so shuffle rows are fixed-width; (2) a per-span window count
+    over those DISTINCT pairs *is* the document frequency (no
+    count_distinct, no join back); (3) one per-doc aggregate sums total
+    and hot-window multiplicities. No self-join, no re-explode; a
+    boilerplate span shared by a million docs is one window partition
+    of 1M fixed-width rows, never a candidate pair set.
     """
     pos = F.explode(
         F.sequence(
@@ -899,30 +908,39 @@ def substring_dup_rate(
             F.lit(stride),
         )
     ).alias("__pos__")
-    spans = docs.select(F.col(id_col), F.col(text_col), pos).select(
-        F.col(id_col),
-        F.expr(f"substring({text_col}, __pos__, {span_len})").alias("__span__"),
+    pairs = (
+        docs.select(F.col(id_col), F.col(text_col), pos)
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.expr(f"substring({text_col}, __pos__, {span_len})")
+            ).alias("__h__"),
+        )
+        .groupBy(id_col, "__h__")
+        .agg(F.count(F.lit(1)).alias("__w__"))
     )
-    hot = (
-        spans.groupBy("__span__")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd__"))
-        .filter(F.col("__nd__") >= min_docs)
-        .select("__span__")
-    )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
-    dups = (
-        spans.join(hot, "__span__", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
-    )
+    # rows are distinct (doc, span): a plain COUNT per span == the
+    # number of DISTINCT docs containing it
+    n_docs_w = F.count(F.lit(1)).over(Window.partitionBy("__h__"))
     return (
-        totals.join(dups, id_col, "left")
+        pairs.select(
+            F.col(id_col),
+            F.col("__w__"),
+            (n_docs_w >= F.lit(min_docs)).alias("__hot__"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__w__").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__hot__"), F.col("__w__")).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
         .select(
             id_col,
             "n_windows",
-            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            "n_dup_windows",
             F.round(
-                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 6
+                F.col("n_dup_windows") / F.col("n_windows"), 6
             ).alias("dup_rate"),
         )
     )

@@ -452,9 +452,35 @@ class LookupSpec:
                 else list(self.first_match_order or out_names)
             )
             v2o = dict(zip(self.value_fields, out_names))
+            o2v = dict(zip(out_names, self.value_fields))
             lk_names = set(lookup_df.columns)
             for c in cfg:
                 if c in out_names:
+                    # Ambiguity guard: 'c' is a RENAME alias of value
+                    # field o2v[c], but the lookup dataset ALSO has a
+                    # real column named 'c' that is a different source
+                    # column. Silently ordering by the renamed value
+                    # (alias precedence) would ignore the user's
+                    # dedicated priority column with no error — refuse
+                    # and make them disambiguate.
+                    if o2v[c] != c and c in lk_names:
+                        raise LookupConfigError(
+                            [
+                                ValidationFailure(
+                                    f"first_match_order column '{c}' is "
+                                    f"ambiguous: it is the output alias "
+                                    f"of value field '{o2v[c]}' AND a "
+                                    "distinct column of the lookup "
+                                    "dataset.",
+                                    "Order by the original value-field "
+                                    f"name '{o2v[c]}' for the renamed "
+                                    f"value, or rename the output so "
+                                    f"'{c}' only names the lookup "
+                                    "column.",
+                                    "first_match_order",
+                                )
+                            ]
+                        )
                     order_exprs.append(c)
                 elif c in v2o:
                     order_exprs.append(v2o[c])

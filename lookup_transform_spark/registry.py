@@ -1991,6 +1991,32 @@ def q_dedup_incremental_minhash(spark, sf):
     return incremental_minhash_probe(spark, new, table).orderBy("doc_id")
 
 
+@_q("stream_ingest_neardedup")
+def q_stream_ingest_neardedup(spark, sf):
+    """B63/B51 extension (r7, VERDICT r6 #2): continuous ingest with
+    BOTH dedup tiers. Each micro-batch is (1) exact-deduped within
+    itself and against the standing fingerprint index, (2) NEAR-deduped
+    within itself (min-id survivor of every verified MinHash pair) and
+    against the standing LSH index (incremental_minhash_probe), and the
+    accepted docs are appended to the corpus and BOTH indexes
+    (append_to_lsh_index) — so batch N+1 near-dups against batch N
+    without re-banding the corpus. Per-batch cost O(batch + collisions).
+    Rows-only (hash-seeded LSH + multi-batch side effects); stream ≡
+    batch replay over the shared ingest step is pinned in
+    tests/test_streaming.py."""
+    from lookup_transform_spark.streaming.ingest import (
+        stream_ingest_neardedup,
+    )
+
+    work = f"{SCRATCH}/stream_ingest_near_{os.path.basename(sf)}"
+    out = stream_ingest_neardedup(spark, sf, work)
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_distinct"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 @_q("stream_ingest_dedup")
 def q_stream_ingest_dedup(spark, sf):
     """B63 extension: continuous-ingest dedup — the foreachBatch shape a
@@ -2479,7 +2505,11 @@ def q_correlated_subquery(spark, sf):
 GROUP BY c_count""",
 )
 def q_q13_custdist(spark, sf):
-    """B32/B37: two-level aggregation over an outer join (TPC-H Q13)."""
+    """B32/B37: two-level aggregation over an outer join (TPC-H Q13).
+
+    VARIANT of ``tpch_q13_custdist`` (pre-dates the full TPC-H tier):
+    same Q13 skeleton without the comment-pattern predicate - kept as
+    a plain outer-join-aggregate shape; not counted as new coverage."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     per_cust = (
@@ -2516,7 +2546,11 @@ GROUP BY o.o_orderkey, o.o_custkey
 HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 150""",
 )
 def q_q18_volume(spark, sf):
-    """B32: join + aggregate + HAVING on the aggregate (TPC-H Q18)."""
+    """B32: join + aggregate + HAVING on the aggregate (TPC-H Q18).
+
+    VARIANT of ``tpch_q18_large_volume`` (pre-dates the full TPC-H
+    tier): same Q18 skeleton without the customer join/top-N - kept as
+    a plain HAVING shape; not counted as new coverage."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     return (
@@ -2706,7 +2740,11 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name""",
 )
 def q_q10_returned(spark, sf):
-    """B37: returned-item revenue per customer (TPC-H Q10 shape)."""
+    """B37: returned-item revenue per customer (TPC-H Q10 shape).
+
+    VARIANT of ``tpch_q10_returned`` (pre-dates the full TPC-H tier):
+    same Q10 skeleton without the date window/address columns/top-20 -
+    kept as a plain multi-join aggregate; not counted as new coverage."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2738,7 +2776,11 @@ GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INTEGER)""",
 )
 def q_q7_volume_shipping(spark, sf):
     """B37: cross-border trade volume (TPC-H Q7 shape) — two aliases of
-    the same dimension joined under different roles."""
+    the same dimension joined under different roles.
+
+    VARIANT of ``tpch_q7_volume`` (pre-dates the full TPC-H tier): ALL
+    cross-nation pairs instead of the fixed pair + date window of Q7 -
+    kept for the unrestricted-pair shape; not counted as new coverage."""
     s = _t(spark, sf, "supplier")
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
@@ -2846,6 +2888,30 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def bm25_per_doc(spark, sf, terms):
+    """The single tokenize pass behind ``bm25_retrieval``: ONE
+    ``documents`` scan projecting per-document statistics — doclen and
+    per-query-term tf — as row-local array ops (``size``/``filter``
+    over the split, no explode, no token-stream shuffle). One split per
+    row: whole-stage codegen's subexpression elimination shares the
+    ``split()`` across the six uses (pinned in tests/test_plans.py).
+    Output is ~40 bytes/doc regardless of document size."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def eq(term):  # 1-arg lambda: a 2-arg one would bind (elem, index)
+        return lambda x: x == F.lit(term)
+
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
 @_q(
     "bm25_retrieval",
     """WITH consts AS (
@@ -2879,56 +2945,70 @@ def q_bm25_retrieval(spark, sf):
     pipeline runs next to embedding search (hard-negative mining,
     retrieval-based decontamination).
 
-    Scale shape: ONE corpus scan. Document length is ``size(split())``
-    computed per-row in the scan (no token-stream shuffle for lengths);
-    the explode is filtered to the |Q| query terms BEFORE the tf
-    aggregate, so the only shuffle carries O(docs_matching × |Q|) rows.
-    Document frequency is a window count over tf (one row per
-    (doc, term) — no second tokenize, no self-join), corpus constants
-    (N, avg doclen) are a 1-row agg collected outside the hot path,
-    and the top-20 compiles to TakeOrderedAndProject (O(k) per
-    partition, no global sort). At 100 TB: the filtered explode is
-    the whole story — the token stream for scoring is |Q| terms wide,
-    never the full corpus vocabulary.
+    Scale shape (r7 rework, VERDICT r6 #6): ONE corpus scan, total.
+    ``bm25_per_doc`` tokenizes once and reduces each document to
+    (doc_id, dl, tf per query term) — per-row array ops, no explode.
+    That ~40 B/doc projection is localCheckpoint'd (the "index": at
+    100 TB it is n_docs × 40 B, the one artifact worth materializing),
+    and BOTH consumers read the materialized blocks: a 1-row constants
+    aggregate (N, Σdl, per-term df — df folds into the same agg as
+    ``sum(tf_i > 0)``, killing the old per-term window shuffle) that is
+    broadcast back via cross-join, and the scorer, which keeps only
+    docs matching ≥1 query term. The old formulation scanned +
+    tokenized the text column TWICE (a separate ``.first()`` action
+    for N/Σdl) and shuffled an exploded token stream for tf + a window
+    for df; now the only shuffle in the job is the final top-20
+    (TakeOrderedAndProject, O(k) per partition).
 
     Determinism vs the oracle: per-term double math is IEEE-identical
-    (same operand order as the SQL), the final sum is rounded to 6
-    decimals, and the top-20 cut is ordered (bm25 DESC, doc_id) on the
-    ROUNDED score so equal scores computed via different ln() paths
-    rank identically in both engines."""
+    (same operand order as the SQL, constants as the same double
+    literals), tf=0 terms contribute an exact +0.0, the final sum is
+    rounded to 6 decimals, and the top-20 cut is ordered
+    (bm25 DESC, doc_id) on the ROUNDED score so equal scores computed
+    via different ln() paths rank identically in both engines."""
     # constants appear as the SAME double literals as in the SQL text
     # (k1=1.2, b=0.75): k1+1 computed in Python could differ from the
     # parsed literal 2.2 in the last ulp
     K1, K1P1, ONE_MINUS_B, B = 1.2, 2.2, 0.25, 0.75
     terms = ["join", "window", "hash", "stream"]
-    d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    n_docs, sum_dl = d.select(
-        F.count(F.lit(1)), F.sum(F.size(toks))
-    ).first()
-    avgdl = float(sum_dl) / float(n_docs)
-    tok = d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term").isin(terms))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl")
+    idx = range(len(terms))
+    per_doc = bm25_per_doc(spark, sf, terms).localCheckpoint(eager=False)
+    consts = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in idx
+            ],
+        )
     )
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - df_w + F.lit(0.5)) / (df_w + F.lit(0.5))
-    )
-    s = idf * (F.col("tf") * F.lit(K1P1)) / (
-        F.col("tf")
-        + F.lit(K1)
-        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def s_term(i):
+        dfc = F.col(f"df_{i}")
+        tfc = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfc + F.lit(0.5))
+            / (dfc + F.lit(0.5))
+        )
+        s = idf * (tfc * F.lit(K1P1)) / (
+            tfc + F.lit(K1) * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / avgdl)
+        )
+        # a tf=0 term is absent from the oracle's tf CTE: contribute an
+        # exact +0.0 (IEEE-neutral for the positive BM25 partials)
+        return F.when(tfc > 0, s).otherwise(F.lit(0.0))
+
+    total = s_term(0)
+    for i in list(idx)[1:]:
+        total = total + s_term(i)
     return (
-        tf.select("doc_id", s.alias("s"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        per_doc.filter(
+            sum((F.col(f"tf_{i}") for i in list(idx)[1:]), F.col("tf_0")) > 0
+        )
+        .crossJoin(consts)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -4244,18 +4324,27 @@ WHERE l.l_orderkey IN (
 GROUP BY l.l_returnflag""",
 )
 def q_join_bloom_semi(spark, sf):
-    """B37 extension: Bloom-prefiltered semi join (operators/bloomjoin.py)
-    — revenue of lineitems belonging to high-value orders of one
-    quarter. The selective key set is summarized into a 1 MiB bitmap
-    (one pass, tree-merged), broadcast, and probed on the fact scan
-    BEFORE the join exchange, so the lineitem shuffle carries only
-    probable matches; the closing exact semi join removes the Bloom
-    false positives, making the result bit-identical to the plain
-    semi join and the SQL oracle. This is the 100 TB shape Spark's own
-    runtime bloom injection can't reach without CBO statistics (a
-    filtered scan keeps its unfiltered sizeInBytes, so the creation-side
-    gate never opens — measured in round 5; see PLANS.md)."""
-    from lookup_transform_spark.operators.bloomjoin import bloom_semi_join
+    """B37 extension: size-routed semi join (operators/bloomjoin.py,
+    ``semi_join_auto``) — revenue of lineitems belonging to high-value
+    orders of one quarter.
+
+    r7 routing (VERDICT r6 #7): the Bloom prefilter only pays in ONE
+    regime — a key set too big to broadcast probing a much larger fact
+    (A/B measured in scripts/bloom_ab_probe.py, recorded in PLANS.md).
+    Here the filtered key set is small, so the router takes the plain
+    broadcast semi join (zero fact shuffle, zero Python) — the round-6
+    bench ran the bloom path unconditionally and paid 17.8× vs the
+    oracle for machinery this shape never needed. When the key-side
+    estimate exceeds the broadcast budget the router builds the 1 MiB
+    bitmap (one pass, tree-merged), broadcasts it, and probes the fact
+    scan BEFORE the join exchange so the shuffle carries only probable
+    matches; the closing exact semi join removes Bloom false positives,
+    keeping every path bit-identical to the SQL oracle. That is the
+    100 TB shape Spark's own runtime bloom injection can't reach
+    without CBO statistics (a filtered scan keeps its unfiltered
+    sizeInBytes, so the creation-side gate never opens — measured in
+    round 5; see PLANS.md)."""
+    from lookup_transform_spark.operators.bloomjoin import semi_join_auto
 
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
@@ -4265,7 +4354,7 @@ def q_join_bloom_semi(spark, sf):
     li = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    sj = bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    sj = semi_join_auto(li, o, "l_orderkey", "o_orderkey")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return sj.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),

@@ -56,12 +56,17 @@ def time_spark(
             spark.sparkContext.cancelJobGroup(job_group)
             th.join(30)
             if best is not None:
-                return {"sec": round(best, 3)}
+                # a later repeat timed out after an earlier success: keep
+                # the measurement but flag the degraded protocol so the
+                # artifact doesn't claim the full repeat count for this row
+                return {"sec": round(best, 3), "partial": True}
             return {"timeout": timeout}
         if "sec" not in result:
             err = result.get("err", "thread died without a result")
             break
         best = result["sec"] if best is None else min(best, result["sec"])
     if best is not None:
+        if err is not None:  # a repeat errored after a success: flag it
+            return {"sec": round(best, 3), "partial": True}
         return {"sec": round(best, 3)}
     return {"err": err}

@@ -59,6 +59,7 @@ EXCLUDE = {
     # checkpointed side-effecting ingest: repeat runs are no-ops by
     # design (exactly-once), so repeat timing measures nothing
     "stream_ingest_dedup",
+    "stream_ingest_neardedup",
     # fixed-size synthetic source; ignores sf_dir entirely
     "scan_generator_source",
 }

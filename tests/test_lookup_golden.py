@@ -233,6 +233,38 @@ def test_first_match_order_accepts_lookup_column_names(spark):
         spec3.apply(inp, lkp)
 
 
+def test_first_match_order_rejects_alias_shadowing_lookup_column(spark):
+    """An output alias that ALSO names a distinct real lookup column is
+    ambiguous — ordering silently by the renamed value (ignoring the
+    user's dedicated priority column) must be a config error, not a
+    precedence surprise."""
+    inp = spark.createDataFrame([(1,)], "k int")
+    # value field v is renamed to 'prio', but the lookup has its own
+    # real 'prio' column with the opposite ordering
+    lkp = spark.createDataFrame(
+        [(1, "late", 9), (1, "early", 2)], "k int, v string, prio int"
+    )
+    spec = LookupSpec(
+        "lkp", "k", "k", "v", "prio",
+        first_match=True, first_match_order=["prio"],
+    )
+    with pytest.raises(LookupConfigError, match="ambiguous"):
+        spec.apply(inp, lkp)
+    # unambiguous spelling: order by the original value-field name
+    spec_ok = LookupSpec(
+        "lkp", "k", "k", "v", "prio",
+        first_match=True, first_match_order=["v"],
+    )
+    assert spec_ok.apply(inp, lkp).collect()[0]["prio"] == "early"
+    # default alias (output name == value field name) stays legal even
+    # though the name is trivially also a lookup column
+    spec_default = LookupSpec(
+        "lkp", "k", "k", "v",
+        first_match=True, first_match_order=["v"],
+    )
+    assert spec_default.apply(inp, lkp).collect()[0]["v"] == "early"
+
+
 def test_macro_output_field_defers_count_check_not_value_validation():
     """Regression: with a multi-valued lookup_value_field and a macro'd
     output_field, validation must defer the alias count check (the raw

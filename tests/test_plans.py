@@ -109,22 +109,32 @@ def test_scan_once_rewrites_read_fact_table_once(spark):
 
 
 def test_bm25_topk_no_global_sort_and_pruned_scan(spark):
-    """The BM25 scale contract: the top-20 compiles to
-    TakeOrderedAndProject (O(k) per partition — never a global sort of
-    scored docs), and the scoring scan reads only doc_id+text (no
-    corpus payload columns travel)."""
-    df = registry.QUERIES["bm25_retrieval"](spark, SF)
-    plan = explain_str(df)
-    # TakeOrderedAndProject proves the top-20 cut is O(k) per partition;
-    # the only Sort nodes left are the window's partition-local sort
-    # over the (doc, term) tf rows, which is |Q|-bounded per doc
-    assert "TakeOrderedAndProject" in plan
+    """The BM25 scale contract (r7, VERDICT r6 #6: ONE documents scan):
+    the corpus text is read+tokenized exactly once — the per-doc stats
+    projection (bm25_per_doc) is the only parquet scan, it prunes to
+    doc_id+text, and the FINAL plan reads only the ~40 B/doc
+    checkpointed projection (no second FileScan for the N/Σdl/df
+    constants, which fold into one 1-row broadcast agg). The top-20
+    compiles to TakeOrderedAndProject (O(k) per partition — never a
+    global sort of scored docs)."""
+    terms = ["join", "window", "hash", "stream"]
+    per_doc = registry.bm25_per_doc(spark, SF, terms)
+    pd_plan = explain_str(per_doc)
+    assert pd_plan.count("documents.parquet") == 1
     schema_lines = [
-        line for line in plan.splitlines() if "ReadSchema" in line
+        line for line in pd_plan.splitlines() if "ReadSchema" in line
     ]
     assert schema_lines and all(
         "source" not in s and "lang" not in s for s in schema_lines
     )
+
+    df = registry.QUERIES["bm25_retrieval"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # both consumers (constants agg + scorer) read the checkpointed
+    # per-doc RDD, not the parquet — zero FileScans in the final plan
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_bucketed_join_has_no_shuffle(spark):
@@ -387,15 +397,32 @@ def test_quantile_rollup_single_scan_partial_counts(spark):
 
 
 def test_bloom_semi_probe_filters_fact_before_join(spark):
-    # the bloom probe (ArrowEvalPython + Filter pythonUDF) must sit on
-    # the fact side BELOW the semi join, so any join exchange reads
-    # only probe survivors
+    """r7 routed semi join: the REGISTERED query's key set is small, so
+    semi_join_auto takes the plain broadcast path (no bloom, no Python
+    — the r6 bench paid 17.8× for the unconditional bloom machinery);
+    the FORCED bloom path must place the codegen bitmap probe on the
+    fact side BELOW the semi join, so the join exchange reads only
+    probe survivors."""
     df = registry.QUERIES["join_bloom_semi"](spark, SF)
     plan = explain_str(df, "simple")
-    join_at = plan.find("LeftSemi")
-    probe_at = plan.find("Filter pythonUDF")
-    assert join_at > 0 and probe_at > join_at  # probe printed under the join
-    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "ArrowEvalPython" not in plan and "pythonUDF" not in plan
+
+    from lookup_transform_spark.operators.bloomjoin import semi_join_auto
+
+    fact = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    keys = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    forced = semi_join_auto(
+        fact, keys, "l_orderkey", "o_orderkey", force="bloom"
+    )
+    p = explain_str(forced, "simple")
+    join_at = p.find("LeftSemi")
+    # the probe is an ascii(decode(substring(bitmap,...))) filter —
+    # Spark prints decode as static_invoke(StringDecode.decode(...));
+    # printed under (= after) the join node means BELOW it in the tree
+    probe_at = p.find("StringDecode.decode")
+    assert join_at > 0 and probe_at > join_at, p[:2000]
+    assert "ArrowEvalPython" not in p  # pure JVM probe
 
 
 def test_q1_aggregates_are_fixed_point_not_decimal(spark):
@@ -516,3 +543,19 @@ def test_stats_cbo_runtime_bloom_filters_fact_scan(spark):
             else:
                 spark.conf.set(k, v)
         stats.unregister(spark, SF)
+
+
+def test_substring_dup_rate_single_explode_pass_no_join(spark):
+    """r7 rework (VERDICT r6 #3): the dup-rate pipeline evaluates the
+    explode+substring subtree ONCE — one documents FileScan in the
+    whole plan — and contains no join (the hot-set membership is a
+    per-span window count over distinct (doc, span) pairs, not a
+    semi-join back onto a re-exploded span stream)."""
+    df = registry.QUERIES["substring_dup_rate"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, "dup-rate must not join"
+    # simple mode prints each node once (formatted repeats it in the
+    # detail section) — exactly one Generate = one explode pass
+    simple = explain_str(df, "simple")
+    assert simple.count("Generate") == 1, "explode must run once"

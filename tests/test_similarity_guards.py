@@ -209,3 +209,31 @@ def test_ann_recall_floors(spark):
     # (single-band LSH measured 0.04)
     assert lsh_recall >= 0.7, f"LSH recall@10 regressed: {lsh_recall:.3f}"
     assert ivf_recall >= 0.8, f"IVF recall@10 regressed: {ivf_recall:.3f}"
+
+
+def test_cosine_pairs_null_path_propagates_null_numeric_dtype(spark):
+    """ADVICE r6: the null-propagating path of cosine_pairs must return
+    numeric (float64 + NaN sentinel), not an object-dtype Series that
+    leans on Arrow coercion — and NULL inputs must come back as SQL
+    NULL, valid pairs as finite floats, zero-norm pairs as NULL (the
+    fast path's 0/0 behavior)."""
+    from lookup_transform_spark.functions.udfs import cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),   # valid: sim 1.0
+            (2, None, [1.0, 0.0]),          # NULL left
+            (3, [0.0, 1.0], None),          # NULL right
+            (4, [0.0, 0.0], [1.0, 0.0]),    # zero norm: 0/0 -> NULL
+            (5, [1.0, 0.0], [0.0, 1.0]),    # valid: sim 0.0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["sim"]
+        for r in df.select("id", cosine_pairs("a", "b").alias("sim")).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[5] == pytest.approx(0.0)
+    assert got[2] is None and got[3] is None
+    assert got[4] is None  # NaN -> SQL NULL via Arrow, same as fast path

@@ -428,3 +428,74 @@ def test_stream_ingest_invalidates_on_fixture_regeneration(
     assert second == first  # same data → same corpus
     # but the run really started over: fresh checkpoint dir
     assert os.path.getmtime(f"{work}/ckpt") > ckpt_before
+
+
+def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
+    """Continuous NEAR-dup ingest (r7, VERDICT r6 #2): the corpus built
+    by the foreachBatch stream equals a batch replay of the same
+    arrival files in order through the SAME ingest step — and the
+    injected near-duplicates (suffix-edited re-sends, invisible to the
+    exact fingerprint) are actually dropped by the LSH tier."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.streaming.ingest import (
+        ingest_batch_neardedup,
+        stream_ingest_neardedup,
+    )
+
+    work = str(tmp_path / "ingest_near")
+    corpus = stream_ingest_neardedup(spark, sf_dir, work, n_files=3)
+    got = {(r["f"], r["doc_id"]) for r in corpus.collect()}
+    assert got
+
+    arrivals = spark.read.parquet(f"{work}/arrivals/batch_*")
+    n_arrived = arrivals.count()
+    # exact dups dropped: distinct fingerprints only
+    assert len(got) == len({f for f, _ in got})
+    # NEAR dups dropped: the 20M-offset suffix-edited re-sends have
+    # unique fingerprints, so only the LSH tier can reject them
+    near_ids = {
+        r["doc_id"]
+        for r in arrivals.filter("doc_id >= 20000000").collect()
+    }
+    assert near_ids, "staging must inject near-dups"
+    accepted_ids = {d for _, d in got}
+    assert not (near_ids & accepted_ids), "near-dups must be rejected"
+    assert n_arrived > len(got)
+
+    # batch replay: the same arrival files, in order, through the SAME
+    # shared ingest step -> identical corpus
+    import os
+
+    replay = str(tmp_path / "replay_near")
+    lsh_table = "lsh_replay_near_test"
+    spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
+    spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+    for d in ("corpus", "fp_index"):
+        os.makedirs(os.path.join(replay, d), exist_ok=True)
+    batch_dirs = sorted(
+        p for p in os.listdir(f"{work}/arrivals") if p.startswith("batch_")
+    )
+    try:
+        for b in batch_dirs:
+            ingest_batch_neardedup(
+                spark.read.parquet(f"{work}/arrivals/{b}"),
+                os.path.join(replay, "corpus"),
+                os.path.join(replay, "fp_index"),
+                lsh_table,
+                os.path.join(replay, "lsh_index"),
+            )
+        replay_got = {
+            (r["f"], r["doc_id"])
+            for r in spark.read.parquet(
+                os.path.join(replay, "corpus")
+            ).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+    assert replay_got == got
+
+    # re-running the finished stream is a no-op (checkpoint commit)
+    again = stream_ingest_neardedup(spark, sf_dir, work, n_files=3)
+    assert {(r["f"], r["doc_id"]) for r in again.collect()} == got
