@@ -93,8 +93,19 @@ def _estimated_rows(df: DataFrame) -> int | None:
     than force-broadcasting a side several times over the threshold.
     None when statistics are unavailable (e.g. Spark Connect, where the
     JVM plan isn't reachable).
+
+    The active session is pinned to the calling thread first: JVM-side
+    ``SQLConf.get`` is thread-local, so from a worker thread (the
+    probes' timeout harness) ``spark.sql.cbo.enabled`` read as OFF and
+    ``rowCount`` came back undefined — the r7 scaling probe routed
+    ``join_bloom_semi`` down the bloom path on a broadcastable key set
+    because of exactly this.
     """
     try:
+        spark = df.sparkSession
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         row_count = stats.rowCount()
         if row_count.isDefined():

@@ -3022,25 +3022,32 @@ def q_bm25_retrieval(spark, sf):
   FROM embeddings
 )
 SELECT label, CAST(idx AS INTEGER) AS idx,
-       ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 5) AS centroid_val
+       ROUND((SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000000.0) AS BIGINT)) / 10000000000.0) / COUNT(*), 5) AS centroid_val
 FROM e GROUP BY label, idx""",
 )
 def q_embedding_centroids(spark, sf):
     """B52 support: per-class centroid, element-wise (posexplode ->
-    decimal-sum mean). Long form (label, idx, value) so the oracle
-    compare is scalar, not array-typed."""
+    fixed-point mean). Long form (label, idx, value) so the oracle
+    compare is scalar, not array-typed.
+
+    r7: the sum was a decimal(38,10) accumulator — precision >18 is a
+    JVM BigDecimal per row, off the primitive codegen path (the exact
+    defect the fixed-point rework removed from the money sums, PLANS.md)
+    — measured 1.08 s -> ~0.5 s at 32x as a scaled-long sum. dp=10
+    reproduces decimal(38,10)'s per-element quantization exactly, so
+    the oracle change is form, not values. float -> double FIRST:
+    engines disagree on float->decimal/fixed-point shortest-repr.
+    Overflow headroom: |v|*1e10 * rows_per_group must stay < 2^63 —
+    fine to ~1e7 rows per (label, idx) group; beyond that use
+    fp_sum_stable (functions/fixedpoint.py)."""
     emb = _t(spark, sf, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
         .agg(
-            # float -> double FIRST: engines disagree on float->decimal
-            # (shortest-repr vs exact-binary). Even double->decimal can
-            # differ by 1 decimal-ulp on boundary values, so the final
-            # mean is rounded to 5 decimals on both sides.
             F.round(
-                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
-                .cast("double") / F.count(F.lit(1)), 5
+                (F.sum(scaled_long(F.col("v").cast("double"), 10))
+                 / F.lit(10000000000.0)) / F.count(F.lit(1)), 5
             ).alias("centroid_val")
         )
     )
@@ -3634,7 +3641,10 @@ def q_tpch_q15_top_supplier(spark, sf):
     exchanges differ, so Spark's reuse rule can't collapse them). The
     window's single-partition pass runs over |suppliers| aggregated
     rows, not the fact table. Equality on double is safe cross-engine
-    because both totals are the same exact-fixed-point sum cast once."""
+    because both totals are the same exact-fixed-point sum cast once.
+    r7 128x probe: 1.14 s @32x -> 1.21 s @128x (flat); the max-agg +
+    broadcast variant costs a second lineitem scan (no exchange reuse)
+    for no win — see PLANS.md."""
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))

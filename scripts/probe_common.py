@@ -49,7 +49,14 @@ def time_spark(
             except Exception as e:  # noqa: BLE001
                 result["err"] = f"{type(e).__name__}: {e}"[:200]
 
-        th = threading.Thread(target=target, daemon=True)
+        # InheritableThread propagates the session's thread-locals into
+        # the worker (JVM SQLConf.get is thread-local: a plain Thread
+        # builds plans with cbo/AQE flags silently OFF — the r7 probe
+        # mis-routed join_bloom_semi because its stats-gated broadcast
+        # estimate saw rowCount undefined from here)
+        from pyspark import InheritableThread
+
+        th = InheritableThread(target=target, daemon=True)
         th.start()
         th.join(timeout)
         if th.is_alive():
