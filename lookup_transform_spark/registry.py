@@ -2246,12 +2246,25 @@ FROM events GROUP BY event_type""",
 )
 def q_percentiles(spark, sf):
     """B32: exact interpolated percentiles (selection-based ->
-    order-independent and oracle-checkable)."""
+    order-independent and oracle-checkable).
+
+    r7 shape: two-phase — a map-side-combined (type, value) frequency
+    aggregate first, then ``percentile(value, p, freq)`` over the
+    distinct values. The exact-percentile buffer each group's reducer
+    holds shrinks from |rows per group| to |distinct values per group|
+    (36x on this fixture; 1.20 -> 0.86 s at 32x), and the frequency
+    weighting makes the interpolation bit-identical to the raw form.
+    Reduces only when values repeat — for truly continuous data the
+    pre-agg is a wash (one extra map-side shuffle) and the mergeable
+    ``sketch_quantile_rollup`` is the at-scale answer."""
     ev = _events(spark, sf)
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("p25"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
+    freq = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    return freq.groupBy("event_type").agg(
+        F.percentile("value", 0.25, F.col("freq")).alias("p25"),
+        F.percentile("value", 0.5, F.col("freq")).alias("p50"),
+        F.percentile("value", 0.9, F.col("freq")).alias("p90"),
     )
 
 
