@@ -54,6 +54,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: element_at lookup table for 1<<bit without a variable-shift
 #: expression (PySpark's shiftleft only takes a literal shift): index
@@ -65,6 +66,34 @@ _POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
 def _check_bits(num_bits: int) -> None:
     if num_bits < 64 or num_bits & (num_bits - 1):
         raise ValueError("num_bits must be a power of two >= 64")
+
+
+def _hash_input(df: DataFrame, key_col: str) -> Column:
+    """Normalize the key before hashing: ``xxhash64`` is TYPE-sensitive
+    (IntegerType and LongType hash differently for equal values), so a
+    fact keyed int32 probed against a filter built from int64 keys
+    would see every true match as a miss — a FALSE NEGATIVE, the one
+    failure mode a Bloom filter must never have. Integrals widen to
+    long and floats to double — the same families Spark's equi-join
+    coercion uses, so "would equi-join equal" implies "hashes equal"
+    for the numeric types; other types (string, date, ...) hash as
+    declared and ``bloom_semi_join`` refuses cross-family pairs."""
+    dt = df.schema[key_col].dataType
+    c = F.col(key_col)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return c.cast("long")
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return c.cast("double")
+    return c
+
+
+def _hash_family(df: DataFrame, key_col: str) -> str:
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integral"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "fractional"
+    return type(dt).__name__
 
 
 def _position_cols(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -105,7 +134,7 @@ def build_bloom(
     _check_bits(num_bits)
     pow2 = F.lit(_POW2)
     pos = F.explode(
-        F.array(*_position_cols(F.col(key_col), num_bits, num_hashes))
+        F.array(*_position_cols(_hash_input(keys, key_col), num_bits, num_hashes))
     ).alias("__pos__")
     words = (
         keys.select(pos)
@@ -166,7 +195,7 @@ def bloom_might_contain(
     _check_bits(num_bits)
     if len(bloom) != num_bits // 8:
         raise ValueError("bitmap length does not match num_bits")
-    return _probe_expr(F.col(key_col), F.lit(bloom), num_bits, num_hashes)
+    return _probe_expr(_hash_input(df, key_col), F.lit(bloom), num_bits, num_hashes)
 
 
 def bloom_semi_join(
@@ -188,6 +217,14 @@ def bloom_semi_join(
     rule can hoist it past the exchange (the broadcast-1-row-join
     formulation was hoisted; see the module docstring)."""
     _check_bits(num_bits)
+    ff, kf = _hash_family(fact, fact_key), _hash_family(keys, keys_key)
+    if ff != kf:
+        raise ValueError(
+            f"bloom_semi_join key types are not hash-compatible: "
+            f"{fact_key} is {ff}, {keys_key} is {kf} — equal values "
+            "would hash differently and true matches would be DROPPED "
+            "(false negatives); cast one side first"
+        )
     bloom = build_bloom(keys, keys_key, num_bits, num_hashes)
     pre = fact.filter(
         bloom_might_contain(fact, fact_key, bloom, num_bits, num_hashes)

@@ -1184,6 +1184,12 @@ def incremental_minhash_probe(
     cand = (
         new_banded.join(idx, new_banded["__bb__"] == idx["__bb__"])
         .select("__nid__", F.col("doc_id").alias("__sid__"))
+        # a doc is never its own near-dup: self-candidates appear when
+        # a probe re-runs against an index its own batch already reached
+        # (foreachBatch retry after a partial append) — without this
+        # filter every retried doc would reject itself and the batch
+        # would be silently lost
+        .filter(F.col("__nid__") != F.col("__sid__"))
         .dropDuplicates(["__nid__", "__sid__"])
     )
     store = spark.table(f"{table_prefix}_docs")

@@ -103,14 +103,22 @@ def _estimated_rows(df: DataFrame) -> int | None:
     """
     try:
         spark = df.sparkSession
-        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
-            spark._jsparkSession
-        )
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        row_count = stats.rowCount()
-        if row_count.isDefined():
-            return int(str(row_count.get()))
-        size = int(str(stats.sizeInBytes()))
+        jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        prev = jcls.getActiveSession()  # scala Option
+        jcls.setActiveSession(spark._jsparkSession)
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            row_count = stats.rowCount()
+            if row_count.isDefined():
+                return int(str(row_count.get()))
+            size = int(str(stats.sizeInBytes()))
+        finally:
+            # restore: leaving OUR session bound would silently change
+            # a multi-session thread's later plans (conf is per-session)
+            if prev.isDefined():
+                jcls.setActiveSession(prev.get())
+            else:
+                jcls.clearActiveSession()
     except Exception:
         return None
     width = sum(
@@ -465,6 +473,12 @@ class LookupSpec:
             v2o = dict(zip(self.value_fields, out_names))
             o2v = dict(zip(out_names, self.value_fields))
             lk_names = set(lookup_df.columns)
+            # the ambiguity guard below only applies to an EXPLICIT
+            # first_match_order: when cfg fell back to out_names (no
+            # order configured), the user never NAMED a column, so
+            # alias-shadows-lookup-column isn't an ambiguity — default
+            # ordering by the output values is the documented behavior
+            explicit_order = self.first_match_order is not None
             for c in cfg:
                 if c in out_names:
                     # Ambiguity guard: 'c' is a RENAME alias of value
@@ -474,7 +488,7 @@ class LookupSpec:
                     # (alias precedence) would ignore the user's
                     # dedicated priority column with no error — refuse
                     # and make them disambiguate.
-                    if o2v[c] != c and c in lk_names:
+                    if explicit_order and o2v[c] != c and c in lk_names:
                         raise LookupConfigError(
                             [
                                 ValidationFailure(

@@ -38,17 +38,76 @@ from pyspark.sql import functions as F
 from lookup_transform_spark.operators.text import content_fingerprint
 
 
+def _batch_dirs(path: str, before: int | None = None) -> list[str]:
+    """Committed per-batch output dirs under ``path`` (``batch_N``
+    subdirectories), optionally only those with id < ``before``.
+
+    The per-batch-directory layout is the exactly-once mechanism:
+    foreachBatch is AT-LEAST-once per micro-batch, so a retried batch
+    must (a) re-read exactly the state that existed BEFORE it (its own
+    partial outputs excluded — hence ``before=batch_id``) and (b)
+    OVERWRITE its own directory instead of appending a second copy.
+    Plain appends (the r6 formulation) duplicated corpus rows whenever
+    a batch failed between its corpus and index writes. Local-FS
+    listing is fixture-scale plumbing; the layout contract itself is
+    the portable part (object stores list prefixes the same way)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("batch_"):
+            continue
+        bid = int(d.split("_")[1])
+        if before is not None and bid >= before:
+            continue
+        out.append(os.path.join(path, d))
+    return out
+
+
+def _read_batches(spark: SparkSession, path: str, before: int | None = None):
+    """Union of the committed batch dirs (None when there are none)."""
+    dirs = _batch_dirs(path, before)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def _invalidate_pre_batchdir_layout(work_dir: str, corpus: str) -> None:
+    """Wipe a work dir written by the pre-r7 APPEND layout (loose
+    parquet files directly under corpus/ instead of batch_N dirs): its
+    checkpoint marks every arrival processed, so a rerun would skip
+    handle_batch and the new reader would find zero committed batch
+    dirs — fail loud-and-rebuild instead of returning nothing."""
+    if not os.path.isdir(corpus):
+        return
+    entries = os.listdir(corpus)
+    has_loose = any(e.endswith(".parquet") for e in entries)
+    has_batches = any(e.startswith("batch_") for e in entries)
+    if has_loose and not has_batches:
+        import shutil
+
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def stage_document_batches(
     spark: SparkSession,
     sf_dir: str,
     stage_dir: str,
     n_files: int = 4,
     dup_per_file: int = 20,
+    near_per_file: int = 0,
 ) -> None:
     """Split the documents fixture into ``n_files`` arrival batches, and
     inject cross-batch duplicates: every batch after the first re-sends
-    ``dup_per_file`` texts from the first batch under fresh (higher)
-    doc_ids — the case continuous dedup exists for. Idempotent."""
+    ``dup_per_file`` texts from the first batch VERBATIM under fresh
+    (higher) doc_ids (exact dups, offset 10M·i), and — when
+    ``near_per_file`` > 0 — another ``near_per_file`` texts with a
+    short suffix edit (NEAR dups: same shingle set up to the tail, so
+    MinHash catches them while the content fingerprint does not) under
+    ids offset 100M·i. The offset ranges are disjoint by construction
+    (fixture ids < 10M, exact re-sends < 10M·n + 10M < 100M for the
+    batch counts used here), so a test can identify each injected kind
+    from the id alone. Idempotent."""
     done = os.path.join(stage_dir, "_staged")
     if os.path.exists(done):
         return
@@ -68,6 +127,20 @@ def stage_document_batches(
                 )
             )
             part = part.unionByName(dups)
+            if near_per_file:
+                near = (
+                    first.orderBy("doc_id")
+                    .limit(dup_per_file + near_per_file)
+                    .orderBy(F.col("doc_id").desc())
+                    .limit(near_per_file)
+                    .withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(100_000_000 * i)
+                    )
+                    .withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" tail{i}"))
+                    )
+                )
+                part = part.unionByName(near)
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(stage_dir, f"batch_{i:02d}")
         )
@@ -103,6 +176,7 @@ def stream_ingest_dedup(
         import shutil
 
         shutil.rmtree(work_dir, ignore_errors=True)
+    _invalidate_pre_batchdir_layout(work_dir, corpus)
     for d in (corpus, index):
         os.makedirs(d, exist_ok=True)
     stage_document_batches(spark, sf_dir, stage, n_files)
@@ -116,17 +190,21 @@ def stream_ingest_dedup(
         )
         # within-batch: min id per fingerprint (deterministic survivor)
         local = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-        # against the standing index: only unseen fingerprints survive
-        try:
-            idx = s.read.parquet(index).select("f")
-            has_idx = len(idx.take(1)) > 0
-        except Exception:  # noqa: BLE001 — first batch, empty dir
-            has_idx = False
+        # against the standing index: only unseen fingerprints survive.
+        # State visible to batch N = committed batches < N — a RETRIED
+        # batch never anti-joins its own partial output (which would
+        # drop the whole batch), and its writes OVERWRITE its own
+        # batch dir, so at-least-once redelivery stays exactly-once
+        # in the outputs (r7 review finding).
+        idx = _read_batches(s, index, before=batch_id)
         survivors = (
-            local.join(idx, "f", "left_anti") if has_idx else local
+            local.join(idx.select("f"), "f", "left_anti")
+            if idx is not None else local
         )
-        survivors.select("doc_id", "f").write.mode("append").parquet(corpus)
-        survivors.select("f").write.mode("append").parquet(index)
+        tag = f"batch_{batch_id:05d}"
+        survivors = survivors.select("doc_id", "f").coalesce(1).localCheckpoint()
+        survivors.write.mode("overwrite").parquet(f"{corpus}/{tag}")
+        survivors.select("f").write.mode("overwrite").parquet(f"{index}/{tag}")
 
     q = (
         spark.readStream.schema(schema)
@@ -138,62 +216,14 @@ def stream_ingest_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(corpus)
-
-
-def stage_document_batches_near(
-    spark: SparkSession,
-    sf_dir: str,
-    stage_dir: str,
-    n_files: int = 4,
-    dup_per_file: int = 10,
-    near_per_file: int = 10,
-) -> None:
-    """Arrival batches with BOTH duplicate kinds injected: every batch
-    after the first re-sends ``dup_per_file`` first-batch texts
-    verbatim (exact dups) AND ``near_per_file`` first-batch texts with
-    a short suffix edit (near-dups — same shingle set up to the tail,
-    so MinHash catches them while the content fingerprint does not),
-    all under fresh (higher) doc_ids. Idempotent."""
-    done = os.path.join(stage_dir, "_staged")
-    if os.path.exists(done):
-        return
-    os.makedirs(stage_dir, exist_ok=True)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    first = docs.filter(F.col("doc_id") % n_files == 0)
-    for i in range(n_files):
-        part = docs.filter(F.col("doc_id") % n_files == i)
-        if i > 0:
-            exact = (
-                first.orderBy("doc_id")
-                .limit(dup_per_file)
-                .withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(10_000_000 * i)
-                )
-            )
-            near = (
-                first.orderBy("doc_id")
-                .limit(dup_per_file + near_per_file)
-                .orderBy(F.col("doc_id").desc())
-                .limit(near_per_file)
-                .withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(20_000_000 * i)
-                )
-                .withColumn(
-                    "text", F.concat(F.col("text"), F.lit(f" tail{i}"))
-                )
-            )
-            part = part.unionByName(exact).unionByName(near)
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, f"batch_{i:02d}")
-        )
-    open(done, "w").write("ok")
+    out = _read_batches(spark, corpus)
+    assert out is not None, "ingest produced no committed batches"
+    return out
 
 
 def ingest_batch_neardedup(
     batch: DataFrame,
+    batch_id: int,
     corpus: str,
     index: str,
     lsh_table: str,
@@ -212,9 +242,19 @@ def ingest_batch_neardedup(
     near-dup already in the standing index. Cost per batch is
     O(batch + collisions): the standing tables are probed bucketed and
     appended via ``append_to_lsh_index`` — the corpus is never
-    re-banded (VERDICT r6 #2)."""
-    import os as _os
+    re-banded (VERDICT r6 #2).
 
+    Retry safety (r7 review finding): corpus and fingerprint-index
+    writes are per-batch-directory OVERWRITES reading only state from
+    batches < ``batch_id`` (see ``_batch_dirs``), so an at-least-once
+    redelivery reproduces identical outputs instead of appending
+    duplicates. The LSH tables can't be versioned the same way
+    (bucketed layout), so retries there are ABSORBED instead: the
+    probe drops self-candidates (a retried doc would otherwise reject
+    itself against its own earlier append), and duplicate band rows
+    from a replayed append only add candidate pairs the exact-Jaccard
+    verify re-filters — results unchanged, modest probe-cost bump on
+    the retried batch only."""
     from lookup_transform_spark.operators.dedup import (
         append_to_lsh_index,
         incremental_minhash_probe,
@@ -233,14 +273,10 @@ def ingest_batch_neardedup(
         .select(F.col("__s__.doc_id").alias("doc_id"),
                 F.col("__s__.text").alias("text"), "f")
     )
-    # vs the standing exact index
-    try:
-        idx = s.read.parquet(index).select("f")
-        has_idx = len(idx.take(1)) > 0
-    except Exception:  # noqa: BLE001 — first batch, empty dir
-        has_idx = False
-    if has_idx:
-        local = local.join(idx, "f", "left_anti")
+    # vs the standing exact index: committed batches < batch_id only
+    idx = _read_batches(s, index, before=batch_id)
+    if idx is not None:
+        local = local.join(idx.select("f"), "f", "left_anti")
     # within-batch NEAR-dup: drop the larger id of every verified pair
     local = local.localCheckpoint()  # bound the re-bandings below
     pairs = minhash_lsh_pairs(
@@ -249,7 +285,7 @@ def ingest_batch_neardedup(
     drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     accepted = local.join(drop, "doc_id", "left_anti")
     # vs the standing LSH index (novel ids only), if one exists yet
-    has_lsh = _os.path.exists(_os.path.join(lsh_path, "docs", "_SUCCESS"))
+    has_lsh = os.path.exists(os.path.join(lsh_path, "docs", "_SUCCESS"))
     if has_lsh:
         novel = incremental_minhash_probe(
             s, accepted.select("doc_id", "text"), lsh_table,
@@ -257,8 +293,13 @@ def ingest_batch_neardedup(
         )
         accepted = accepted.join(novel.select("doc_id"), "doc_id", "left_semi")
     accepted = accepted.localCheckpoint()  # one compute, three writes
-    accepted.select("doc_id", "f").write.mode("append").parquet(corpus)
-    accepted.select("f").write.mode("append").parquet(index)
+    tag = f"batch_{batch_id:05d}"
+    accepted.select("doc_id", "f").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{corpus}/{tag}")
+    accepted.select("f").coalesce(1).write.mode("overwrite").parquet(
+        f"{index}/{tag}"
+    )
     if has_lsh:
         append_to_lsh_index(s, accepted.select("doc_id", "text"), lsh_table)
     else:
@@ -300,15 +341,18 @@ def stream_ingest_neardedup(
         shutil.rmtree(work_dir, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+    _invalidate_pre_batchdir_layout(work_dir, corpus)
     for d in (corpus, index):
         os.makedirs(d, exist_ok=True)
-    stage_document_batches_near(spark, sf_dir, stage, n_files)
+    stage_document_batches(
+        spark, sf_dir, stage, n_files, dup_per_file=10, near_per_file=10
+    )
 
     schema = "doc_id long, text string"
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_neardedup(
-            batch, corpus, index, lsh_table, lsh_path, threshold
+            batch, batch_id, corpus, index, lsh_table, lsh_path, threshold
         )
 
     q = (
@@ -321,4 +365,6 @@ def stream_ingest_neardedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(corpus)
+    out = _read_batches(spark, corpus)
+    assert out is not None, "ingest produced no committed batches"
+    return out

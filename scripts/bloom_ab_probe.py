@@ -13,8 +13,8 @@ budget):
   the bench query down the plain broadcast path.
 - B_wide_fact_{32x,128x}: keys = all orders dated before 1996 (~15%
   of orders), fact = FULL-WIDTH lineitem.
-- C_selective_128x: keys = the same window thinned 8× (~2% fact hit
-  rate) — the blacklist/audit shape where almost nothing survives.
+- C_selective_128x: keys = the same window thinned on PRICE (~3% fact
+  hit rate) — the blacklist/audit shape where almost nothing survives.
 
 What the numbers say (and PLANS.md pins): on local[32] the wall clock
 is break-even — a single-JVM "shuffle" is a page-cached memcpy, so the
@@ -43,7 +43,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: F401  (kept: fixture build sanity checks)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 

@@ -124,3 +124,30 @@ def test_semi_join_auto_routes_by_key_side_estimate(spark):
         fact, keys, "l_orderkey", "o_orderkey", broadcast_rows=1
     )
     assert is_bloom_plan(plan_of(routed))
+
+
+def test_mismatched_integral_key_widths_never_false_negative(spark):
+    """xxhash64 is type-sensitive (int32 and int64 of equal value hash
+    differently), so the build/probe normalize integrals to long — a
+    fact keyed int joined to bigint keys must return exactly the plain
+    join's rows, never silently fewer (review r7 finding)."""
+    fact = spark.createDataFrame(
+        [(i,) for i in range(1, 200)], "k int"
+    )
+    keys = spark.createDataFrame(
+        [(i,) for i in range(1, 200, 3)], "k2 long"
+    )
+    got = sorted(
+        r["k"] for r in bloom_semi_join(fact, keys, "k", "k2").collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in fact.join(keys, fact["k"] == keys["k2"], "left_semi").collect()
+    )
+    assert got == want and got
+
+    # cross-FAMILY key pairs are refused loudly instead of returning
+    # silently-wrong results
+    skeys = spark.createDataFrame([("1",), ("2",)], "ks string")
+    with pytest.raises(ValueError, match="hash-compatible"):
+        bloom_semi_join(fact, skeys, "k", "ks")

@@ -263,6 +263,13 @@ def test_first_match_order_rejects_alias_shadowing_lookup_column(spark):
         first_match=True, first_match_order=["v"],
     )
     assert spec_default.apply(inp, lkp).collect()[0]["v"] == "early"
+    # NO explicit order + shadowing alias: not ambiguous — the user
+    # never named a column, so the documented default (order by the
+    # output values under their aliases) applies without error
+    spec_implicit = LookupSpec(
+        "lkp", "k", "k", "v", "prio", first_match=True,
+    )
+    assert spec_implicit.apply(inp, lkp).collect()[0]["prio"] == "early"
 
 
 def test_macro_output_field_defers_count_check_not_value_validation():

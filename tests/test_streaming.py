@@ -452,11 +452,14 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
     n_arrived = arrivals.count()
     # exact dups dropped: distinct fingerprints only
     assert len(got) == len({f for f, _ in got})
-    # NEAR dups dropped: the 20M-offset suffix-edited re-sends have
-    # unique fingerprints, so only the LSH tier can reject them
+    # NEAR dups dropped: the 100M-offset suffix-edited re-sends have
+    # unique fingerprints, so only the LSH tier can reject them (the
+    # offset range is disjoint from the 10M-offset EXACT re-sends,
+    # whose acceptance is legitimately possible when their batch-0
+    # original was itself dropped by the near tier — r7 review)
     near_ids = {
         r["doc_id"]
-        for r in arrivals.filter("doc_id >= 20000000").collect()
+        for r in arrivals.filter("doc_id >= 100000000").collect()
     }
     assert near_ids, "staging must inject near-dups"
     accepted_ids = {d for _, d in got}
@@ -477,9 +480,10 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
         p for p in os.listdir(f"{work}/arrivals") if p.startswith("batch_")
     )
     try:
-        for b in batch_dirs:
+        for bid, b in enumerate(batch_dirs):
             ingest_batch_neardedup(
                 spark.read.parquet(f"{work}/arrivals/{b}"),
+                bid,
                 os.path.join(replay, "corpus"),
                 os.path.join(replay, "fp_index"),
                 lsh_table,
@@ -488,7 +492,7 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
         replay_got = {
             (r["f"], r["doc_id"])
             for r in spark.read.parquet(
-                os.path.join(replay, "corpus")
+                os.path.join(replay, "corpus", "batch_*")
             ).collect()
         }
     finally:
@@ -499,3 +503,35 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
     # re-running the finished stream is a no-op (checkpoint commit)
     again = stream_ingest_neardedup(spark, sf_dir, work, n_files=3)
     assert {(r["f"], r["doc_id"]) for r in again.collect()} == got
+
+    # at-least-once retry: RE-delivering the last replay batch with the
+    # same batch_id (a foreachBatch redelivery after a partial failure)
+    # must reproduce identical outputs — per-batch dirs overwrite, the
+    # LSH self-candidate filter keeps the batch from rejecting itself
+    last = len(batch_dirs) - 1
+    spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
+    spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+    try:
+        for bid, b in enumerate(batch_dirs):
+            ingest_batch_neardedup(
+                spark.read.parquet(f"{work}/arrivals/{b}"), bid,
+                os.path.join(replay, "corpus2"),
+                os.path.join(replay, "fp_index2"),
+                lsh_table, os.path.join(replay, "lsh_index2"),
+            )
+        ingest_batch_neardedup(  # redelivery of the final batch
+            spark.read.parquet(f"{work}/arrivals/{batch_dirs[last]}"), last,
+            os.path.join(replay, "corpus2"),
+            os.path.join(replay, "fp_index2"),
+            lsh_table, os.path.join(replay, "lsh_index2"),
+        )
+        retried = {
+            (r["f"], r["doc_id"])
+            for r in spark.read.parquet(
+                os.path.join(replay, "corpus2", "batch_*")
+            ).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+    assert retried == got
