@@ -582,11 +582,39 @@ def simhash_signature_text(
     return sig
 
 
-def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
+def _md5_token_hash(tok: F.Column) -> F.Column:
+    """First 64 bits of md5(token) as a signed long, all JVM-side.
+
+    The one portable 64-bit hash family both this engine and ANSI-SQL
+    oracles share: ``conv(substr(md5(t),1,16),16,10)`` here equals
+    ``('0x' || substr(md5(t),1,16))::UBIGINT`` in DuckDB bit-for-bit
+    (pinned in test_dedup's md5-family test), which is what lets a
+    simhash signature — and therefore hamming distance — be recomputed
+    independently by the correctness oracle. ``conv`` yields the
+    UNSIGNED decimal string, so values >= 2^63 are folded to the
+    two's-complement long through decimal arithmetic (the literals are
+    string-cast: a raw 2^63 int literal overflows py4j's long codec).
+    """
+    u = F.conv(F.substring(F.md5(tok), 1, 16), 16, 10).cast("decimal(20,0)")
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(u >= two63, u - two64).otherwise(u).cast("long")
+
+
+def simhash_signature_text_pandas(
+    text_col: str, bits: int = 64, hash_family: str = "xxhash64"
+) -> F.Column:
     """Bit-identical to ``simhash_signature_text`` with token hashing
-    JVM-side and the bit-vote accumulation vectorized in numpy."""
+    JVM-side and the bit-vote accumulation vectorized in numpy.
+
+    ``hash_family``: ``"xxhash64"`` (default — fastest, engine-native)
+    or ``"md5"`` (first 64 md5 bits via ``_md5_token_hash`` — portable
+    across engines, so an external SQL oracle can reproduce the exact
+    signature; same 2⁻⁶⁴ collision class, ~same vote statistics)."""
     if bits % 8:
         raise ValueError(f"bits must be a multiple of 8, got {bits}")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
 
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:
@@ -643,7 +671,10 @@ def simhash_signature_text_pandas(text_col: str, bits: int = 64) -> F.Column:
         return pd.Series(out, dtype="int64")
 
     tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if hash_family == "md5":
+        hashes = F.transform(tokens, _md5_token_hash)
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     return _sig(hashes)
 
 
@@ -656,8 +687,14 @@ def simhash_pairs(
     chunks: int = 4,
     max_bucket_size: int | None = 1000,
     precluster_exact: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    ``hash_family="md5"`` switches token hashing to the portable
+    md5-derived family (``_md5_token_hash``) so an independent SQL
+    engine can recompute the identical signatures and hamming
+    distances — the oracle-checkable configuration.
 
     Pigeonhole blocking: split the signature into ``chunks`` pieces; any
     pair within distance < chunks must agree on >= 1 chunk, so candidates
@@ -691,7 +728,7 @@ def simhash_pairs(
         docs, star = _exact_precluster(docs, id_col, text_col)
     sig = docs.select(
         F.col(id_col).alias("__id__"),
-        simhash_signature_text_pandas(text_col, bits).alias("__sig__"),
+        simhash_signature_text_pandas(text_col, bits, hash_family).alias("__sig__"),
     )
     banded = sig.select(
         "__id__",

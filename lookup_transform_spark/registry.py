@@ -1200,22 +1200,81 @@ def q_simsearch_cosine(spark, sf):
     return cosine_topk(emb, queries, k=10)
 
 
-# ---- rows-only (approximate / hash-seeded / engine-specific) --------------
+# ---- near-dup pair queries (LSH/banded engines, oracle-exact via
+# ----   verify stages / portable hash families) ----------------------------
 
-@_q("dedup_minhash")
+@_q(
+    "dedup_minhash",
+    """WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
+  FROM documents)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5""",
+)
 def q_dedup_minhash(spark, sf):
     """B51: MinHash-LSH near-dup (shingle→minhash→band→bucket-join→verify).
-    Rows-only: signature hashing is engine-specific; verified pairs are
-    exact-Jaccard filtered so results are data-true."""
+
+    Oracle-checkable even though the LSH banding is hash-seeded: the
+    candidate stage is followed by an EXACT shingle-set Jaccard verify,
+    so the output is exactly {pairs : J(a,b) >= 0.5} whenever banding
+    recall is 1.0 — which the recall pin (test_dedup) establishes and
+    the all-pairs DuckDB oracle re-proves end-to-end every round. The
+    oracle is the brute-force O(n²) formulation; the engine never
+    materializes all pairs (banded LSH candidates only), which is the
+    entire at-scale point. Exact-duplicate star edges (precluster) and
+    the full pair set coincide here because the gate fixture has no
+    duplicate texts; on corpora with exact dups the engine returns the
+    linear star-edge representation by design."""
     return DD.minhash_lsh_pairs(
         _t(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
     )
 
 
-@_q("dedup_simhash")
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB SQL recomputing the md5-family simhash signature exactly
+    (same token set, same first-64-md5-bits hash, same majority vote —
+    see ``dedup._md5_token_hash``) and emitting hamming <= max_hamming
+    pairs. The 64 per-bit vote terms are generated, not hand-written."""
+    bitsum = "\n      + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT))"
+        f" >= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+         t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+  FROM documents),
+sig AS (
+  SELECT doc_id, ({bitsum}) AS sig FROM d)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+@_q("dedup_simhash", _simhash_md5_oracle(max_hamming=3))
 def q_dedup_simhash(spark, sf):
-    """B51: SimHash near-dup with pigeonhole banding (hamming <= 3)."""
-    return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    """B51: SimHash near-dup with pigeonhole banding (hamming <= 3).
+
+    Runs the portable md5 hash family (``hash_family="md5"``) so the
+    DuckDB oracle can recompute the IDENTICAL 64-bit signatures and
+    hamming distances from the raw text — signature equality is pinned
+    bit-for-bit in test_dedup. The oracle is the brute-force all-pairs
+    formulation; the engine only ever joins within pigeonhole chunk
+    buckets (lossless for hamming < chunks), which is the scale path."""
+    return DD.simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, hash_family="md5"
+    )
 
 
 @_q(

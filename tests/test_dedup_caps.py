@@ -498,3 +498,81 @@ def test_lsh_append_then_probe_equals_reband(spark):
         assert acc_c == acc_c_ref
     for t in ("lsha_bands", "lsha_docs", "lshb_bands", "lshb_docs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_simhash_md5_family_matches_duckdb_bit_for_bit(spark):
+    """The md5 hash family (``_md5_token_hash``) exists so an external
+    ANSI-SQL engine can recompute the simhash signature independently —
+    that is what lets ``dedup_simhash`` carry a value-exact DuckDB
+    oracle instead of a rows-only check. Pin the signature itself
+    bit-for-bit (not just the pair set): Spark's
+    conv(substr(md5,1,16),16,10) + vectorized majority vote must equal
+    DuckDB's ('0x'||substr(md5,1,16))::UBIGINT + per-bit vote SQL."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        simhash_signature_text_pandas,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r["sig"] & ((1 << 64) - 1)
+        for r in docs.select(
+            "doc_id",
+            simhash_signature_text_pandas("text", 64, "md5").alias("sig"),
+        ).collect()
+    }
+
+    bitsum = " + ".join(
+        f"(CASE WHEN 2*list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT))"
+        f" >= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            rf"""WITH d AS (
+      SELECT doc_id, list_transform(
+        list_distinct(string_split_regex(lower(text), '\s+')),
+        t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+      FROM '{path}')
+    SELECT doc_id, ({bitsum}) AS sig FROM d"""
+        ).fetchall()
+    )
+    assert len(got) == len(want) and got.keys() == want.keys()
+    mismatched = [k for k in got if got[k] != int(want[k])]
+    assert not mismatched, f"{len(mismatched)} signature mismatches: {mismatched[:5]}"
+
+
+def test_simhash_pairs_md5_pigeonhole_complete(spark):
+    """Pigeonhole completeness must hold in the md5 family too (the
+    registry configuration): simhash_pairs(hash_family='md5') equals the
+    brute-force hamming <= 3 cross-join on the md5 signatures."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        simhash_signature_text_pandas,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_signature_text_pandas("text", 64, "md5").alias("s"),
+    )
+    truth = {
+        (r["ida"], r["idb"])
+        for r in sig.selectExpr("id AS ida", "s AS sa")
+        .crossJoin(sig.selectExpr("id AS idb", "s AS sb"))
+        .filter("ida < idb")
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_pairs(docs, max_hamming=3, hash_family="md5").collect()
+    }
+    assert truth and got == truth, (
+        f"missing={len(truth - got)} extra={len(got - truth)}"
+    )
