@@ -82,7 +82,15 @@ def _hash_input(df: DataFrame, key_col: str) -> Column:
     c = F.col(key_col)
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return c.cast("long")
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # Decimals normalize through double too: xxhash64 of a decimal
+        # hashes the UNSCALED value, so decimal(10,2) 1.50 and
+        # decimal(10,3) 1.500 — equal after Spark's equi-join coercion —
+        # would hash differently and silently DROP true matches. Equal
+        # numerics cast to the same double, so "would equi-join equal"
+        # again implies "hashes equal"; two distinct decimals collapsing
+        # to one double is merely a false positive, which the verifying
+        # join removes.
         return c.cast("double")
     return c
 
@@ -91,7 +99,7 @@ def _hash_family(df: DataFrame, key_col: str) -> str:
     dt = df.schema[key_col].dataType
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "integral"
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
         return "fractional"
     return type(dt).__name__
 
@@ -234,12 +242,29 @@ def bloom_semi_join(
     )
 
 
+#: Estimated in-memory bytes per broadcast key row: type width plus the
+#: hashed-relation per-row overhead (UnsafeRow header + map slot).
+_KEY_OVERHEAD = 16
+
+
+def _key_width(df: DataFrame, key_col: str) -> int:
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType,
+                       T.DateType)):
+        return 4 + _KEY_OVERHEAD
+    if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
+                       T.DecimalType)):
+        return 8 + _KEY_OVERHEAD
+    return 24 + _KEY_OVERHEAD  # strings/binary: conservative average
+
+
 def semi_join_auto(
     fact: DataFrame,
     keys: DataFrame,
     fact_key: str,
     keys_key: str,
     broadcast_rows: int = 5_000_000,
+    broadcast_bytes: int = 128 << 20,
     num_bits: int = 1 << 23,
     num_hashes: int = 5,
     force: str | None = None,
@@ -250,12 +275,19 @@ def semi_join_auto(
     regime it is pure overhead (the round-6 bench ran it where the key
     set was broadcastable all along and paid 17.8× vs the oracle).
 
-    - key side estimated ≤ ``broadcast_rows`` → plain semi join with an
-      explicit broadcast hint: zero fact shuffle, bloom never built.
-      The estimate is Catalyst plan statistics (``_estimated_rows``:
-      CBO rowCount when the catalog has stats, else file sizeInBytes
-      deliberately OVER-counted), so the gate errs toward the bloom
-      path, never toward an OOM broadcast.
+    - key side estimated ≤ ``broadcast_rows`` AND its projected KEY
+      COLUMN estimated ≤ ``broadcast_bytes`` (rows × type width +
+      hashed-relation overhead) → plain semi join broadcasting ONLY the
+      key column: zero fact shuffle, bloom never built. The byte gate
+      exists because a row gate alone admits multi-GB wide relations
+      (5M wide rows is not broadcastable even though 5M longs are);
+      projecting to the key column first is what makes the byte
+      estimate a function of key width alone — a semi join never needs
+      the payload columns on the build side. The row estimate is
+      Catalyst plan statistics (``_estimated_rows``: CBO rowCount when
+      the catalog has stats, else file sizeInBytes deliberately
+      OVER-counted), so the gate errs toward the bloom path, never
+      toward an OOM broadcast.
     - bigger or unknown → ``bloom_semi_join``: the m/8-byte bitmap
       broadcasts instead of the raw keys and the fact shuffle carries
       only probable matches.
@@ -270,9 +302,16 @@ def semi_join_auto(
     route = force
     if route is None:
         est = _estimated_rows(keys)
-        route = "plain" if est is not None and est <= broadcast_rows else "bloom"
+        route = (
+            "plain"
+            if est is not None
+            and est <= broadcast_rows
+            and est * _key_width(keys, keys_key) <= broadcast_bytes
+            else "bloom"
+        )
     if route == "plain":
+        kslim = keys.select(keys_key)
         return fact.join(
-            F.broadcast(keys), fact[fact_key] == keys[keys_key], "left_semi"
+            F.broadcast(kslim), fact[fact_key] == kslim[keys_key], "left_semi"
         )
     return bloom_semi_join(fact, keys, fact_key, keys_key, num_bits, num_hashes)

@@ -36,19 +36,22 @@ def compact_parquet_to_size(
 
 def compact_parquet(
     spark: SparkSession,
-    src: str,
+    src: str | list[str],
     dst: str,
     target_files: int | None = None,
     max_records_per_file: int | None = None,
     partition_by: list[str] | None = None,
 ) -> DataFrame:
-    """Read ``src``, rewrite to ``dst`` with a bounded file count.
+    """Read ``src`` (one path or a list — e.g. an ingest's committed
+    per-batch directories), rewrite to ``dst`` with a bounded file
+    count.
 
     ``coalesce`` (no shuffle) when reducing file count; Spark splits
     output by ``maxRecordsPerFile`` when bounding file size instead.
     Returns the compacted DataFrame (for row-count verification).
     """
-    df = spark.read.parquet(src)
+    srcs = [src] if isinstance(src, str) else list(src)
+    df = spark.read.parquet(*srcs)
     out = df.coalesce(target_files) if target_files else df
     w = out.write.mode("overwrite")
     if max_records_per_file:

@@ -784,8 +784,18 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     blocks: int = 8,
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold (exact; oracle-checkable).
+
+    ``max_rows`` is the scale-refusal guard (VERDICT r7 #4, mirroring
+    ``cosine_topk.max_query_rows``): the operator is O(n²) FLOPs BY
+    DESIGN — correct and tunable up to single-digit-million corpora,
+    a cluster-killer beyond (2M rows ≈ 2·10¹² dot products). Above the
+    bound it raises and names the sub-quadratic substitutes instead of
+    silently launching an unbounded job; raise ``max_rows`` explicitly
+    to override. The check uses free plan statistics, confirmed by an
+    actual count only when the estimate trips.
 
     Fully distributed block-matmul — NOTHING is collected to the driver:
 
@@ -808,6 +818,18 @@ def embedding_near_dup_pairs(
     exact all-pairs; the scale path is LSH prefiltering
     (``simhash``/``lsh_bucket_topk``) before the exact re-score.
     """
+    from lookup_transform_spark.plans.lookup import _estimated_rows
+
+    est = _estimated_rows(emb)
+    if est is not None and est > max_rows:
+        actual = emb.count()
+        if actual > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is exact all-pairs (O(n²)); the "
+                f"corpus has {actual} rows > max_rows={max_rows}. Use "
+                f"minhash_lsh_pairs / semantic_dedup / lsh_bucket_topk "
+                f"(sub-quadratic) or raise max_rows explicitly."
+            )
     sel = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     tagged = sel.withColumn(
         "__blk__", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int")
@@ -1175,6 +1197,43 @@ def append_to_lsh_index(
     )
     banded.write.insertInto(f"{table_prefix}_bands")
     store.write.insertInto(f"{table_prefix}_docs")
+
+
+def _table_meta(spark, table: str) -> tuple[str, int]:
+    """(location, bucket count) of a catalog table, from DESC EXTENDED."""
+    loc, buckets = None, None
+    for row in spark.sql(f"DESC EXTENDED {table}").collect():
+        if row["col_name"] == "Location":
+            loc = row["data_type"]
+        elif row["col_name"] == "Num Buckets":
+            buckets = int(row["data_type"])
+    if loc is None or buckets is None:
+        raise ValueError(f"{table}: not a path-backed bucketed table")
+    return loc, buckets
+
+
+def compact_lsh_index(spark, table_prefix: str) -> None:
+    """Dedupe-rewrite the standing LSH tables in place (ADVICE r7).
+
+    ``append_to_lsh_index`` is append-only, so an at-least-once
+    redelivery that replays an append leaves a second copy of that
+    batch's band/doc rows: results stay correct (the exact-Jaccard
+    verify re-filters the duplicate candidates) but probe cost grows
+    monotonically with every retry. This maintenance op drops exact
+    duplicate rows and rewrites each table under its own bucket spec —
+    same layout, same path, minimal row set. The input is
+    ``localCheckpoint``-materialized before the overwrite so the
+    rewrite never consumes its own output. O(index) cost: run it on
+    retry detection or on a maintenance cadence, not per batch."""
+    from lookup_transform_spark.operators.bucketing import write_bucketed
+
+    for table, bucket_col in (
+        (f"{table_prefix}_bands", "__bb__"),
+        (f"{table_prefix}_docs", "doc_id"),
+    ):
+        path, n_buckets = _table_meta(spark, table)
+        deduped = spark.table(table).dropDuplicates().localCheckpoint()
+        write_bucketed(deduped, table, bucket_col, n_buckets, path=path)
 
 
 def incremental_minhash_probe(

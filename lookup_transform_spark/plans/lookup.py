@@ -82,6 +82,27 @@ _FIELD_WIDTH: dict[type, int] = {
 _DECOMPRESSION_FACTOR = 3
 
 
+_stats_warned = False
+
+
+def _warn_stats_unavailable_once(exc: Exception) -> None:
+    """A TOTAL plan-statistics outage (not a per-plan miss) downgrades
+    every stats-gated decision to its conservative fallback. That is
+    safe but slow — make it visible once instead of silent (ADVICE r7),
+    without spamming per-call."""
+    global _stats_warned
+    if not _stats_warned:
+        _stats_warned = True
+        import warnings
+
+        warnings.warn(
+            f"plan statistics unavailable ({type(exc).__name__}: {exc}); "
+            "size-gated routing will use conservative fallbacks",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _estimated_rows(df: DataFrame) -> int | None:
     """Row estimate from Catalyst plan statistics — zero jobs, zero scans.
 
@@ -103,7 +124,16 @@ def _estimated_rows(df: DataFrame) -> int | None:
     """
     try:
         spark = df.sparkSession
-        jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        # Spark 4 moved the JVM class to sql.classic; fall back to the
+        # Spark 3 location rather than letting the blanket except below
+        # swallow the ClassNotFound — a silent total stats outage would
+        # route EVERY semi_join_auto call down the bloom path (the same
+        # mis-route the thread-local fix was for).
+        try:
+            jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+            jcls.getActiveSession  # force py4j resolution
+        except Exception:
+            jcls = spark._jvm.org.apache.spark.sql.SparkSession
         prev = jcls.getActiveSession()  # scala Option
         jcls.setActiveSession(spark._jsparkSession)
         try:
@@ -119,7 +149,8 @@ def _estimated_rows(df: DataFrame) -> int | None:
                 jcls.setActiveSession(prev.get())
             else:
                 jcls.clearActiveSession()
-    except Exception:
+    except Exception as exc:  # pragma: no cover - environment-specific
+        _warn_stats_unavailable_once(exc)
         return None
     width = sum(
         _FIELD_WIDTH.get(type(f.dataType), 8) for f in df.schema.fields

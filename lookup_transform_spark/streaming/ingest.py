@@ -31,11 +31,19 @@ min-id dedup on such monotonic arrivals.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lookup_transform_spark.operators.text import content_fingerprint
+
+#: Strict name patterns (ADVICE r7): a stray entry like ``batch_tmp``
+#: must not crash the listing, and ``batch_00001_old`` must not
+#: misorder it — only exact matches participate in state reads.
+_BATCH_RE = re.compile(r"^batch_(\d+)$")
+_BASE_RE = re.compile(r"^base_(\d+)$")
 
 
 def _batch_dirs(path: str, before: int | None = None) -> list[str]:
@@ -55,21 +63,111 @@ def _batch_dirs(path: str, before: int | None = None) -> list[str]:
         return []
     out = []
     for d in sorted(os.listdir(path)):
-        if not d.startswith("batch_"):
+        m = _BATCH_RE.match(d)
+        full = os.path.join(path, d)
+        if not m or not os.path.isdir(full):
             continue
-        bid = int(d.split("_")[1])
+        bid = int(m.group(1))
         if before is not None and bid >= before:
             continue
-        out.append(os.path.join(path, d))
+        out.append(full)
     return out
 
 
+def _newest_base(path: str, before: int | None = None) -> tuple[int, str] | None:
+    """Newest committed base generation ``base_M`` (the compacted fold
+    of all batches < M) visible to a reader that may see only state
+    from batches < ``before``. M <= before always holds for bases
+    created by ``compact_ingest_state`` (compaction only ever folds
+    batches the checkpoint has committed), but the reader filters
+    defensively anyway. ``_SUCCESS`` gates out a crashed fold."""
+    if not os.path.isdir(path):
+        return None
+    best = None
+    for d in os.listdir(path):
+        m = _BASE_RE.match(d)
+        full = os.path.join(path, d)
+        if not m or not os.path.isdir(full):
+            continue
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        gen = int(m.group(1))
+        if before is not None and gen > before:
+            continue
+        if best is None or gen > best[0]:
+            best = (gen, full)
+    return best
+
+
+def _state_dirs(path: str, before: int | None = None) -> list[str]:
+    """All directories a state read must union: the newest visible base
+    generation plus the batch dirs it does not cover. Batch dirs with
+    id < the base's generation are shadowed (their rows live in the
+    base — they only still exist if a compaction crashed between its
+    base write and its cleanup) and are excluded."""
+    base = _newest_base(path, before)
+    lo = base[0] if base else None
+    dirs = [
+        d
+        for d in _batch_dirs(path, before)
+        if lo is None or int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= lo
+    ]
+    return ([base[1]] if base else []) + dirs
+
+
 def _read_batches(spark: SparkSession, path: str, before: int | None = None):
-    """Union of the committed batch dirs (None when there are none)."""
-    dirs = _batch_dirs(path, before)
+    """Union of the committed state (base generation + batch dirs);
+    None when there is none."""
+    dirs = _state_dirs(path, before)
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def compact_ingest_state(
+    spark: SparkSession, path: str, upto: int, target_files: int = 1
+) -> None:
+    """Fold every committed batch dir with id < ``upto`` (plus the
+    previous base generation) into ``base_<upto>``, then delete what
+    the new base shadows (VERDICT r7 #3: without this, every
+    micro-batch's state read lists and opens O(batches) directories —
+    a long-running ingest degrades linearly).
+
+    Retry-idempotency is preserved by construction: compaction only
+    runs with ``upto`` = the CURRENT batch id, and Structured Streaming
+    never redelivers a batch older than the current one (its offsets
+    are committed), so the only batch that can still be retried sees
+    ``base_upto`` — exactly the ``< upto`` state it would have read
+    from the individual dirs. Idempotent: a retried trigger finds the
+    committed base and skips the fold. Crash-safe: the base is invisible
+    until its ``_SUCCESS`` lands, and shadowed dirs that outlive a
+    crash between fold and cleanup are excluded by ``_state_dirs``.
+    """
+    from lookup_transform_spark.operators.compaction import compact_parquet
+
+    base_path = os.path.join(path, f"base_{upto:05d}")
+    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
+        prev = _newest_base(path, upto)
+        folds = ([prev[1]] if prev else []) + [
+            d
+            for d in _batch_dirs(path, upto)
+            if prev is None
+            or int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= prev[0]
+        ]
+        if not folds:
+            return
+        if len(folds) == 1 and prev is not None and folds[0] == prev[1]:
+            return  # nothing new since the previous generation
+        compact_parquet(spark, folds, base_path, target_files=target_files)
+    # cleanup: everything the new base shadows
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        mb = _BATCH_RE.match(d)
+        mg = _BASE_RE.match(d)
+        if mb and int(mb.group(1)) < upto:
+            shutil.rmtree(full, ignore_errors=True)
+        elif mg and int(mg.group(1)) < upto:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _invalidate_pre_batchdir_layout(work_dir: str, corpus: str) -> None:
@@ -152,11 +250,16 @@ def stream_ingest_dedup(
     sf_dir: str,
     work_dir: str,
     n_files: int = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Run the staged arrival batches through a foreachBatch ingest:
     within-batch min-id dedup → anti-join against the standing
     fingerprint index → survivors appended to corpus + index. Returns
-    the final corpus (doc_id, f) as a batch DataFrame."""
+    the final corpus (doc_id, f) as a batch DataFrame.
+
+    Every ``compact_every`` batches the committed state folds into a
+    base generation (``compact_ingest_state``), so a state read opens
+    O(compact_every) directories regardless of stream lifetime."""
     stage = os.path.join(work_dir, "arrivals")
     corpus = os.path.join(work_dir, "corpus")
     index = os.path.join(work_dir, "fp_index")
@@ -185,6 +288,11 @@ def stream_ingest_dedup(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            # batches < batch_id are checkpoint-committed and can never
+            # be redelivered — folding them is retry-transparent
+            compact_ingest_state(s, corpus, batch_id)
+            compact_ingest_state(s, index, batch_id)
         fp = batch.select(
             "doc_id", content_fingerprint("text").alias("f")
         )
@@ -229,6 +337,7 @@ def ingest_batch_neardedup(
     lsh_table: str,
     lsh_path: str,
     threshold: float = 0.5,
+    compact_every: int = 8,
 ) -> None:
     """One ingest step: exact dedup (within batch + vs the standing
     fingerprint index), then NEAR-dup (within batch + vs the standing
@@ -253,16 +362,30 @@ def ingest_batch_neardedup(
     probe drops self-candidates (a retried doc would otherwise reject
     itself against its own earlier append), and duplicate band rows
     from a replayed append only add candidate pairs the exact-Jaccard
-    verify re-filters — results unchanged, modest probe-cost bump on
-    the retried batch only."""
+    verify re-filters — results unchanged. A detected redelivery (the
+    batch's own corpus dir already exists) triggers
+    ``compact_lsh_index`` after the re-append, so duplicate rows from
+    replayed appends are removed rather than accumulating across the
+    stream's lifetime (ADVICE r7): probe cost inflates only between a
+    retry and its own cleanup, never permanently.
+
+    Every ``compact_every`` batches the corpus and fingerprint-index
+    batch dirs fold into a base generation (``compact_ingest_state``),
+    keeping the per-batch state read at O(compact_every) directories."""
     from lookup_transform_spark.operators.dedup import (
         append_to_lsh_index,
+        compact_lsh_index,
         incremental_minhash_probe,
         minhash_lsh_pairs,
         write_lsh_index,
     )
 
     s = batch.sparkSession
+    tag = f"batch_{batch_id:05d}"
+    is_retry = os.path.isdir(os.path.join(corpus, tag))
+    if compact_every and batch_id and batch_id % compact_every == 0:
+        compact_ingest_state(s, corpus, batch_id)
+        compact_ingest_state(s, index, batch_id)
     fp = batch.select(
         "doc_id", "text", content_fingerprint("text").alias("f")
     )
@@ -293,7 +416,6 @@ def ingest_batch_neardedup(
         )
         accepted = accepted.join(novel.select("doc_id"), "doc_id", "left_semi")
     accepted = accepted.localCheckpoint()  # one compute, three writes
-    tag = f"batch_{batch_id:05d}"
     accepted.select("doc_id", "f").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{corpus}/{tag}")
@@ -302,6 +424,12 @@ def ingest_batch_neardedup(
     )
     if has_lsh:
         append_to_lsh_index(s, accepted.select("doc_id", "text"), lsh_table)
+        if is_retry:
+            # this append may be the second copy of the batch's rows —
+            # dedupe-rewrite the standing tables so redeliveries never
+            # permanently inflate probe cost (cost is O(index), paid
+            # per FAILURE, not per batch)
+            compact_lsh_index(s, lsh_table)
     else:
         write_lsh_index(
             s, accepted.select("doc_id", "text"), lsh_table, lsh_path
@@ -314,6 +442,7 @@ def stream_ingest_neardedup(
     work_dir: str,
     n_files: int = 4,
     threshold: float = 0.5,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Continuous ingest with BOTH dedup tiers (VERDICT r6 #2): each
     micro-batch is exact-deduped against the fingerprint index AND
@@ -352,7 +481,8 @@ def stream_ingest_neardedup(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         ingest_batch_neardedup(
-            batch, batch_id, corpus, index, lsh_table, lsh_path, threshold
+            batch, batch_id, corpus, index, lsh_table, lsh_path, threshold,
+            compact_every=compact_every,
         )
 
     q = (

@@ -151,3 +151,65 @@ def test_mismatched_integral_key_widths_never_false_negative(spark):
     skeys = spark.createDataFrame([("1",), ("2",)], "ks string")
     with pytest.raises(ValueError, match="hash-compatible"):
         bloom_semi_join(fact, skeys, "k", "ks")
+
+
+def test_mismatched_decimal_scales_never_false_negative(spark):
+    """xxhash64 of a decimal hashes the UNSCALED value, so decimal(10,2)
+    1.50 and decimal(10,3) 1.500 — equal under equi-join coercion —
+    would hash apart and silently drop true matches. Build/probe
+    normalize decimals through double (r8, ADVICE): the bloom join must
+    return exactly the plain join's rows."""
+    fact = spark.createDataFrame(
+        [(i,) for i in range(1, 200)], "k int"
+    ).select((F.col("k") / 2).cast("decimal(10,2)").alias("k"))
+    keys = spark.createDataFrame(
+        [(i,) for i in range(1, 200, 3)], "k2 int"
+    ).select((F.col("k2") / 2).cast("decimal(10,3)").alias("k2"))
+    got = sorted(
+        float(r["k"]) for r in bloom_semi_join(fact, keys, "k", "k2").collect()
+    )
+    want = sorted(
+        float(r["k"])
+        for r in fact.join(keys, fact["k"] == keys["k2"], "left_semi").collect()
+    )
+    assert got == want and got
+
+
+def test_semi_join_auto_byte_gate_and_key_projection(spark):
+    """The plain route must (a) trip to bloom when the projected key
+    column exceeds the byte budget even if the row budget passes, and
+    (b) broadcast ONLY the key column — a wide build relation must not
+    appear in the exchange (r8, ADVICE)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from lookup_transform_spark.operators.bloomjoin import semi_join_auto
+
+    fact = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag"
+    )
+    keys = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
+        "o_totalprice > 400000.0"
+    )  # deliberately wide: every orders column
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    auto = semi_join_auto(fact, keys, "l_orderkey", "o_orderkey")
+    p = plan_of(auto)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # only the key column reaches the broadcast exchange: its child is a
+    # single-column Project (the filter column stays below, in the scan)
+    after = p.split("BroadcastExchange", 1)[-1]
+    assert "Project [o_orderkey" in after
+    assert "o_custkey" not in after  # payload columns pruned entirely
+
+    # byte budget of ~1 row forces bloom even though rows pass
+    routed = semi_join_auto(
+        fact, keys, "l_orderkey", "o_orderkey", broadcast_bytes=32
+    )
+    pb = plan_of(routed)
+    assert "xxhash64" in pb and "element_at" in pb

@@ -237,3 +237,21 @@ def test_cosine_pairs_null_path_propagates_null_numeric_dtype(spark):
     assert got[5] == pytest.approx(0.0)
     assert got[2] is None and got[3] is None
     assert got[4] is None  # NaN -> SQL NULL via Arrow, same as fast path
+
+
+def test_embedding_near_dup_guards_quadratic_corpus(spark):
+    # r8 VERDICT #4: the exact all-pairs tier is O(n²) BY DESIGN; above
+    # max_rows it must refuse with a pointer to the sub-quadratic
+    # substitutes instead of silently launching a cluster-killer
+    from lookup_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _vecs(spark, with_zero=False)
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dup_pairs(emb, threshold=0.5, blocks=2, max_rows=2)
+    # an explicit raised bound still runs
+    out = embedding_near_dup_pairs(
+        emb, threshold=0.5, blocks=2, max_rows=100
+    ).collect()
+    assert out is not None

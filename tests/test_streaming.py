@@ -535,3 +535,148 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
     assert retried == got
+
+
+def test_ingest_state_compaction_bounds_reads(spark, sf_dir, tmp_path):
+    """VERDICT r7 #3: a long-running ingest must not degrade linearly in
+    batch count. Run 20 micro-batches with compact_every=4 and pin:
+    (a) the state read opens a BOUNDED number of directories (one base
+    generation + at most compact_every live batch dirs), and (b) the
+    compacted corpus still equals global min-id dedup — compaction is
+    invisible in the result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.text import content_fingerprint
+    from lookup_transform_spark.streaming.ingest import (
+        _state_dirs,
+        stream_ingest_dedup,
+    )
+
+    work = str(tmp_path / "ingest20")
+    corpus = stream_ingest_dedup(
+        spark, sf_dir, work, n_files=20, compact_every=4
+    )
+    got = {(r["f"], r["doc_id"]) for r in corpus.collect()}
+
+    for state in ("corpus", "fp_index"):
+        dirs = _state_dirs(os.path.join(work, state))
+        names = sorted(os.path.basename(d) for d in dirs)
+        assert len(dirs) <= 5, names  # 1 base + 4 live batch dirs
+        assert any(n.startswith("base_") for n in names), names
+
+    arrivals = spark.read.parquet(f"{work}/arrivals/batch_*")
+    want_df = (
+        arrivals.select("doc_id", content_fingerprint("text").alias("f"))
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    want = {(r["f"], r["doc_id"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_ingest_retry_after_compaction_idempotent(spark, sf_dir, tmp_path):
+    """Retry-idempotency must survive compaction: redelivering the
+    final batch AFTER its trigger already compacted state (a) leaves
+    the corpus identical, and (b) the retry-triggered
+    ``compact_lsh_index`` returns the standing LSH tables to their
+    exactly-once row counts — redeliveries never permanently inflate
+    probe cost (ADVICE r7)."""
+    import os
+
+    from lookup_transform_spark.streaming.ingest import (
+        ingest_batch_neardedup,
+        stage_document_batches,
+    )
+
+    stage = str(tmp_path / "arrivals7")
+    stage_document_batches(
+        spark, sf_dir, stage, n_files=7, dup_per_file=10, near_per_file=10
+    )
+    batch_dirs = sorted(
+        p for p in os.listdir(stage) if p.startswith("batch_")
+    )
+    assert len(batch_dirs) == 7
+
+    def run(root, lsh_table, redeliver_last):
+        corpus = os.path.join(root, "corpus")
+        index = os.path.join(root, "fp_index")
+        lsh_path = os.path.join(root, "lsh_index")
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
+        os.makedirs(corpus, exist_ok=True)
+        os.makedirs(index, exist_ok=True)
+        for bid, b in enumerate(batch_dirs):
+            ingest_batch_neardedup(
+                spark.read.parquet(os.path.join(stage, b)), bid,
+                corpus, index, lsh_table, lsh_path, compact_every=3,
+            )
+        if redeliver_last:
+            last = len(batch_dirs) - 1
+            ingest_batch_neardedup(
+                spark.read.parquet(os.path.join(stage, batch_dirs[last])),
+                last, corpus, index, lsh_table, lsh_path, compact_every=3,
+            )
+        from lookup_transform_spark.streaming.ingest import _read_batches
+
+        rows = {
+            (r["f"], r["doc_id"])
+            for r in _read_batches(spark, corpus).collect()
+        }
+        counts = (
+            spark.table(f"{lsh_table}_bands").count(),
+            spark.table(f"{lsh_table}_docs").count(),
+        )
+        return rows, counts
+
+    try:
+        clean_rows, clean_counts = run(
+            str(tmp_path / "clean"), "lsh_compact_clean", False
+        )
+        retry_rows, retry_counts = run(
+            str(tmp_path / "retry"), "lsh_compact_retry", True
+        )
+    finally:
+        for t in ("lsh_compact_clean", "lsh_compact_retry"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}_bands")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_docs")
+
+    # batches 0..2 folded at the batch-3 trigger, 0..5 at batch 6; the
+    # redelivered batch 6 saw base_00006 — identical state
+    assert retry_rows == clean_rows and clean_rows
+    # LSH tables back to exactly-once row counts after the retry compact
+    assert retry_counts == clean_counts
+
+
+def test_batch_dirs_ignore_stray_entries(tmp_path):
+    """ADVICE r7: a leftover temp entry (``batch_tmp``,
+    ``batch_00001_old``, a plain FILE named like a batch) must neither
+    crash the listing nor misorder/duplicate state reads."""
+    import os
+
+    from lookup_transform_spark.streaming.ingest import (
+        _batch_dirs,
+        _newest_base,
+        _state_dirs,
+    )
+
+    root = str(tmp_path / "state")
+    os.makedirs(os.path.join(root, "batch_00001"))
+    os.makedirs(os.path.join(root, "batch_00003"))
+    os.makedirs(os.path.join(root, "batch_tmp"))
+    os.makedirs(os.path.join(root, "batch_00001_old"))
+    open(os.path.join(root, "batch_00002"), "w").write("not a dir")
+    # crashed fold: no _SUCCESS -> invisible
+    os.makedirs(os.path.join(root, "base_00003"))
+
+    got = [os.path.basename(d) for d in _batch_dirs(root)]
+    assert got == ["batch_00001", "batch_00003"]
+    assert _batch_dirs(root, before=3) == [os.path.join(root, "batch_00001")]
+    assert _newest_base(root) is None
+    # committed fold shadows older batches
+    open(os.path.join(root, "base_00003", "_SUCCESS"), "w").write("")
+    assert [os.path.basename(d) for d in _state_dirs(root)] == [
+        "base_00003",
+        "batch_00003",
+    ]
