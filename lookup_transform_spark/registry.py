@@ -3340,7 +3340,12 @@ def q_tpch_q4_priority(spark, sf):
     matched-order keys per partition. No broadcast hint: the filtered
     size is a planner decision (catalog stats plan-time, AQE runtime),
     so a 1000x orders table degrades to a shuffled join instead of an
-    OOM'd driver."""
+    OOM'd driver. The planner only SEES the quarter filter's
+    selectivity once the catalog declares the timestamp column
+    ANALYZE-able (stats.py NTZ note, r8): before that fix this query
+    planned as a 19.2M-row SortMergeJoin at the 32x probe (1.41 s);
+    with estimation + the 32MB broadcast tier it is a broadcast probe
+    (0.69 s) with no hint in the query."""
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))

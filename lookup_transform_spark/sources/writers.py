@@ -8,6 +8,8 @@ small-files problem on high-cardinality partition keys.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -81,22 +83,56 @@ def upsert_partitioned(
     get it from MERGE INTO): per-batch cost must be O(affected
     partitions), never a rewrite of the table. Mechanics:
 
-    1. the update batch's partition values are collected (partition-
-       cardinality-sized — the same dimension-collect class as the IVF
-       centroid table);
-    2. existing rows of ONLY those partitions are read back (the IN-list
-       becomes a partition filter — directory pruning, pinned in
-       tests/test_upsert.py), minus rows whose key is being replaced
-       (left-anti on the key);
-    3. survivors ∪ updates are written with DYNAMIC partition overwrite,
-       so Spark stages and commits just the affected directories —
-       untouched partitions keep their files byte-for-byte (also
-       pinned).
+    1. existing rows of ONLY the partitions the update batch lands in
+       are read back, minus rows whose key is being replaced (left-anti
+       on the key). The partition restriction is a broadcast LEFT-SEMI
+       join against the batch's distinct partition values, which
+       Spark's Dynamic Partition Pruning compiles into a directory
+       filter on the scan (``dynamicpruningexpression`` in
+       PartitionFilters — pinned in tests/test_upsert.py), so no
+       separate driver job collects the partition list. A batch that
+       filters on the partition column itself prunes even earlier:
+       constraint propagation pushes that predicate across the join as
+       a STATIC partition filter and DPP correctly declines as
+       redundant. Both forms are heuristics, so the plan is INSPECTED
+       before running: if neither pruning form materialized (e.g. a
+       literal batch with no predicate DPP rates selective), the
+       writer falls back to collecting the partition values
+       (partition-cardinality-sized) and pushing a static IN-list
+       filter — one extra tiny job, never a full-table read either
+       way. (An eager-checkpoint-the-batch formulation was also
+       measured and REJECTED: it blinds DPP — a materialized RDD
+       exposes no Filter — and its extra serial wave costs more than
+       the repeated cheap batch scans it saves; four-way A/B on the
+       32x probe in PLANS.md);
+    2. survivors ∪ updates are written ONCE, partitioned, to a staging
+       directory beside the table (a different path than the one being
+       read, so Spark's source==sink overwrite rejection never fires
+       and no full-table ``localCheckpoint`` is needed — the r8 wave
+       cut: the previous formulation checkpointed the full merged
+       batch executor-side and then re-encoded it in the overwrite,
+       writing the data twice);
+    3. the staged partition directories are committed by per-partition
+       rename (Hadoop ``FileSystem.rename`` — works on HDFS and local;
+       a driver-side metadata operation, zero data movement), replacing
+       exactly the affected directories — untouched partitions keep
+       their files byte-for-byte (pinned). The staging write's
+       ``_SUCCESS`` gates the commit, so a crashed write leaves the
+       table untouched; a crash MID-commit can leave a mix of old and
+       new affected partitions — the same non-atomic window Spark's own
+       dynamic partition overwrite has during its commit renames. Jobs
+       that need an atomic multi-partition publish should write through
+       the two-phase manifest sink instead.
 
-    The read-modify-write cycle targets the same path it reads, which
-    Spark's overwrite check rejects on a lazy plan — the merged batch is
-    ``localCheckpoint``ed (materialized executor-side) first. That
-    materialization is affected-partitions-sized, not table-sized.
+    Job waves per call: the staging write (read-back + merge + encode,
+    one pass; DPP's broadcast build rides inside it) + the scan-free
+    rename commit — ONE Spark job wave, plus the fallback collect only
+    when neither pruning form materialized. r7 shipped collect +
+    read-back + full-merged-batch localCheckpoint + dynamic-overwrite
+    re-encode (the merged data written twice); the 32x A/B
+    (PLANS.md): 1.89 s → 1.49 s min-of-5 for the writer alone, and
+    the serial driver-collect job — the piece that does not amortize
+    on a real cluster — is gone from the default path.
 
     Semantics: a key present in both sides takes the update's row
     (upsert); keys appearing only in updates insert. CALLER CONTRACT:
@@ -132,21 +168,60 @@ def upsert_partitioned(
                 f"partitions (first offenders: {offenders}); an upsert "
                 "must keep each key in its existing partition"
             )
-    parts = [
-        r[0] for r in updates.select(partition_col).distinct().collect()
-    ]
+    parts_dim = updates.select(partition_col).distinct()
     keep = (
-        existing.filter(F.col(partition_col).isin(parts))
+        existing.join(F.broadcast(parts_dim), on=partition_col, how="left_semi")
         .join(updates.select(*key_cols), on=key_cols, how="left_anti")
     )
-    merged = keep.unionByName(updates.select(*existing.columns))
-    merged = merged.localCheckpoint()  # break lineage: source == sink path
-    # per-write option, NOT a session-conf save/restore: scoping dynamic
-    # overwrite to this writer means a concurrent write in the same
-    # session can't inherit it, and there's no restore to race
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
+    plan_str = keep._jdf.queryExecution().executedPlan().toString()
+    # the scan is pruned when EITHER (a) DPP inserted its runtime
+    # subquery, or (b) the batch filters on the partition column itself,
+    # which constraint propagation turns into a STATIC partition filter
+    # (= / IN / INSET on the column inside PartitionFilters — DPP then
+    # correctly declines as redundant)
+    statically_pruned = re.search(
+        rf"PartitionFilters: \[[^\n]*{re.escape(partition_col)}#\d+\s+(=|IN\b|INSET)",
+        plan_str,
     )
+    if "dynamicpruning" not in plan_str and not statically_pruned:
+        # neither pruning form materialized (e.g. a literal batch with
+        # no predicate DPP rates selective) — fall back to collecting
+        # the partition values (partition-cardinality-sized) and
+        # pushing a static IN-list so the read-back can never degrade
+        # to a full-table scan
+        parts = [r[0] for r in parts_dim.collect()]
+        keep = (
+            existing.filter(F.col(partition_col).isin(parts))
+            .join(updates.select(*key_cols), on=key_cols, how="left_anti")
+        )
+    merged = keep.unionByName(updates.select(*existing.columns))
+    # one pass: read-back + merge + encode straight into staging (a
+    # SIBLING path — source != sink, so no checkpoint materialization)
+    staging = f"{path}.__upsert_staging__"
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jpath.getFileSystem(jconf)
+    fs.delete(jpath, True)  # a crashed prior attempt never committed
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # commit: swap exactly the staged partition directories into place.
+    # _SUCCESS gates it — Spark writes it only after every task
+    # committed, so a crashed staging write leaves the table untouched.
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(staging, "_SUCCESS")):
+        raise RuntimeError(
+            f"upsert_partitioned: staging write at {staging} did not "
+            "commit (_SUCCESS missing); table left untouched"
+        )
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(prefix)):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(path, name)
+        fs.delete(dest, True)
+        if not fs.rename(status.getPath(), dest):
+            raise RuntimeError(
+                f"upsert_partitioned: commit rename failed for {name}; "
+                f"staged data remains at {staging}"
+            )
+    fs.delete(jpath, True)

@@ -24,9 +24,23 @@ switch the session's CBO/runtime-filter knobs on.
 Spark 4.1 bug worked around here: ``FilterEstimation.evaluateBinary``
 has no case for ``TimestampNTZType`` and throws ``scala.MatchError``
 when estimating a filter over an NTZ column that HAS column stats
-(hit via tpch_q8's o_orderdate predicate). NTZ columns are therefore
-excluded from ANALYZE — table-level row counts still cover them, and
-every other column keeps full min/max/ndv stats.
+(hit via tpch_q8's o_orderdate predicate). Two layers of defense:
+
+- the catalog tables are CREATED with NTZ inference off
+  (``spark.sql.parquet.inferTimestampNTZ.enabled=false``), so µs
+  timestamp-without-timezone parquet columns are declared
+  ``TimestampType`` in the catalog — value-identical under the pinned
+  UTC session timezone, but fully ANALYZE-able and fully supported by
+  FilterEstimation. This is what lets a date-window predicate
+  (``o_orderdate`` quarter filters across the TPC-H tier) reduce the
+  estimated row count: measured in round 8, without it the quarter
+  filter kept orders at its full 4.8M-row estimate and every
+  fact-side join in the q3/q4/q5/q8/q10/q12 family planned as a
+  both-sides-shuffled SortMergeJoin where a broadcast was free.
+- any column that still reads NTZ is excluded from ANALYZE — stats on
+  such a column wouldn't just be ignored, they'd make every later
+  ``plan.stats()`` call THROW, silently downgrading all stats-gated
+  routing via the callers' fallbacks.
 """
 
 from __future__ import annotations
@@ -100,7 +114,28 @@ def register_stats_tables(
         if not os.path.exists(path):
             continue
         spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
-        spark.sql(f"CREATE TABLE {db}.{t} USING parquet LOCATION '{path}'")
+        # Declare µs timestamp-without-timezone columns as TimestampType
+        # in the CATALOG schema (module doc: NTZ is estimation-dead AND
+        # its stats crash FilterEstimation; under the pinned UTC session
+        # tz the two types are value-identical — verified bit-exact on
+        # the fixtures). The explicit column list is required: the
+        # fixtures embed a Spark schema in the parquet footer, which
+        # inference prefers over ``inferTimestampNTZ`` — a bare CREATE
+        # would come back NTZ regardless of that conf. Plain parquet
+        # reads (the correctness path) keep Spark's default inference.
+        inferred = spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` "
+            + (
+                "TIMESTAMP"
+                if isinstance(f.dataType, T.TimestampNTZType)
+                else f.dataType.simpleString()
+            )
+            for f in inferred.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {db}.{t} ({ddl}) USING parquet LOCATION '{path}'"
+        )
         cols = [
             f.name for f in spark.table(f"{db}.{t}").schema.fields
             if isinstance(f.dataType, _STATS_TYPES)
@@ -132,6 +167,7 @@ def unregister(spark: SparkSession, sf_dir: str) -> None:
 def enable_cbo(
     spark: SparkSession,
     application_side_threshold: str | None = None,
+    broadcast_threshold: str | None = "32MB",
 ) -> None:
     """Switch on the statistics-consuming optimizations.
 
@@ -142,10 +178,26 @@ def enable_cbo(
     ~10MB so the same plans materialize at fixture scale; a real
     deployment leaves the default. Injection remains cost-gated by
     creation-side stats either way, and Bloom false positives only
-    cost shuffle bytes — the closing join keeps results exact."""
+    cost shuffle bytes — the closing join keeps results exact.
+
+    ``broadcast_threshold`` raises ``autoBroadcastJoinThreshold`` from
+    Spark's 10MB default: with accurate post-filter estimates (the NTZ
+    fix above), the date-windowed fact-join family sits at 10-30MB
+    estimated build size, and 10MB leaves it in both-sides-shuffled
+    SortMergeJoin. The r8 A/B at the 32x probe (.scratch/ntz_ab.json,
+    PLANS.md): 32MB turns the whole tail into broadcast joins — e.g.
+    tpch_q10 1.47→0.64 s, tpch_q16 1.22→0.55 s, tpch_q21 5.3→1.8 s —
+    and 64MB adds nothing further. A 32MB hashed relation is ~100MB of
+    executor memory: routine for the 4GB+ executors this targets, and
+    only reachable when statistics EXIST (no stats → Spark's default
+    conservative path). Pass None to leave the session default."""
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if broadcast_threshold is not None:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", broadcast_threshold
+        )
     if application_side_threshold is not None:
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter."

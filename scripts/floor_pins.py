@@ -48,9 +48,9 @@ CLASSES = {
     ),
     "write-pipeline": (
         "write-pipeline waves",
-        "five sequential job waves by construction (collect parts, "
-        "pruned read-back, checkpoint, dynamic-overwrite commit, "
-        "verify scan) — see the sink_upsert section.",
+        "one staged write wave (DPP-pruned read-back + merge + encode "
+        "into staging) + rename commit + the verify scan-back (r8, was "
+        "five waves) — see the sink_upsert section.",
     ),
     "span-explode-cpu": (
         "span-explode CPU",

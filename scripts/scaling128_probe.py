@@ -81,6 +81,28 @@ HEAVY = [
 SCALED = ("documents", "embeddings")
 COPIED = ("region", "nation", "customer", "supplier", "part")
 
+# r8 (VERDICT r7 #7): the relational floor-pin tier. The "join stage
+# waves amortize at scale" claim was evidenced only at 32x; these rows
+# extend it to 128x. They read orders/lineitem (+1x dims), which the
+# documents/embeddings fixture above deliberately omits — they run
+# against the bloom_ab_probe fixture instead (4 key-shifted copies of
+# scale32's fact tables; dims stay 1x, so dim joins measure pure fact
+# volume). embedding_centroids reads embeddings and rides the HEAVY
+# fixture, but belongs to this growth question, so it is listed here
+# with its fixture override.
+FIX128 = f"{REPO}/.scratch/bloom128"
+RELATIONAL = [
+    "tpch_q16_supplier_cnt",
+    "tpch_q4_priority",
+    "tpch_q10_returned",
+    "agg_corr",
+    "embedding_centroids",
+]
+# per-query (32x dir, 128x dir); default is the fact-table fixture
+RELATIONAL_DIRS = {
+    "embedding_centroids": (BASE32, OUT),
+}
+
 
 def _signed_perm(dim: int, copy: int) -> tuple[list[int], list[int]]:
     """Deterministic signed permutation for copy i: an exactly
@@ -165,6 +187,19 @@ def build_scaled(spark) -> None:
     open(f"{OUT}/_done", "w").write("ok")
 
 
+def build_relational(spark) -> None:
+    """Ensure the 128x fact-table fixture exists: orders/lineitem from
+    bloom_ab_probe's build (4 key-shifted copies of scale32), dims
+    copied 1x so _t resolves every table the relational tier touches."""
+    from bloom_ab_probe import build_128
+
+    build_128(spark)
+    for t in COPIED:
+        dst = f"{FIX128}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{BASE32}/{t}.parquet", dst)
+
+
 def time_spark(spark, name: str, sf_dir: str) -> dict:
     from probe_common import time_spark as _ts
 
@@ -178,6 +213,7 @@ def main() -> None:
     spark = get_spark("scaling128-probe")
     if "--skip-build" not in sys.argv:
         build_scaled(spark)
+        build_relational(spark)
     # same protocol as bench.py / scaling_probe.py: ingest-time catalog
     # stats + CBO, registered outside every timed window — without this
     # the two probes measure different planner regimes
@@ -186,22 +222,37 @@ def main() -> None:
 
         stats.register_stats_tables(spark, BASE32)
         stats.register_stats_tables(spark, OUT)
+        stats.register_stats_tables(spark, FIX128)
         stats.enable_cbo(spark, application_side_threshold="10MB")
     names = list(HEAVY)
+    rel_names = list(RELATIONAL)
     results: dict[str, dict] = {}
     if "--only" in sys.argv:
         # same merge semantics as scaling_probe.py --only: re-time just
         # the named queries into the existing artifact
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-        unknown = only - set(names)
+        unknown = only - set(names) - set(rel_names)
         if unknown:
-            raise SystemExit(f"--only names not in HEAVY: {sorted(unknown)}")
+            raise SystemExit(
+                f"--only names not in HEAVY/RELATIONAL: {sorted(unknown)}"
+            )
         names = [q for q in names if q in only]
+        rel_names = [q for q in rel_names if q in only]
         with open(f"{REPO}/SCALING128.json") as f:
             results = json.load(f)["queries"]
     for label, sf_dir in (("32x", BASE32), ("128x", OUT)):
         for name in names:
             rec = results.setdefault(name, {})
+            rec[f"spark_{label}"] = time_spark(spark, name, sf_dir)
+            print(
+                f"[{label}] {name:28s} "
+                f"spark={rec[f'spark_{label}'].get('sec', rec[f'spark_{label}'])}",
+                flush=True,
+            )
+    for name in rel_names:
+        dirs32, dirs128 = RELATIONAL_DIRS.get(name, (BASE32, FIX128))
+        rec = results.setdefault(name, {})
+        for label, sf_dir in (("32x", dirs32), ("128x", dirs128)):
             rec[f"spark_{label}"] = time_spark(spark, name, sf_dir)
             print(
                 f"[{label}] {name:28s} "
@@ -226,7 +277,11 @@ def main() -> None:
             rec["growth_128_over_32"] = round(b / a, 2)
     out = {
         "scale": 128,
-        "base": "scale32 x 4 key-shifted copies (dims 1x)",
+        "base": (
+            "scale32 x 4 key-shifted copies (dims 1x); relational tier "
+            "reads the bloom_ab_probe fact fixture (orders/lineitem x4, "
+            "dims 1x)"
+        ),
         "rows_128x": {"documents_vs_sf0.1": 128},
         "spark_timeout_sec": SPARK_TIMEOUT,
         "repeats": REPEATS,

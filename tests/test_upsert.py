@@ -100,6 +100,96 @@ def test_affected_read_is_partition_pruned(spark, table):
     assert pf and "o_orderstatus" in pf[0]
 
 
+def test_readback_prunes_via_dpp_when_batch_is_filtered(spark, table):
+    """r8 wave cut: when the update batch carries a selective filter on
+    a NON-partition column (the shape every incremental pipeline has),
+    the read-back's partition restriction is a broadcast semi join that
+    Dynamic Partition Pruning turns into a directory filter — no driver
+    collect job. Pin the plan: the semi-join formulation of the
+    read-back carries a dynamicpruningexpression on the scan."""
+    path, orders = table
+    existing = spark.read.parquet(path)
+    updates = orders.filter(F.col("o_orderkey") % 997 == 0)
+    parts_dim = updates.select("o_orderstatus").distinct()
+    keep = (
+        existing.join(F.broadcast(parts_dim), on="o_orderstatus", how="left_semi")
+        .join(updates.select("o_orderkey"), on=["o_orderkey"], how="left_anti")
+    )
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_readback_prunes_statically_when_batch_filters_partition_col(
+    spark, table
+):
+    """A batch that filters on the partition column itself gets pruned
+    WITHOUT DPP: constraint propagation pushes the equality across the
+    semi join as a static PartitionFilter (DPP declines as redundant).
+    The writer's plan inspection must recognize that form (its regex is
+    re-tested here against the real plan text) so it does not add a
+    needless collect job — and the end-to-end merge stays correct."""
+    import re
+
+    path, orders = table
+    existing = spark.read.parquet(path)
+    updates = orders.filter(
+        (F.col("o_orderkey") % 997 == 0) & (F.col("o_orderstatus") == "O")
+    )
+    parts_dim = updates.select("o_orderstatus").distinct()
+    keep = existing.join(
+        F.broadcast(parts_dim), on="o_orderstatus", how="left_semi"
+    )
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\n]*o_orderstatus#\d+\s+(=|IN\b|INSET)", plan
+    ), plan[:2000]
+    upsert_partitioned(
+        spark, path,
+        updates.withColumn("o_totalprice", F.col("o_totalprice") + 7.0),
+        ["o_orderkey"], "o_orderstatus",
+    )
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in spark.read.parquet(path).collect()
+    }
+    for r in updates.collect():
+        assert got[r["o_orderkey"]] == pytest.approx(r["o_totalprice"] + 7.0)
+
+
+def test_derived_batch_merge_and_staging_cleanup(spark, table):
+    """r8 rename-commit path, on the derived-batch shape the bench
+    runs: a filtered+transformed update batch merges correctly, the
+    staging directory is gone after the commit, and untouched
+    partitions keep their files byte-for-byte."""
+    import glob as _glob
+
+    path, orders = table
+    updates = orders.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    statuses = {r["o_orderstatus"] for r in
+                updates.select("o_orderstatus").distinct().collect()}
+    snap = _snapshot_files(path)
+    upsert_partitioned(spark, path, updates, ["o_orderkey"], "o_orderstatus")
+    assert not _glob.glob(f"{path}.__upsert_staging__*")
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in spark.read.parquet(path).collect()
+    }
+    for r in updates.collect():
+        assert got[r["o_orderkey"]] == pytest.approx(r["o_totalprice"])
+    snap2 = _snapshot_files(path)
+    untouched_b = {
+        f: v for f, v in snap.items()
+        if not any(f"o_orderstatus={s}" in f for s in statuses)
+    }
+    untouched_a = {
+        f: v for f, v in snap2.items()
+        if not any(f"o_orderstatus={s}" in f for s in statuses)
+    }
+    assert untouched_b == untouched_a
+
+
 def test_key_move_detected_when_validation_on(spark, table):
     path, orders = table
     victim = orders.filter("o_orderstatus = 'O'").limit(1).collect()[0]
