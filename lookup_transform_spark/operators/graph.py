@@ -10,9 +10,12 @@ iteration is one shuffle join + aggregate; ``localCheckpoint`` truncates
 the growing lineage so plans stay bounded (mandatory for iterative
 algorithms at scale). Converges in O(log n) iterations on real graphs.
 
-This operator is inherently non-SQL-expressible (iterative), so its
-registry entry is rows-only; correctness is pinned by tests against a
-pure-Python union-find on the same edges.
+The ENGINE formulation is iterative (no fixed-depth SQL computes
+components at scale), but at fixture scale the registry entry carries a
+DuckDB oracle since r8: a recursive-CTE transitive closure over the
+exact-Jaccard pair set cross-checks the component labels end-to-end.
+Correctness is additionally pinned by tests against a pure-Python
+union-find on the same edges.
 """
 
 from __future__ import annotations

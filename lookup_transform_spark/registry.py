@@ -1925,16 +1925,30 @@ def q_agg_corr(spark, sf):
     hashable. Summing the five moments as fixed-point longs (the
     anomaly_zscore pattern) makes every term exact and order-free;
     both engines then evaluate the identical closed-form double
-    expression. One partial-aggregated shuffle of O(groups) rows."""
+    expression. One partial-aggregated shuffle of O(groups) rows.
+
+    r8: the second-moment sums go through ``fp_sum_stable`` (two-stage:
+    long partials per scan partition, decimal(38,0) merge) — the plain
+    long sum of price²·10² crosses 2^63 at ~7e7 rows/group (measured:
+    ANSI overflow at the 128× probe), and a Pearson over a 100 TB fact
+    table is exactly the low-cardinality global rollup the stable form
+    exists for. Values are bit-identical to ``fp_sum`` (pinned by the
+    unchanged oracle hash)."""
+    from lookup_transform_spark.functions.fixedpoint import fp_sum_stable
+
     li = _t(spark, sf, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        fp_sum(q, 0).alias("sx"),
-        fp_sum(p, 2).alias("sy"),
-        fp_sum(q * q, 0).alias("sxx"),
-        fp_sum(p * p, 2).alias("syy"),
-        fp_sum(q * p, 2).alias("sxy"),
+    s = fp_sum_stable(
+        li,
+        ["l_returnflag"],
+        {
+            "sx": (q, 0),
+            "sy": (p, 2),
+            "sxx": (q * q, 0),
+            "syy": (p * p, 2),
+            "sxy": (q * p, 2),
+        },
+        count_alias="n",
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
@@ -2010,7 +2024,26 @@ def q_quarantine_bad_json(spark, sf):
     )
 
 
-@_q("dedup_incremental_minhash")
+@_q(
+    "dedup_incremental_minhash",
+    """WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
+  FROM documents)
+, dup AS (
+  SELECT DISTINCT n.doc_id
+  FROM d n JOIN d s
+    ON n.doc_id % 10 >= 8 AND s.doc_id % 10 < 8
+  WHERE ROUND(len(list_intersect(n.sh, s.sh))::DOUBLE
+              / len(list_distinct(list_concat(n.sh, s.sh))), 6) >= 0.5)
+SELECT doc_id FROM d
+WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
+)
 def q_dedup_incremental_minhash(spark, sf):
     """B51 at-rest path: incremental NEAR-dup — the fuzzy analog of
     `dedup_incremental_indexed`, and the missing half of continuous
@@ -2021,9 +2054,16 @@ def q_dedup_incremental_minhash(spark, sf):
     shingles, signs, and shuffles ONLY the new batch — the banding join
     and the Jaccard verify both read the standing tables co-located
     (bucketed scans pinned in tests/test_plans.py). Returns the novel
-    doc ids the ingest should accept. Rows-only (hash-seeded LSH);
-    equality with the in-plan batch-vs-standing computation is pinned
-    in tests/test_dedup_caps.py."""
+    doc ids the ingest should accept.
+
+    Oracle (r8 promotion from rows-only): the banding probe is followed
+    by an EXACT shingle-Jaccard verify against the standing store, so
+    with banding recall 1.0 (the dedup_minhash pin) the accepted set is
+    exactly {new docs with NO standing neighbor at J >= 0.5} — the
+    NOT-EXISTS brute-force formulation DuckDB runs; the engine never
+    scans standing-vs-new all-pairs (banded candidates only). Equality
+    with the in-plan batch-vs-standing computation remains pinned in
+    tests/test_dedup_caps.py."""
     from lookup_transform_spark.operators.dedup import (
         incremental_minhash_probe,
         write_lsh_index,
@@ -2477,10 +2517,46 @@ def q_tpch_q5_local_supplier(spark, sf):
     )
 
 
-@_q("dedup_clusters")
+@_q(
+    "dedup_clusters",
+    """WITH RECURSIVE d AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
+e AS MATERIALIZED (
+  SELECT da AS a, db AS b FROM p UNION SELECT db AS a, da AS b FROM p),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical FROM comp""",
+)
 def q_dedup_clusters(spark, sf):
     """B51 final step: near-dup pairs -> connected components -> one
-    canonical doc per cluster (iterative; non-SQL-expressible)."""
+    canonical doc per cluster.
+
+    The ENGINE side is iterative min-label propagation (graph.py) —
+    the form that scales; the fixture-scale oracle (r8 promotion from
+    rows-only) recomputes the exact-Jaccard pair set (the same SQL
+    shape dedup_minhash's oracle proves equal to the engine's
+    LSH+verify output) and closes it with a recursive transitive
+    closure, so component labels are cross-checked end-to-end. Robust
+    to the star-edge representation the engine emits on corpora with
+    exact duplicates: star edges span the same components as the full
+    pair set, and connected components are representation-invariant."""
     from lookup_transform_spark.operators.graph import dedup_clusters
 
     pairs = DD.minhash_lsh_pairs(

@@ -144,7 +144,10 @@ def upsert_partitioned(
     O(affected-partitions) cost contract; ``validate_no_key_moves=True``
     opts into that full-key-scan check (the key column alone is read —
     column-pruned — and the job fails loudly listing offenders before
-    anything is written).
+    anything is written). A NULL partition value in the update batch is
+    refused fail-loud during the staging write (equality-based pruning
+    can never address the NULL partition, so accepting it would silently
+    drop existing NULL-partition rows); the table is left untouched.
     """
     from pyspark.sql import functions as F
 
@@ -194,7 +197,35 @@ def upsert_partitioned(
             existing.filter(F.col(partition_col).isin(parts))
             .join(updates.select(*key_cols), on=key_cols, how="left_anti")
         )
-    merged = keep.unionByName(updates.select(*existing.columns))
+    # NULL partition values in the batch are refused fail-loud: every
+    # pruning form here is EQUALITY-based (semi join, DPP, IN-list),
+    # and equality never matches NULL — existing NULL-partition rows
+    # would silently vanish from the read-back while the commit swaps
+    # their directory. The guard rides inside the staging write's
+    # projection (raise_error fires executor-side before _SUCCESS, so
+    # the table is untouched) — no extra driver job on the happy path.
+    guarded_updates = updates.select(
+        *[
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "upsert_partitioned: NULL partition value in the "
+                        f"update batch (column '{partition_col}'); "
+                        "equality-based partition pruning cannot address "
+                        "the NULL partition — backfill the partition "
+                        "column before upserting"
+                    )
+                ),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == partition_col
+            else c
+            for c in existing.columns
+        ]
+    )
+    merged = keep.unionByName(guarded_updates)
     # one pass: read-back + merge + encode straight into staging (a
     # SIBLING path — source != sink, so no checkpoint materialization)
     staging = f"{path}.__upsert_staging__"

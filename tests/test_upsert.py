@@ -190,6 +190,27 @@ def test_derived_batch_merge_and_staging_cleanup(spark, table):
     assert untouched_b == untouched_a
 
 
+def test_null_partition_value_refused_table_untouched(spark, table):
+    """A NULL partition value in the update batch must fail loudly
+    (equality pruning can never address the NULL partition — accepting
+    it silently drops existing NULL-partition rows) and must leave the
+    table byte-for-byte untouched: the guard fires inside the staging
+    write, BEFORE any commit rename."""
+    path, orders = table
+    updates = spark.createDataFrame(
+        [(10_000_009, None, 3.5), (10_000_010, "O", 4.5)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    snap = _snapshot_files(path)
+    with pytest.raises(Exception, match="NULL partition value"):
+        upsert_partitioned(
+            spark, path, updates, ["o_orderkey"], "o_orderstatus"
+        )
+    # the table proper is byte-for-byte untouched (leftover staging
+    # from the failed write is fine — the next attempt deletes it)
+    assert _snapshot_files(path) == snap
+
+
 def test_key_move_detected_when_validation_on(spark, table):
     path, orders = table
     victim = orders.filter("o_orderstatus = 'O'").limit(1).collect()[0]
