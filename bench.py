@@ -132,7 +132,7 @@ def _oracle_timings(
     read-only correctness SELECT.
 
     Each oracle runs under a per-repeat interrupt timeout (r8,
-    ``SPARK_GRAFT_BENCH_ORACLE_TIMEOUT``, default 120 s — the
+    ``SPARK_GRAFT_BENCH_ORACLE_TIMEOUT``, default 180 s — the
     scaling_probe pattern): the r8 oracle promotions gave several
     approximate operators brute-force O(n²) correctness SQL
     (dedup_minhash's all-pairs Jaccard exceeds 9 MINUTES at sf0.1 —
@@ -140,14 +140,19 @@ def _oracle_timings(
     oracle is returned in the second dict and excluded from the
     comparable aggregates, exactly as if it had no oracle — which for
     ratio purposes it doesn't: the SQL exists to pin VALUES at
-    correctness scale, not to be a fair single-node baseline."""
+    correctness scale, not to be a fair single-node baseline. 180 s is
+    sized 2.3× above the slowest oracle that should STAY comparable
+    (ngram_jaccard, 78 s at sf0.1 — an engine win the tail count would
+    lose to a flappy timeout), while capping the three true quadratics
+    (dedup_minhash / dedup_clusters / dedup_incremental_minhash) at 9
+    added minutes total."""
     import tempfile
     import threading
 
     import duckdb
 
     duck_timeout = float(
-        os.environ.get("SPARK_GRAFT_BENCH_ORACLE_TIMEOUT", "120")
+        os.environ.get("SPARK_GRAFT_BENCH_ORACLE_TIMEOUT", "180")
     )
     con = duckdb.connect()
     for t in (
