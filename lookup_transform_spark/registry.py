@@ -1320,13 +1320,42 @@ def q_substring_dup_rate(spark, sf):
     )
 
 
-@_q("fingerprint_rolling")
+@_q(
+    "fingerprint_rolling",
+    """SELECT doc_id,
+       list_min(list_transform(
+         list_transform(
+           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 4, 1) + 1),
+           i -> concat_ws(' ',
+                string_split_regex(lower(text), '\\s+')[i],
+                string_split_regex(lower(text), '\\s+')[i+1],
+                string_split_regex(lower(text), '\\s+')[i+2],
+                string_split_regex(lower(text), '\\s+')[i+3],
+                string_split_regex(lower(text), '\\s+')[i+4])),
+         s -> CASE WHEN ('0x' || substr(md5(s), 1, 16))::UBIGINT
+                        >= 9223372036854775808::HUGEINT
+                   THEN (('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT
+                         - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE ('0x' || substr(md5(s), 1, 16))::UBIGINT::BIGINT
+              END)) AS rfp
+FROM documents""",
+)
 def q_fingerprint_rolling(spark, sf):
-    """B53: winnowing-style rolling fingerprint (min 5-gram xxhash64)."""
+    """B53: winnowing-style rolling fingerprint (min 5-gram hash).
+
+    r8 promotion from rows-only: the hash family is md5-first-64-bits
+    (``operators/dedup._md5_token_hash``'s signed fold — the one 64-bit
+    family both engines share, already pinned bit-equal for simhash),
+    so the min-over-windows fingerprint is recomputed independently by
+    the DuckDB oracle. The xxhash64 family remains available on the
+    operator for speed-first pipelines (rows-only there by nature)."""
     d = _t(spark, sf, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     return d.select(
-        "doc_id", TX.rolling_fingerprint("text", window=5).alias("rfp")
+        "doc_id",
+        TX.rolling_fingerprint("text", window=5, hash_family="md5").alias(
+            "rfp"
+        ),
     )
 
 

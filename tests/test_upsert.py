@@ -211,6 +211,79 @@ def test_null_partition_value_refused_table_untouched(spark, table):
     assert _snapshot_files(path) == snap
 
 
+def test_upsert_matches_dict_merge_property(spark, tmp_path):
+    """Property test (hypothesis): upsert_partitioned must agree with a
+    pure-Python dict merge over arbitrary small tables — including empty
+    update batches, insert-only batches, every-partition-touched batches,
+    and single-partition tables. Updates honor the caller contract (a
+    key keeps its existing partition); new keys pick arbitrary ones."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = itertools.count()
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        existing_keys = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=19),
+                unique=True, min_size=1, max_size=10,
+            )
+        )
+        existing = {
+            k: (
+                data.draw(st.sampled_from(["A", "B", "C"])),
+                float(data.draw(st.integers(0, 99))),
+            )
+            for k in existing_keys
+        }
+        upd_keys = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=29),
+                unique=True, max_size=8,
+            )
+        )
+        updates = {
+            k: (
+                existing[k][0]  # contract: key keeps its partition
+                if k in existing
+                else data.draw(st.sampled_from(["A", "B", "C"])),
+                float(data.draw(st.integers(100, 199))),
+            )
+            for k in upd_keys
+        }
+        path = str(tmp_path / f"prop_{next(counter)}")
+        schema = "k long, part string, val double"
+        write_parquet_partitioned(
+            spark.createDataFrame(
+                [(k, p, v) for k, (p, v) in existing.items()], schema
+            ),
+            path,
+            partition_by=["part"],
+        )
+        upd_df = spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in updates.items()], schema
+        )
+        if not updates:  # createDataFrame([]) needs an explicit schema
+            upd_df = spark.createDataFrame([], schema)
+        upsert_partitioned(spark, path, upd_df, ["k"], "part")
+        model = {**existing, **updates}
+        got = {
+            r["k"]: (r["part"], r["val"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == model
+
+    run()
+
+
 def test_key_move_detected_when_validation_on(spark, table):
     path, orders = table
     victim = orders.filter("o_orderstatus = 'O'").limit(1).collect()[0]
