@@ -169,32 +169,47 @@ def _oracle_timings(
             ] if name in ORACLE_TIMING_OVERRIDES else [sql]
             samples = []
             for _ in range(repeats):
-                # lock-guarded arm flag: a Timer firing between
-                # execute() returning and cancel() would otherwise
-                # interrupt the SHARED connection mid-next-query
-                lock = threading.Lock()
-                state = {"armed": True}
-
-                def _interrupt():
-                    with lock:
-                        if state["armed"]:
-                            con.interrupt()
-
-                timer = threading.Timer(duck_timeout, _interrupt)
-                timer.start()
+                # Timers are armed PER STATEMENT with the repeat's
+                # REMAINING budget: duckdb's interrupt() only cancels a
+                # currently-running query, so a single whole-repeat
+                # timer firing in the Python-side gap between the
+                # statements of a multi-statement override would no-op
+                # and the next statement would run unbounded. The
+                # remaining-budget check before each statement converts
+                # that no-op fire into a detected timeout. The
+                # lock-guarded arm flag keeps a fire racing cancel()
+                # from interrupting the SHARED connection mid-next-query.
                 t0 = time.perf_counter()
+                timed_out = False
                 try:
                     for s in stmts:
-                        con.execute(s).fetchall()
-                    samples.append(time.perf_counter() - t0)
+                        remaining = duck_timeout - (time.perf_counter() - t0)
+                        if remaining <= 0:
+                            timed_out = True
+                            break
+                        lock = threading.Lock()
+                        state = {"armed": True}
+
+                        def _interrupt(lock=lock, state=state):
+                            with lock:
+                                if state["armed"]:
+                                    con.interrupt()
+
+                        timer = threading.Timer(remaining, _interrupt)
+                        timer.start()
+                        try:
+                            con.execute(s).fetchall()
+                        finally:
+                            with lock:
+                                state["armed"] = False
+                            timer.cancel()
                 except duckdb.InterruptException:
+                    timed_out = True
+                if timed_out:
                     timeouts[name] = duck_timeout
                     samples = []
                     break  # first timeout: don't burn repeats-1 more
-                finally:
-                    with lock:
-                        state["armed"] = False
-                    timer.cancel()
+                samples.append(time.perf_counter() - t0)
             if samples:
                 out[name] = round(min(samples), 4)
     con.close()

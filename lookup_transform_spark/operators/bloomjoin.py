@@ -252,8 +252,13 @@ def _key_width(df: DataFrame, key_col: str) -> int:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType,
                        T.DateType)):
         return 4 + _KEY_OVERHEAD
-    if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType,
-                       T.DecimalType)):
+    if isinstance(dt, T.DecimalType):
+        # precision ≤ 18 packs into the 8-byte long slot of the unsafe
+        # row; wider decimals spill a 16-byte variable-length chunk —
+        # under-counting them would err the byte gate TOWARD an OOM
+        # broadcast, the one direction it promises never to err
+        return (8 if dt.precision <= 18 else 16) + _KEY_OVERHEAD
+    if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
         return 8 + _KEY_OVERHEAD
     return 24 + _KEY_OVERHEAD  # strings/binary: conservative average
 

@@ -123,16 +123,20 @@ def _estimated_rows(df: DataFrame) -> int | None:
     because of exactly this.
     """
     try:
+        from py4j.java_gateway import JavaPackage
+
         spark = df.sparkSession
         # Spark 4 moved the JVM class to sql.classic; fall back to the
         # Spark 3 location rather than letting the blanket except below
-        # swallow the ClassNotFound — a silent total stats outage would
-        # route EVERY semi_join_auto call down the bloom path (the same
-        # mis-route the thread-local fix was for).
-        try:
-            jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
-            jcls.getActiveSession  # force py4j resolution
-        except Exception:
+        # swallow the miss — a silent total stats outage would route
+        # EVERY semi_join_auto call down the bloom path (the same
+        # mis-route the thread-local fix was for). py4j NEVER raises on
+        # a missing class path: attribute access on an unknown FQN
+        # returns another JavaPackage (only CALLING one raises), so a
+        # try/except here would be dead code — the fallback must be an
+        # isinstance check (pinned in tests/test_plans.py).
+        jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+        if isinstance(jcls, JavaPackage):  # Spark 3.x: no sql.classic
             jcls = spark._jvm.org.apache.spark.sql.SparkSession
         prev = jcls.getActiveSession()  # scala Option
         jcls.setActiveSession(spark._jsparkSession)

@@ -118,9 +118,14 @@ def upsert_partitioned(
        exactly the affected directories — untouched partitions keep
        their files byte-for-byte (pinned). The staging write's
        ``_SUCCESS`` gates the commit, so a crashed write leaves the
-       table untouched; a crash MID-commit can leave a mix of old and
-       new affected partitions — the same non-atomic window Spark's own
-       dynamic partition overwrite has during its commit renames. Jobs
+       table untouched; a crash MID-commit can transiently leave a mix
+       of old and new affected partitions — the same non-atomic window
+       Spark's own dynamic partition overwrite has during its commit
+       renames — but the staged copy is never discarded while a commit
+       is pending: the next call ROLLS THE PENDING COMMIT FORWARD from
+       staging before doing anything else (the swap is idempotent), so
+       a retry converges to the fully-committed state instead of losing
+       the partitions whose old directory was already removed. Jobs
        that need an atomic multi-partition publish should write through
        the two-phase manifest sink instead.
 
@@ -151,6 +156,29 @@ def upsert_partitioned(
     """
     from pyspark.sql import functions as F
 
+    staging = f"{path}.__upsert_staging__"
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jpath.getFileSystem(jconf)
+    prefix = f"{partition_col}="
+    # Crash recovery BEFORE reading the table. A staging dir WITH
+    # _SUCCESS means a previous call crashed mid-commit: some affected
+    # partitions may already have been swapped, and for the rest the
+    # staged copy is the ONLY surviving copy (the commit loop deletes
+    # the old directory just before each rename). Deleting staging here
+    # — as a naive "clean slate" retry would — permanently loses those
+    # partitions' kept rows. Roll the pending commit FORWARD instead
+    # (the per-partition swap is idempotent: already-renamed partitions
+    # are no longer in staging), then proceed against the now-consistent
+    # table. A staging dir WITHOUT _SUCCESS is an incomplete staging
+    # write — the table was never touched, so it is safe to discard.
+    if fs.exists(jpath):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(staging, "_SUCCESS")):
+            _commit_staged(fs, jvm, jpath, path, prefix, staging)
+        else:
+            fs.delete(jpath, True)
+
     existing = spark.read.parquet(path)
     if validate_no_key_moves:
         moved = (
@@ -172,31 +200,6 @@ def upsert_partitioned(
                 "must keep each key in its existing partition"
             )
     parts_dim = updates.select(partition_col).distinct()
-    keep = (
-        existing.join(F.broadcast(parts_dim), on=partition_col, how="left_semi")
-        .join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    )
-    plan_str = keep._jdf.queryExecution().executedPlan().toString()
-    # the scan is pruned when EITHER (a) DPP inserted its runtime
-    # subquery, or (b) the batch filters on the partition column itself,
-    # which constraint propagation turns into a STATIC partition filter
-    # (= / IN / INSET on the column inside PartitionFilters — DPP then
-    # correctly declines as redundant)
-    statically_pruned = re.search(
-        rf"PartitionFilters: \[[^\n]*{re.escape(partition_col)}#\d+\s+(=|IN\b|INSET)",
-        plan_str,
-    )
-    if "dynamicpruning" not in plan_str and not statically_pruned:
-        # neither pruning form materialized (e.g. a literal batch with
-        # no predicate DPP rates selective) — fall back to collecting
-        # the partition values (partition-cardinality-sized) and
-        # pushing a static IN-list so the read-back can never degrade
-        # to a full-table scan
-        parts = [r[0] for r in parts_dim.collect()]
-        keep = (
-            existing.filter(F.col(partition_col).isin(parts))
-            .join(updates.select(*key_cols), on=key_cols, how="left_anti")
-        )
     # NULL partition values in the batch are refused fail-loud: every
     # pruning form here is EQUALITY-based (semi join, DPP, IN-list),
     # and equality never matches NULL — existing NULL-partition rows
@@ -225,15 +228,43 @@ def upsert_partitioned(
             for c in existing.columns
         ]
     )
+    keep = (
+        existing.join(F.broadcast(parts_dim), on=partition_col, how="left_semi")
+        .join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    )
     merged = keep.unionByName(guarded_updates)
+    # Inspect the plan of `merged` — the exact union the staging write
+    # wraps in its InsertIntoHadoopFsRelation, so DPP's per-query
+    # benefit decision is taken over the same tree the write will plan
+    # (inspecting the standalone `keep` would leave a blind spot: the
+    # union could plan differently and drop the pruning subquery).
+    plan_str = merged._jdf.queryExecution().executedPlan().toString()
+    # the scan is pruned when EITHER (a) DPP inserted its runtime
+    # subquery, or (b) the batch filters on the partition column itself,
+    # which constraint propagation turns into a STATIC partition filter
+    # (= / IN / INSET on the column inside PartitionFilters — DPP then
+    # correctly declines as redundant). The \b on the left keeps a
+    # partition column whose name suffixes another column (`cat` vs
+    # `sub_cat`) from false-matching that other column's filter.
+    statically_pruned = re.search(
+        rf"PartitionFilters: \[[^\n]*\b{re.escape(partition_col)}#\d+\s+(=|IN\b|INSET)",
+        plan_str,
+    )
+    if "dynamicpruning" not in plan_str and not statically_pruned:
+        # neither pruning form materialized (e.g. a literal batch with
+        # no predicate DPP rates selective) — fall back to collecting
+        # the partition values (partition-cardinality-sized) and
+        # pushing a static IN-list so the read-back can never degrade
+        # to a full-table scan
+        parts = [r[0] for r in parts_dim.collect()]
+        keep = (
+            existing.filter(F.col(partition_col).isin(parts))
+            .join(updates.select(*key_cols), on=key_cols, how="left_anti")
+        )
+        merged = keep.unionByName(guarded_updates)
     # one pass: read-back + merge + encode straight into staging (a
-    # SIBLING path — source != sink, so no checkpoint materialization)
-    staging = f"{path}.__upsert_staging__"
-    jvm = spark._jvm
-    jconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = jpath.getFileSystem(jconf)
-    fs.delete(jpath, True)  # a crashed prior attempt never committed
+    # SIBLING path — source != sink, so no checkpoint materialization;
+    # recovery above guarantees the staging path is absent here)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # commit: swap exactly the staged partition directories into place.
     # _SUCCESS gates it — Spark writes it only after every task
@@ -243,7 +274,15 @@ def upsert_partitioned(
             f"upsert_partitioned: staging write at {staging} did not "
             "commit (_SUCCESS missing); table left untouched"
         )
-    prefix = f"{partition_col}="
+    _commit_staged(fs, jvm, jpath, path, prefix, staging)
+
+
+def _commit_staged(fs, jvm, jpath, path: str, prefix: str, staging: str) -> None:
+    """Swap every staged ``<partition_col>=...`` directory into the
+    table by delete-then-rename, then drop the staging dir. Idempotent:
+    a rename moves the staged dir out of staging, so re-running after a
+    mid-commit crash resumes with the partitions still staged (the
+    roll-forward path in :func:`upsert_partitioned`)."""
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         if not (status.isDirectory() and name.startswith(prefix)):

@@ -559,3 +559,24 @@ def test_substring_dup_rate_single_explode_pass_no_join(spark):
     # detail section) — exactly one Generate = one explode pass
     simple = explain_str(df, "simple")
     assert simple.count("Generate") == 1, "explode must run once"
+
+
+def test_missing_jvm_class_path_is_javapackage_not_error(spark):
+    """Pin the py4j semantics _estimated_rows' Spark-3 fallback relies
+    on: attribute access on a missing JVM class path does NOT raise —
+    it returns another JavaPackage (py4j answers SUCCESS_PACKAGE for an
+    unknown FQN; only calling one raises). A try/except fallback is
+    therefore dead code; the version switch must be an isinstance
+    check, and the class it settles on must be a real JavaClass."""
+    from py4j.java_gateway import JavaPackage
+
+    bogus = spark._jvm.org.apache.spark.sql.no_such_pkg.SparkSession
+    assert isinstance(bogus, JavaPackage)  # no exception raised
+
+    from py4j.java_gateway import JavaClass
+
+    jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+    if isinstance(jcls, JavaPackage):  # Spark 3.x layout
+        jcls = spark._jvm.org.apache.spark.sql.SparkSession
+    assert isinstance(jcls, JavaClass)
+    assert jcls.getActiveSession() is not None

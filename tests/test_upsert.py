@@ -106,7 +106,11 @@ def test_readback_prunes_via_dpp_when_batch_is_filtered(spark, table):
     the read-back's partition restriction is a broadcast semi join that
     Dynamic Partition Pruning turns into a directory filter — no driver
     collect job. Pin the plan: the semi-join formulation of the
-    read-back carries a dynamicpruningexpression on the scan."""
+    read-back carries a dynamicpruningexpression on the scan. Pinned on
+    the UNION plan (keep ∪ updates) — the tree the staging write wraps
+    and the tree the writer itself inspects — not the standalone keep,
+    so the pin and the executed write can't diverge on DPP's per-query
+    benefit decision."""
     path, orders = table
     existing = spark.read.parquet(path)
     updates = orders.filter(F.col("o_orderkey") % 997 == 0)
@@ -115,7 +119,8 @@ def test_readback_prunes_via_dpp_when_batch_is_filtered(spark, table):
         existing.join(F.broadcast(parts_dim), on="o_orderstatus", how="left_semi")
         .join(updates.select("o_orderkey"), on=["o_orderkey"], how="left_anti")
     )
-    plan = keep._jdf.queryExecution().executedPlan().toString()
+    merged = keep.unionByName(updates.select(*existing.columns))
+    plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
 
 
@@ -188,6 +193,93 @@ def test_derived_batch_merge_and_staging_cleanup(spark, table):
         if not any(f"o_orderstatus={s}" in f for s in statuses)
     }
     assert untouched_b == untouched_a
+
+
+def test_mid_commit_crash_rolls_forward_without_losing_rows(spark, table):
+    """Durability pin for the rename commit: a crash BETWEEN the
+    delete of a partition's old directory and the rename of its staged
+    replacement leaves the staged copy as the ONLY copy of that
+    partition's kept rows. The next upsert call must ROLL THE PENDING
+    COMMIT FORWARD from staging (never wipe it as a stale attempt), so
+    a retry converges to the committed state instead of silently
+    dropping every non-updated row of the partition."""
+    import shutil
+
+    path, orders = table
+    before = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in orders.collect()
+    }
+    batch1 = spark.createDataFrame(
+        [(10_000_021, "O", 1.25)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    # Fabricate the exact mid-commit crash state batch1 would leave:
+    # staged merged content for partition O (old O rows + the insert),
+    # _SUCCESS present, and the table's O directory already deleted.
+    staged_src = str(path) + "__mk_staged__"
+    merged_O = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .unionByName(batch1)
+    )
+    merged_O.write.partitionBy("o_orderstatus").parquet(staged_src)
+    staging = f"{path}.__upsert_staging__"
+    os.makedirs(staging)
+    shutil.move(
+        os.path.join(staged_src, "o_orderstatus=O"),
+        os.path.join(staging, "o_orderstatus=O"),
+    )
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    shutil.rmtree(os.path.join(path, "o_orderstatus=O"))  # the crash
+
+    # retry arrives (here: a second batch touching a DIFFERENT
+    # partition, so any loss of O rows is attributable to recovery)
+    batch2 = spark.createDataFrame(
+        [(10_000_022, "F", 2.25)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upsert_partitioned(spark, path, batch2, ["o_orderkey"], "o_orderstatus")
+
+    after = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = dict(before)
+    want[10_000_021] = ("O", 1.25)
+    want[10_000_022] = ("F", 2.25)
+    assert after == want  # every kept O row survived the crash + retry
+    assert not os.path.exists(staging)
+
+
+def test_incomplete_staging_without_success_is_discarded(spark, table):
+    """A staging dir WITHOUT _SUCCESS is a crashed staging write — the
+    table was never touched, so the next call discards it and proceeds;
+    its half-written content must not leak into the merge."""
+    path, _ = table
+    staging = f"{path}.__upsert_staging__"
+    os.makedirs(os.path.join(staging, "o_orderstatus=O"))
+    with open(
+        os.path.join(staging, "o_orderstatus=O", "part-garbage.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not parquet")
+    before = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in spark.read.parquet(path).collect()
+    }
+    updates = spark.createDataFrame(
+        [(10_000_031, "O", 6.5)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    upsert_partitioned(spark, path, updates, ["o_orderkey"], "o_orderstatus")
+    after = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = dict(before)
+    want[10_000_031] = ("O", 6.5)
+    assert after == want
+    assert not os.path.exists(staging)
 
 
 def test_null_partition_value_refused_table_untouched(spark, table):
