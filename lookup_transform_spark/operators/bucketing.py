@@ -52,15 +52,31 @@ def ensure_bucketed(
     if spark.catalog.tableExists(table):
         return
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                         for f in df.schema.fields)
-        spark.sql(
-            f"CREATE TABLE {table} ({cols}) USING PARQUET "
-            f"CLUSTERED BY (`{bucket_col}`) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{path}'"
+        attach_external_bucketed(
+            spark, table, path, bucket_col, n_buckets, df.schema
         )
         return
     write_bucketed(df, table, bucket_col, n_buckets, path=path)
+
+
+def attach_external_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    schema,
+) -> None:
+    """Register existing on-disk bucketed parquet as an external catalog
+    table (bucket metadata lives in the catalog, so a bare
+    ``read.parquet`` would lose the no-shuffle join property)."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bucket_col}`) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
 
 
 def bucketed_join(

@@ -15,6 +15,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -794,8 +796,9 @@ def embedding_near_dup_pairs(
     a cluster-killer beyond (2M rows ≈ 2·10¹² dot products). Above the
     bound it raises and names the sub-quadratic substitutes instead of
     silently launching an unbounded job; raise ``max_rows`` explicitly
-    to override. The check uses free plan statistics, confirmed by an
-    actual count only when the estimate trips.
+    to override. The check uses free plan statistics, confirmed by a
+    limit-bounded count when the estimate trips — or when statistics
+    are unavailable entirely (unknown size must confirm, not allow).
 
     Fully distributed block-matmul — NOTHING is collected to the driver:
 
@@ -820,13 +823,19 @@ def embedding_near_dup_pairs(
     """
     from lookup_transform_spark.plans.lookup import _estimated_rows
 
+    # Refusal guards must treat UNKNOWN size as "confirm", never as
+    # "allow": when plan statistics are unavailable (Spark Connect, a
+    # stats outage) `est is None`, and skipping the check there would
+    # silently launch the exact cluster-killer the guard exists to
+    # refuse. The confirmation count is limit-bounded — it scans at
+    # most max_rows+1 rows, not the corpus.
     est = _estimated_rows(emb)
-    if est is not None and est > max_rows:
-        actual = emb.count()
+    if est is None or est > max_rows:
+        actual = emb.limit(max_rows + 1).count()
         if actual > max_rows:
             raise ValueError(
                 f"embedding_near_dup_pairs is exact all-pairs (O(n²)); the "
-                f"corpus has {actual} rows > max_rows={max_rows}. Use "
+                f"corpus has > max_rows={max_rows} rows. Use "
                 f"minhash_lsh_pairs / semantic_dedup / lsh_bucket_topk "
                 f"(sub-quadratic) or raise max_rows explicitly."
             )
@@ -1117,6 +1126,64 @@ def _lsh_bands_and_store(
     return banded, store
 
 
+def _lsh_current_location(default_path: str) -> str:
+    """Resolve a standing-table location through its generation pointer.
+
+    ``compact_lsh_index`` swaps each table onto a new sibling location
+    (``...__gN``) and records it in ``<default>.__current__`` (written
+    atomically via tmp + rename). A fresh session — whose in-memory
+    catalog lost the ALTERed location — resolves through the pointer;
+    without one the original location stands. A stale pointer (crash
+    between the ALTER and the pointer write) still names a complete,
+    ``_SUCCESS``-gated directory — the pre-compact generation — so the
+    failure mode is duplicate candidate rows, never data loss."""
+    import os as _os
+
+    ptr = f"{default_path}.__current__"
+    try:
+        with open(ptr) as fh:
+            loc = fh.read().strip()
+        if loc and _os.path.exists(_os.path.join(loc, "_SUCCESS")):
+            return loc
+    except OSError:
+        pass
+    return default_path
+
+
+def lsh_index_ready(
+    spark, table_prefix: str, path: str, n_buckets: int = 16
+) -> bool:
+    """True when the standing LSH index exists and its catalog entries
+    are usable (re-attaching external DDL from disk when a fresh
+    session's in-memory catalog lost them); False when no index has
+    been written yet. The ingest's has-index probe: a bare
+    directory-exists check breaks after compaction moves the tables to
+    a new generation location, and treating a momentarily-unattached
+    index as absent would silently skip the near-dup probe."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    from lookup_transform_spark.operators.bucketing import (
+        attach_external_bucketed,
+    )
+
+    ok = True
+    for sub, bucket_col in (("bands", "__bb__"), ("docs", "doc_id")):
+        table = f"{table_prefix}_{sub}"
+        if spark.catalog.tableExists(table):
+            continue
+        loc = _lsh_current_location(f"{path}/{sub}")
+        loc_fs = urlparse(loc).path if "://" in loc or loc.startswith("file:") else loc
+        if not _os.path.exists(_os.path.join(loc_fs, "_SUCCESS")):
+            ok = False
+            continue
+        schema = spark.read.parquet(loc_fs).schema
+        attach_external_bucketed(
+            spark, table, loc_fs, bucket_col, n_buckets, schema
+        )
+    return ok
+
+
 def write_lsh_index(
     spark,
     docs: DataFrame,
@@ -1152,13 +1219,15 @@ def write_lsh_index(
     banded, store = _lsh_bands_and_store(
         docs, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
+    # locations resolve through the generation pointer so a re-create
+    # after compaction moved the tables attaches the LIVE generation
     ensure_bucketed(
         spark, banded, f"{table_prefix}_bands", "__bb__", n_buckets,
-        f"{path}/bands",
+        _lsh_current_location(f"{path}/bands"),
     )
     ensure_bucketed(
         spark, store, f"{table_prefix}_docs", "doc_id", n_buckets,
-        f"{path}/docs",
+        _lsh_current_location(f"{path}/docs"),
     )
 
 
@@ -1213,27 +1282,75 @@ def _table_meta(spark, table: str) -> tuple[str, int]:
 
 
 def compact_lsh_index(spark, table_prefix: str) -> None:
-    """Dedupe-rewrite the standing LSH tables in place (ADVICE r7).
+    """Dedupe-rewrite the standing LSH tables (ADVICE r7), crash-safe.
 
     ``append_to_lsh_index`` is append-only, so an at-least-once
     redelivery that replays an append leaves a second copy of that
     batch's band/doc rows: results stay correct (the exact-Jaccard
     verify re-filters the duplicate candidates) but probe cost grows
     monotonically with every retry. This maintenance op drops exact
-    duplicate rows and rewrites each table under its own bucket spec —
-    same layout, same path, minimal row set. The input is
-    ``localCheckpoint``-materialized before the overwrite so the
-    rewrite never consumes its own output. O(index) cost: run it on
-    retry detection or on a maintenance cadence, not per batch."""
+    duplicate rows and rewrites each table under its own bucket spec.
+
+    The rewrite is a GENERATION SWAP, never in-place: an in-place
+    ``mode("overwrite").saveAsTable`` from ``localCheckpoint`` blocks
+    truncates the only copy of the standing index before the new one
+    is durable — a driver or executor loss mid-rewrite (and compaction
+    runs on retry detection, i.e. exactly when the cluster is already
+    unhealthy) would leave every subsequent batch near-deduping against
+    an empty or partial index, silently accepting duplicates. Instead
+    the deduped rows are written bucketed to a NEW sibling location
+    (``...__gN``) under a temp catalog entry, then the live table is
+    pointed at it with a single ``ALTER TABLE SET LOCATION`` metadata
+    op. The live table is readable and complete at EVERY instant:
+    a crash before the ALTER leaves it on the old location untouched;
+    after, on the new complete one. Leftover temp entries/dirs are
+    swept by the next compact. O(index) cost: run it on retry
+    detection or on a maintenance cadence, not per batch."""
+    import re as _re
+
     from lookup_transform_spark.operators.bucketing import write_bucketed
 
+    gen_re = _re.compile(r"__g(\d+)$")
     for table, bucket_col in (
         (f"{table_prefix}_bands", "__bb__"),
         (f"{table_prefix}_docs", "doc_id"),
     ):
-        path, n_buckets = _table_meta(spark, table)
-        deduped = spark.table(table).dropDuplicates().localCheckpoint()
-        write_bucketed(deduped, table, bucket_col, n_buckets, path=path)
+        loc, n_buckets = _table_meta(spark, table)
+        loc = loc.rstrip("/")
+        m = gen_re.search(loc)
+        base, gen = (loc[: m.start()], int(m.group(1))) if m else (loc, 0)
+        next_loc = f"{base}__g{gen + 1}"
+        tmp_table = f"{table}__compact"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # crashed attempt
+        deduped = spark.table(table).dropDuplicates()
+        # durable full copy at the new location FIRST (the temp entry
+        # exists only because bucketed layout requires saveAsTable)
+        write_bucketed(deduped, tmp_table, bucket_col, n_buckets,
+                       path=next_loc)
+        # single metadata op: the swap. Readers never see a partial
+        # table — old location until here, new complete one after.
+        spark.sql(f"ALTER TABLE {table} SET LOCATION '{next_loc}'")
+        # durable generation pointer for fresh sessions (the in-memory
+        # catalog forgets the ALTER on restart): tmp + atomic rename. A
+        # crash before this line leaves a stale pointer naming the
+        # complete pre-compact generation — duplicates, not loss.
+        from urllib.parse import urlparse as _urlparse
+
+        def _fs_path(p: str) -> str:
+            return _urlparse(p).path if p.startswith("file:") or "://" in p else p
+
+        ptr = f"{_fs_path(base)}.__current__"
+        tmp_ptr = ptr + ".tmp"
+        with open(tmp_ptr, "w") as fh:
+            fh.write(_fs_path(next_loc))
+        os.replace(tmp_ptr, ptr)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # entry only: external
+        # sweep the previous generation's data files (best-effort: an
+        # orphan dir from a crash here is storage, not correctness)
+        jvm = spark._jvm
+        jold = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jold.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jold, True)
 
 
 def incremental_minhash_probe(

@@ -44,6 +44,7 @@ from lookup_transform_spark.operators.text import content_fingerprint
 #: misorder it — only exact matches participate in state reads.
 _BATCH_RE = re.compile(r"^batch_(\d+)$")
 _BASE_RE = re.compile(r"^base_(\d+)$")
+_SEG_RE = re.compile(r"^seg_(\d+)_(\d+)$")
 
 
 def _batch_dirs(path: str, before: int | None = None) -> list[str]:
@@ -75,12 +76,11 @@ def _batch_dirs(path: str, before: int | None = None) -> list[str]:
 
 
 def _newest_base(path: str, before: int | None = None) -> tuple[int, str] | None:
-    """Newest committed base generation ``base_M`` (the compacted fold
-    of all batches < M) visible to a reader that may see only state
-    from batches < ``before``. M <= before always holds for bases
-    created by ``compact_ingest_state`` (compaction only ever folds
-    batches the checkpoint has committed), but the reader filters
-    defensively anyway. ``_SUCCESS`` gates out a crashed fold."""
+    """LEGACY reader: newest committed ``base_M`` dir (the pre-r8
+    single-lineage layout, where one base held the fold of ALL batches
+    < M). The segment reader treats such a dir as ``seg_0_M``; this
+    helper remains only for layout-compat tests. ``_SUCCESS`` gates out
+    a crashed fold."""
     if not os.path.isdir(path):
         return None
     best = None
@@ -99,24 +99,77 @@ def _newest_base(path: str, before: int | None = None) -> tuple[int, str] | None
     return best
 
 
+def _segments(
+    path: str, before: int | None = None
+) -> list[tuple[int, int, str]]:
+    """Committed fold segments under ``path``: ``seg_LO_HI`` dirs each
+    covering the batch-id range [LO, HI), plus legacy ``base_N`` dirs
+    read as (0, N). ``_SUCCESS``-gated (a crashed fold is invisible);
+    only segments fully inside the visibility window (hi <= before)
+    participate, so a retried batch never sees state folded at or after
+    itself. Sorted (lo asc, hi desc) — the widest segment at each
+    boundary comes first."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if not os.path.isdir(full):
+            continue
+        if not os.path.exists(os.path.join(full, "_SUCCESS")):
+            continue
+        m = _SEG_RE.match(d)
+        if m:
+            lo, hi = int(m.group(1)), int(m.group(2))
+        else:
+            mb = _BASE_RE.match(d)
+            if not mb:
+                continue
+            lo, hi = 0, int(mb.group(1))
+        if hi <= lo:
+            continue
+        if before is not None and hi > before:
+            continue
+        out.append((lo, hi, full))
+    out.sort(key=lambda s: (s[0], -s[1]))
+    return out
+
+
+def _segment_chain(
+    path: str, before: int | None = None
+) -> list[tuple[int, int, str]]:
+    """The non-overlapping segment cover a state read unions: from each
+    range boundary, the WIDEST committed segment wins. A narrower
+    segment a chosen one covers is a crashed merge's leftover input
+    (both the merged segment and its inputs outlived the crash) — it is
+    skipped here and swept by the next compaction."""
+    chain: list[tuple[int, int, str]] = []
+    cursor = 0
+    for lo, hi, full in _segments(path, before):
+        if lo == cursor and hi > cursor:
+            chain.append((lo, hi, full))
+            cursor = hi
+    return chain
+
+
 def _state_dirs(path: str, before: int | None = None) -> list[str]:
-    """All directories a state read must union: the newest visible base
-    generation plus the batch dirs it does not cover. Batch dirs with
-    id < the base's generation are shadowed (their rows live in the
-    base — they only still exist if a compaction crashed between its
-    base write and its cleanup) and are excluded."""
-    base = _newest_base(path, before)
-    lo = base[0] if base else None
+    """All directories a state read must union: the committed segment
+    chain plus the batch dirs past its end. Batch dirs with id below
+    the chain's end are shadowed (their rows live in a segment — they
+    only still exist if a compaction crashed between its fold and its
+    cleanup) and are excluded."""
+    chain = _segment_chain(path, before)
+    end = chain[-1][1] if chain else 0
     dirs = [
         d
         for d in _batch_dirs(path, before)
-        if lo is None or int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= lo
+        if int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= end
     ]
-    return ([base[1]] if base else []) + dirs
+    return [c[2] for c in chain] + dirs
 
 
 def _read_batches(spark: SparkSession, path: str, before: int | None = None):
-    """Union of the committed state (base generation + batch dirs);
+    """Union of the committed state (segment chain + batch dirs);
     None when there is none."""
     dirs = _state_dirs(path, before)
     if not dirs:
@@ -127,46 +180,81 @@ def _read_batches(spark: SparkSession, path: str, before: int | None = None):
 def compact_ingest_state(
     spark: SparkSession, path: str, upto: int, target_files: int = 1
 ) -> None:
-    """Fold every committed batch dir with id < ``upto`` (plus the
-    previous base generation) into ``base_<upto>``, then delete what
-    the new base shadows (VERDICT r7 #3: without this, every
-    micro-batch's state read lists and opens O(batches) directories —
-    a long-running ingest degrades linearly).
+    """Fold the committed batch dirs with id < ``upto`` into a new
+    segment, then merge segments GEOMETRICALLY (VERDICT r7 #3 + r8
+    review: without folding, every micro-batch's state read lists and
+    opens O(batches) directories; but folding everything into ONE base
+    each time rewrites the whole corpus every ``compact_every`` batches
+    — O(corpus²/compact_every) bytes over a stream's lifetime, funneled
+    through the fold. The leveled schedule keeps both bounds).
+
+    LSM-style binary-counter schedule: the fresh batches fold into
+    ``seg_<end>_<upto>`` — O(new data), never touching prior segments —
+    then adjacent segments merge while the newer one's batch-range is
+    at least as wide as the older's. Any given row is rewritten
+    O(log batches) times total, and a state read unions O(log batches
+    + compact_every) directories. Merged segments scale their file
+    count with their width, so segment files grow toward scan-friendly
+    sizes instead of multiplying.
 
     Retry-idempotency is preserved by construction: compaction only
     runs with ``upto`` = the CURRENT batch id, and Structured Streaming
     never redelivers a batch older than the current one (its offsets
     are committed), so the only batch that can still be retried sees
-    ``base_upto`` — exactly the ``< upto`` state it would have read
-    from the individual dirs. Idempotent: a retried trigger finds the
-    committed base and skips the fold. Crash-safe: the base is invisible
-    until its ``_SUCCESS`` lands, and shadowed dirs that outlive a
-    crash between fold and cleanup are excluded by ``_state_dirs``.
+    segments with hi <= upto — exactly the ``< upto`` state it would
+    have read from the individual dirs. Idempotent: a retried trigger
+    finds each committed segment and skips its fold. Crash-safe: a
+    segment is invisible until its ``_SUCCESS`` lands; shadowed inputs
+    that outlive a crash between fold and cleanup are excluded by
+    ``_segment_chain`` (widest-segment-wins) and swept here next time.
     """
     from lookup_transform_spark.operators.compaction import compact_parquet
 
-    base_path = os.path.join(path, f"base_{upto:05d}")
-    if not os.path.exists(os.path.join(base_path, "_SUCCESS")):
-        prev = _newest_base(path, upto)
-        folds = ([prev[1]] if prev else []) + [
-            d
-            for d in _batch_dirs(path, upto)
-            if prev is None
-            or int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= prev[0]
-        ]
-        if not folds:
-            return
-        if len(folds) == 1 and prev is not None and folds[0] == prev[1]:
-            return  # nothing new since the previous generation
-        compact_parquet(spark, folds, base_path, target_files=target_files)
-    # cleanup: everything the new base shadows
+    def _seg_path(lo: int, hi: int) -> str:
+        return os.path.join(path, f"seg_{lo:05d}_{hi:05d}")
+
+    def _committed(p: str) -> bool:
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    chain = _segment_chain(path, upto)
+    end = chain[-1][1] if chain else 0
+    fresh = [
+        d
+        for d in _batch_dirs(path, upto)
+        if int(_BATCH_RE.match(os.path.basename(d)).group(1)) >= end
+    ]
+    if fresh:
+        seg = _seg_path(end, upto)
+        if not _committed(seg):
+            compact_parquet(spark, fresh, seg, target_files=target_files)
+        chain.append((end, upto, seg))
+    # binary-counter merge: fold the two newest segments while the
+    # newer is at least as wide (in batches — the size proxy) as the
+    # older; each row is merged O(log batches) times over the stream
+    while len(chain) >= 2 and (
+        chain[-1][1] - chain[-1][0] >= chain[-2][1] - chain[-2][0]
+    ):
+        lo, hi = chain[-2][0], chain[-1][1]
+        seg = _seg_path(lo, hi)
+        if not _committed(seg):
+            tf = max(target_files, (hi - lo) // 16)
+            compact_parquet(
+                spark, [chain[-2][2], chain[-1][2]], seg, target_files=tf
+            )
+        chain[-2:] = [(lo, hi, seg)]
+    # cleanup: batch dirs and segments the chain shadows
+    covered = chain[-1][1] if chain else 0
+    keep = {os.path.basename(c[2]) for c in chain}
     for d in os.listdir(path):
         full = os.path.join(path, d)
         mb = _BATCH_RE.match(d)
-        mg = _BASE_RE.match(d)
-        if mb and int(mb.group(1)) < upto:
+        if mb and int(mb.group(1)) < covered:
             shutil.rmtree(full, ignore_errors=True)
-        elif mg and int(mg.group(1)) < upto:
+            continue
+        ms = _SEG_RE.match(d)
+        mg = _BASE_RE.match(d)
+        hi = int(ms.group(2)) if ms else (int(mg.group(1)) if mg else None)
+        if hi is not None and hi <= covered and d not in keep:
             shutil.rmtree(full, ignore_errors=True)
 
 
@@ -258,8 +346,9 @@ def stream_ingest_dedup(
     the final corpus (doc_id, f) as a batch DataFrame.
 
     Every ``compact_every`` batches the committed state folds into a
-    base generation (``compact_ingest_state``), so a state read opens
-    O(compact_every) directories regardless of stream lifetime."""
+    segment (``compact_ingest_state``), with geometric merging, so a
+    state read opens O(log batches + compact_every) directories and no
+    row is rewritten more than O(log batches) times."""
     stage = os.path.join(work_dir, "arrivals")
     corpus = os.path.join(work_dir, "corpus")
     index = os.path.join(work_dir, "fp_index")
@@ -370,12 +459,14 @@ def ingest_batch_neardedup(
     retry and its own cleanup, never permanently.
 
     Every ``compact_every`` batches the corpus and fingerprint-index
-    batch dirs fold into a base generation (``compact_ingest_state``),
-    keeping the per-batch state read at O(compact_every) directories."""
+    batch dirs fold into a segment (``compact_ingest_state``) with
+    geometric merging, keeping the per-batch state read at
+    O(log batches + compact_every) directories."""
     from lookup_transform_spark.operators.dedup import (
         append_to_lsh_index,
         compact_lsh_index,
         incremental_minhash_probe,
+        lsh_index_ready,
         minhash_lsh_pairs,
         write_lsh_index,
     )
@@ -407,8 +498,12 @@ def ingest_batch_neardedup(
     )
     drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     accepted = local.join(drop, "doc_id", "left_anti")
-    # vs the standing LSH index (novel ids only), if one exists yet
-    has_lsh = os.path.exists(os.path.join(lsh_path, "docs", "_SUCCESS"))
+    # vs the standing LSH index (novel ids only), if one exists yet.
+    # Catalog-aware (re-attaching from disk for a fresh session): a bare
+    # directory check breaks once compaction has moved the tables to a
+    # new generation location — the original dir is gone, and treating
+    # the index as absent would silently skip the near-dup probe.
+    has_lsh = lsh_index_ready(s, lsh_table, lsh_path)
     if has_lsh:
         novel = incremental_minhash_probe(
             s, accepted.select("doc_id", "text"), lsh_table,

@@ -255,3 +255,19 @@ def test_embedding_near_dup_guards_quadratic_corpus(spark):
         emb, threshold=0.5, blocks=2, max_rows=100
     ).collect()
     assert out is not None
+
+
+def test_embedding_near_dup_guard_refuses_on_stats_outage(spark, monkeypatch):
+    # A refusal guard must treat UNKNOWN size as "confirm with a
+    # bounded count", never as "allow": when plan statistics are
+    # unavailable (_estimated_rows -> None, e.g. Spark Connect) the
+    # O(n²) tier must still refuse an over-bound corpus.
+    import lookup_transform_spark.plans.lookup as plans_lookup
+    from lookup_transform_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    monkeypatch.setattr(plans_lookup, "_estimated_rows", lambda df: None)
+    emb = _vecs(spark, with_zero=False)
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dup_pairs(emb, threshold=0.5, blocks=2, max_rows=2)

@@ -563,8 +563,11 @@ def test_ingest_state_compaction_bounds_reads(spark, sf_dir, tmp_path):
     for state in ("corpus", "fp_index"):
         dirs = _state_dirs(os.path.join(work, state))
         names = sorted(os.path.basename(d) for d in dirs)
-        assert len(dirs) <= 5, names  # 1 base + 4 live batch dirs
-        assert any(n.startswith("base_") for n in names), names
+        # O(log batches + compact_every): 20 batches / compact_every=4
+        # collapse to one seg_00000_00016 (binary-counter merges at 8
+        # and 16) + 4 live batch dirs
+        assert len(dirs) <= 6, names
+        assert any(n.startswith(("seg_", "base_")) for n in names), names
 
     arrivals = spark.read.parquet(f"{work}/arrivals/batch_*")
     want_df = (
@@ -642,8 +645,9 @@ def test_ingest_retry_after_compaction_idempotent(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}_bands")
             spark.sql(f"DROP TABLE IF EXISTS {t}_docs")
 
-    # batches 0..2 folded at the batch-3 trigger, 0..5 at batch 6; the
-    # redelivered batch 6 saw base_00006 — identical state
+    # batches 0..2 folded at the batch-3 trigger; at batch 6 seg_3_6
+    # folds and binary-counter-merges with seg_0_3 into seg_0_6; the
+    # redelivered batch 6 saw exactly the < 6 state — identical
     assert retry_rows == clean_rows and clean_rows
     # LSH tables back to exactly-once row counts after the retry compact
     assert retry_counts == clean_counts
@@ -680,3 +684,74 @@ def test_batch_dirs_ignore_stray_entries(tmp_path):
         "base_00003",
         "batch_00003",
     ]
+
+
+def test_ingest_compaction_is_leveled_not_full_rewrite(spark, tmp_path):
+    """r8 review: the fold schedule must be LSM-leveled. A compaction
+    folds only the FRESH batch dirs into a new segment and merges
+    segments geometrically (binary counter on batch-range width), so
+    total rewrite work over a stream's lifetime is O(n log n) — the
+    previous fold-everything-into-one-base schedule rewrote the whole
+    corpus every compact_every batches, O(n²/compact_every). The
+    amortization pin: a compaction that triggers no merge leaves prior
+    segments byte-for-byte untouched."""
+    import os
+
+    from lookup_transform_spark.streaming.ingest import (
+        _read_batches,
+        _segment_chain,
+        compact_ingest_state,
+    )
+
+    root = str(tmp_path / "lsm")
+    os.makedirs(root)
+
+    def write_batch(bid):
+        (
+            spark.range(bid * 10, bid * 10 + 10).toDF("doc_id").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, f"batch_{bid:05d}"))
+        )
+
+    def ranges():
+        return [(lo, hi) for lo, hi, _ in _segment_chain(root)]
+
+    def snapshot(seg):
+        d = os.path.join(root, seg)
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)
+        }
+
+    for b in range(4):
+        write_batch(b)
+    compact_ingest_state(spark, root, 4)
+    assert ranges() == [(0, 4)]
+
+    for b in range(4, 8):
+        write_batch(b)
+    compact_ingest_state(spark, root, 8)
+    # binary counter: seg_4_8 (width 4) merges seg_0_4 (width 4) → 0_8
+    assert ranges() == [(0, 8)]
+    snap_0_8 = snapshot("seg_00000_00008")
+
+    for b in range(8, 12):
+        write_batch(b)
+    compact_ingest_state(spark, root, 12)
+    # width 4 < width 8: NO merge — and seg_0_8 byte-for-byte untouched
+    assert ranges() == [(0, 8), (8, 12)]
+    assert snapshot("seg_00000_00008") == snap_0_8
+
+    for b in range(12, 16):
+        write_batch(b)
+    compact_ingest_state(spark, root, 16)
+    # 12_16 merges 8_12 → 8_16 (width 8), which merges 0_8 → 0_16
+    assert ranges() == [(0, 16)]
+
+    # contents survived every fold: all 160 ids, exactly once
+    got = sorted(r["doc_id"] for r in _read_batches(spark, root).collect())
+    assert got == list(range(160))
+    # shadowed inputs swept
+    names = set(os.listdir(root))
+    assert not names & {"seg_00000_00008", "seg_00008_00012",
+                        "seg_00008_00016", "seg_00012_00016"}
+    assert not any(n.startswith("batch_") for n in names)
