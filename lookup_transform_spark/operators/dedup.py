@@ -1126,28 +1126,51 @@ def _lsh_bands_and_store(
     return banded, store
 
 
-def _lsh_current_location(default_path: str) -> str:
-    """Resolve a standing-table location through its generation pointer.
+def _fs_path(p: str) -> str:
+    """Scheme-stripped filesystem path of a location string (catalog
+    locations come back as URIs like ``file:/...``)."""
+    from urllib.parse import urlparse
+
+    return urlparse(p).path if "://" in p or p.startswith("file:") else p
+
+
+def _lsh_current_location(spark, default_path: str) -> str:
+    """Resolve a standing-table location to its newest committed
+    generation.
 
     ``compact_lsh_index`` swaps each table onto a new sibling location
-    (``...__gN``) and records it in ``<default>.__current__`` (written
-    atomically via tmp + rename). A fresh session — whose in-memory
-    catalog lost the ALTERed location — resolves through the pointer;
-    without one the original location stands. A stale pointer (crash
-    between the ALTER and the pointer write) still names a complete,
-    ``_SUCCESS``-gated directory — the pre-compact generation — so the
-    failure mode is duplicate candidate rows, never data loss."""
-    import os as _os
+    (``...__gN``). Rather than a pointer file (driver-local writes
+    break on any non-local table filesystem, and a pointer can go
+    stale), the CURRENT generation is resolved structurally: the
+    highest-numbered ``<default>__gN`` sibling whose ``_SUCCESS`` has
+    landed, else the original location. Listing goes through the
+    location's own Hadoop FileSystem, so the rule holds on HDFS/object
+    stores exactly as on local disk. A completed generation that never
+    got ALTERed in (crash between the write and the swap) is safe to
+    choose: it is the dedupe of everything committed at fold time, and
+    the crashed batch replays its appends on retry."""
+    import re as _re
 
-    ptr = f"{default_path}.__current__"
-    try:
-        with open(ptr) as fh:
-            loc = fh.read().strip()
-        if loc and _os.path.exists(_os.path.join(loc, "_SUCCESS")):
-            return loc
-    except OSError:
-        pass
-    return default_path
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    pattern = jvm.org.apache.hadoop.fs.Path(default_path + "__g*")
+    fs = pattern.getFileSystem(jconf)
+    gen_re = _re.compile(r"__g(\d+)$")
+    best, best_gen = default_path, -1
+    statuses = fs.globStatus(pattern)
+    for st in statuses or []:
+        if not st.isDirectory():
+            continue
+        p = st.getPath()
+        m = gen_re.search(p.getName())
+        if not m:
+            continue
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            continue
+        g = int(m.group(1))
+        if g > best_gen:
+            best_gen, best = g, _fs_path(p.toString())
+    return best
 
 
 def lsh_index_ready(
@@ -1159,10 +1182,13 @@ def lsh_index_ready(
     been written yet. The ingest's has-index probe: a bare
     directory-exists check breaks after compaction moves the tables to
     a new generation location, and treating a momentarily-unattached
-    index as absent would silently skip the near-dup probe."""
-    import os as _os
-    from urllib.parse import urlparse
+    index as absent would silently skip the near-dup probe.
 
+    ``n_buckets`` MUST match the value the index was written with
+    (the same parameter-consistency contract the probe/append path
+    already has for ``num_hashes``/``bands``/``shingle_n``): bucket
+    metadata lives only in the catalog, and re-declaring a different
+    count would silently mis-colocate the probe join."""
     from lookup_transform_spark.operators.bucketing import (
         attach_external_bucketed,
     )
@@ -1172,14 +1198,13 @@ def lsh_index_ready(
         table = f"{table_prefix}_{sub}"
         if spark.catalog.tableExists(table):
             continue
-        loc = _lsh_current_location(f"{path}/{sub}")
-        loc_fs = urlparse(loc).path if "://" in loc or loc.startswith("file:") else loc
-        if not _os.path.exists(_os.path.join(loc_fs, "_SUCCESS")):
+        loc = _lsh_current_location(spark, f"{path}/{sub}")
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
             ok = False
             continue
-        schema = spark.read.parquet(loc_fs).schema
+        schema = spark.read.parquet(loc).schema
         attach_external_bucketed(
-            spark, table, loc_fs, bucket_col, n_buckets, schema
+            spark, table, loc, bucket_col, n_buckets, schema
         )
     return ok
 
@@ -1219,15 +1244,15 @@ def write_lsh_index(
     banded, store = _lsh_bands_and_store(
         docs, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
-    # locations resolve through the generation pointer so a re-create
-    # after compaction moved the tables attaches the LIVE generation
+    # locations resolve to the newest committed generation so a
+    # re-create after compaction moved the tables attaches the LIVE one
     ensure_bucketed(
         spark, banded, f"{table_prefix}_bands", "__bb__", n_buckets,
-        _lsh_current_location(f"{path}/bands"),
+        _lsh_current_location(spark, f"{path}/bands"),
     )
     ensure_bucketed(
         spark, store, f"{table_prefix}_docs", "doc_id", n_buckets,
-        _lsh_current_location(f"{path}/docs"),
+        _lsh_current_location(spark, f"{path}/docs"),
     )
 
 
@@ -1303,14 +1328,20 @@ def compact_lsh_index(spark, table_prefix: str) -> None:
     pointed at it with a single ``ALTER TABLE SET LOCATION`` metadata
     op. The live table is readable and complete at EVERY instant:
     a crash before the ALTER leaves it on the old location untouched;
-    after, on the new complete one. Leftover temp entries/dirs are
-    swept by the next compact. O(index) cost: run it on retry
-    detection or on a maintenance cadence, not per batch."""
+    after, on the new complete one. Fresh sessions resolve the live
+    generation structurally (``_lsh_current_location``: newest
+    ``_SUCCESS``-gated ``__gN`` sibling), so no pointer state can go
+    stale or get lost. Leftover dirs/entries from a crashed attempt
+    are swept HERE, before reuse — a retry must not trip CTAS's
+    non-empty-location refusal on its own debris. O(index) cost: run
+    it on retry detection or a maintenance cadence, not per batch."""
     import re as _re
 
     from lookup_transform_spark.operators.bucketing import write_bucketed
 
     gen_re = _re.compile(r"__g(\d+)$")
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
     for table, bucket_col in (
         (f"{table_prefix}_bands", "__bb__"),
         (f"{table_prefix}_docs", "doc_id"),
@@ -1322,6 +1353,13 @@ def compact_lsh_index(spark, table_prefix: str) -> None:
         next_loc = f"{base}__g{gen + 1}"
         tmp_table = f"{table}__compact"
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # crashed attempt
+        # a crashed attempt may also have left data files at next_loc
+        # (no ALTER ran, so the live table still reads the old
+        # location); sweep them or the retry's CREATE TABLE AS SELECT
+        # refuses the non-empty location and compaction wedges forever
+        jnext = jvm.org.apache.hadoop.fs.Path(next_loc)
+        fs = jnext.getFileSystem(jconf)
+        fs.delete(jnext, True)
         deduped = spark.table(table).dropDuplicates()
         # durable full copy at the new location FIRST (the temp entry
         # exists only because bucketed layout requires saveAsTable)
@@ -1330,26 +1368,11 @@ def compact_lsh_index(spark, table_prefix: str) -> None:
         # single metadata op: the swap. Readers never see a partial
         # table — old location until here, new complete one after.
         spark.sql(f"ALTER TABLE {table} SET LOCATION '{next_loc}'")
-        # durable generation pointer for fresh sessions (the in-memory
-        # catalog forgets the ALTER on restart): tmp + atomic rename. A
-        # crash before this line leaves a stale pointer naming the
-        # complete pre-compact generation — duplicates, not loss.
-        from urllib.parse import urlparse as _urlparse
-
-        def _fs_path(p: str) -> str:
-            return _urlparse(p).path if p.startswith("file:") or "://" in p else p
-
-        ptr = f"{_fs_path(base)}.__current__"
-        tmp_ptr = ptr + ".tmp"
-        with open(tmp_ptr, "w") as fh:
-            fh.write(_fs_path(next_loc))
-        os.replace(tmp_ptr, ptr)
         spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # entry only: external
         # sweep the previous generation's data files (best-effort: an
-        # orphan dir from a crash here is storage, not correctness)
-        jvm = spark._jvm
+        # orphan dir from a crash here is storage, not correctness —
+        # and generation resolution always prefers the newest commit)
         jold = jvm.org.apache.hadoop.fs.Path(loc)
-        fs = jold.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jold, True)
 
 

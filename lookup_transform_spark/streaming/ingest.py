@@ -427,12 +427,17 @@ def ingest_batch_neardedup(
     lsh_path: str,
     threshold: float = 0.5,
     compact_every: int = 8,
+    n_buckets: int = 16,
 ) -> None:
     """One ingest step: exact dedup (within batch + vs the standing
     fingerprint index), then NEAR-dup (within batch + vs the standing
     LSH index), then append the accepted docs to the corpus and BOTH
     indexes. Shared verbatim by the foreachBatch stream and the batch
     replay (tests pin stream ≡ replay on top of it).
+
+    ``n_buckets`` (like the probe/append hashing parameters) must stay
+    constant for the lifetime of one index: it is both the write-time
+    bucket spec and the re-attach declaration after a session restart.
 
     Near-dup rules, deterministic and arrival-order-free within a
     batch: a doc is dropped when it has a verified near-dup pair with
@@ -503,7 +508,7 @@ def ingest_batch_neardedup(
     # directory check breaks once compaction has moved the tables to a
     # new generation location — the original dir is gone, and treating
     # the index as absent would silently skip the near-dup probe.
-    has_lsh = lsh_index_ready(s, lsh_table, lsh_path)
+    has_lsh = lsh_index_ready(s, lsh_table, lsh_path, n_buckets=n_buckets)
     if has_lsh:
         novel = incremental_minhash_probe(
             s, accepted.select("doc_id", "text"), lsh_table,
@@ -527,7 +532,8 @@ def ingest_batch_neardedup(
             compact_lsh_index(s, lsh_table)
     else:
         write_lsh_index(
-            s, accepted.select("doc_id", "text"), lsh_table, lsh_path
+            s, accepted.select("doc_id", "text"), lsh_table, lsh_path,
+            n_buckets=n_buckets,
         )
 
 

@@ -576,3 +576,83 @@ def test_simhash_pairs_md5_pigeonhole_complete(spark):
     assert truth and got == truth, (
         f"missing={len(truth - got)} extra={len(got - truth)}"
     )
+
+
+def test_lsh_compaction_generation_swap_and_catalog_recovery(spark, tmp_path):
+    """r8 review hardening of compact_lsh_index, pinned end-to-end:
+    (a) compaction dedupes a retry-inflated index back to exactly-once
+    row counts via a GENERATION SWAP (the live table is never truncated
+    in place — its location moves to a complete __gN sibling);
+    (b) debris at the next generation location from a crashed attempt
+    must not wedge the retry (CTAS refuses non-empty locations);
+    (c) after a catalog loss (fresh session), lsh_index_ready resolves
+    the newest committed generation structurally and re-attaches the
+    bucketed DDL, and the probe returns identical results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import (
+        append_to_lsh_index,
+        compact_lsh_index,
+        incremental_minhash_probe,
+        lsh_index_ready,
+        write_lsh_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8).limit(400)
+    new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8).limit(100)
+    prefix = "lshgen_test"
+    path = str(tmp_path / "lshgen")
+
+    for t in (f"{prefix}_bands", f"{prefix}_docs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_lsh_index(spark, standing, prefix, path)
+        want_probe = {
+            r["doc_id"]
+            for r in incremental_minhash_probe(spark, new, prefix).collect()
+        }
+        clean_counts = (
+            spark.table(f"{prefix}_bands").count(),
+            spark.table(f"{prefix}_docs").count(),
+        )
+        # simulate an at-least-once redelivery: the same append twice
+        append_to_lsh_index(spark, standing.limit(50), prefix)
+        append_to_lsh_index(spark, standing.limit(50), prefix)
+
+        compact_lsh_index(spark, prefix)
+        after_counts = (
+            spark.table(f"{prefix}_bands").count(),
+            spark.table(f"{prefix}_docs").count(),
+        )
+        assert after_counts == clean_counts  # duplicates gone
+        # the swap moved the tables off the original location
+        assert not os.path.exists(os.path.join(path, "bands", "_SUCCESS"))
+        assert os.path.exists(os.path.join(path, "bands__g1", "_SUCCESS"))
+
+        # (b) crashed-attempt debris at the NEXT generation must not
+        # wedge the retry
+        os.makedirs(os.path.join(path, "bands__g2"), exist_ok=True)
+        with open(os.path.join(path, "bands__g2", "junk.parquet"), "wb") as fh:
+            fh.write(b"partial")
+        compact_lsh_index(spark, prefix)  # must not raise
+        assert (
+            spark.table(f"{prefix}_bands").count(),
+            spark.table(f"{prefix}_docs").count(),
+        ) == clean_counts
+
+        # (c) fresh-session catalog loss: re-attach via generation
+        # resolution, probe results identical
+        for t in (f"{prefix}_bands", f"{prefix}_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        assert lsh_index_ready(spark, prefix, path)
+        got_probe = {
+            r["doc_id"]
+            for r in incremental_minhash_probe(spark, new, prefix).collect()
+        }
+        assert got_probe == want_probe
+    finally:
+        for t in (f"{prefix}_bands", f"{prefix}_docs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
