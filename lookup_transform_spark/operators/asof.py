@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ts_numeric(col, dt: T.DataType, what: str):
+    """Microsecond (or column-unit) numeric form of a ts column for the
+    tolerance/nearest arithmetic. TIMESTAMP → epoch micros; integral
+    types pass through (tolerance is then in the column's own units —
+    the only meaning a bare numeric ts has). Anything else is refused
+    loudly rather than failing analysis inside unix_micros."""
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return col.cast("long")
+    raise TypeError(
+        f"{what}: tolerance/nearest need a TIMESTAMP or integral ts "
+        f"column, got {dt.simpleString()}"
+    )
+
+
 def _orderable(dt: T.DataType) -> bool:
     """Struct ordering (the tiebreak) needs every field orderable; maps
     are the one common non-orderable type."""
@@ -66,7 +82,17 @@ def asof_join(
 
     Returns all left columns + ``value_fields`` (renamed with ``suffix``),
     nullable (no matching right row → null, left-outer semantics).
+
+    NULL timestamps never match (DuckDB ASOF / pandas merge_asof
+    semantics): a right row with NULL right_ts is invisible, and a left
+    row with NULL left_ts keeps its left-outer shape with null values.
     """
+    for v in value_fields:
+        if v + suffix in left.columns:
+            raise ValueError(
+                f"asof_join output column {v + suffix!r} collides with a "
+                "left column; pass a suffix"
+            )
     if tolerance_us is not None:
         if tolerance_us < 0:
             raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
@@ -82,8 +108,13 @@ def asof_join(
             [ts_f] + value_fields, suffix, direction,
         )
         delta = F.abs(
-            F.unix_micros(F.col(left_ts))
-            - F.unix_micros(F.col(ts_f + suffix))
+            _ts_numeric(
+                F.col(left_ts), left.schema[left_ts].dataType, "left_ts"
+            )
+            - _ts_numeric(
+                F.col(ts_f + suffix), right.schema[right_ts].dataType,
+                "right_ts",
+            )
         )
         within = delta <= F.lit(tolerance_us)
         return out.select(
@@ -115,7 +146,10 @@ def asof_join(
         F.lit(1).alias("__tag__"),
         F.lit(None).cast(packed_type).alias("__v__"),
     )
-    right_tagged = right.select(
+    # NULL right_ts rows can never be "at or before/after" any left ts —
+    # unfiltered they sort NULLS-FIRST (asc) ahead of every real row and
+    # their NON-null packed struct would be carried as a bogus match
+    right_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in keys else F.col(c)
           for c in left.columns],
@@ -148,11 +182,20 @@ def asof_join(
         F.col("__tag__"),
         F.last(F.col("__v__"), ignorenulls=True).over(w).alias("__v__"),
     )
+    # a left row with NULL left_ts has no position on the axis: in the
+    # forward (desc) pass it would sort NULLS-LAST behind every right
+    # row and pick up a bogus carry — mask it to the no-match shape
+    # (backward gets this for free from NULLS-FIRST, masked anyway for
+    # symmetry)
+    matchable = F.col(left_ts).isNotNull()
     return (
         carried.filter(F.col("__tag__") == 1)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col("__v__").getField(o).alias(o) for o in out_names],
+            *[
+                F.when(matchable, F.col("__v__").getField(o)).alias(o)
+                for o in out_names
+            ],
         )
     )
 
@@ -183,13 +226,15 @@ def _asof_nearest(
         b, r2, on, left_ts, right_ts,
         [ts_f] + value_fields, suffix="__f__", direction="forward",
     )
-    lt = F.unix_micros(F.col(left_ts))
-    d_b = lt - F.unix_micros(F.col(ts_f + "__b__"))
-    d_f = F.unix_micros(F.col(ts_f + "__f__")) - lt
+    rt_dt = right.schema[right_ts].dataType
+    lt = _ts_numeric(F.col(left_ts), left.schema[left_ts].dataType, "left_ts")
+    d_b = lt - _ts_numeric(F.col(ts_f + "__b__"), rt_dt, "right_ts")
+    d_f = _ts_numeric(F.col(ts_f + "__f__"), rt_dt, "right_ts") - lt
+    # never NULL: isNull/isNotNull are non-null booleans and
+    # (false & null) = false, so no when/otherwise re-encoding is needed
     use_b = F.col(ts_f + "__f__").isNull() | (
         F.col(ts_f + "__b__").isNotNull() & (d_b <= d_f)
     )
-    picked = F.when(use_b, F.lit(True)).otherwise(F.lit(False))
     if tolerance_us is not None:
         chosen_delta = F.when(use_b, d_b).otherwise(d_f)
         keep = chosen_delta <= F.lit(tolerance_us)
@@ -200,7 +245,7 @@ def _asof_nearest(
         *[
             F.when(
                 keep,
-                F.when(picked, F.col(v + "__b__"))
+                F.when(use_b, F.col(v + "__b__"))
                 .otherwise(F.col(v + "__f__")),
             ).alias(v + suffix)
             for v in value_fields
@@ -235,7 +280,15 @@ def range_join(
     overlapping bands, at interpreted-predicate cost (DataFrame bands
     only).
     """
+    if strategy not in ("case", "bnlj"):
+        raise ValueError(
+            f"strategy must be 'case' or 'bnlj', got {strategy!r}"
+        )
     if strategy == "case":
+        if how not in ("left", "inner"):
+            raise ValueError(
+                f"case strategy supports how='left'/'inner', got {how!r}"
+            )
         if isinstance(bands, list):
             rows = list(bands)
         else:
@@ -248,6 +301,11 @@ def range_join(
                     "case strategy requires disjoint bands; use strategy='bnlj'"
                 )
         v = input_df[value_col]
+        # `matched` is its own CASE, NOT "band value is non-null": a
+        # band whose payload field is NULL still MATCHES — an inner
+        # range join keeps that row (the join predicate held; only the
+        # payload is null), exactly as the bnlj strategy does.
+        matched = F.lit(False)
         outs = []
         for b in band_fields:
             expr = None
@@ -258,11 +316,22 @@ def range_join(
                     if expr is None
                     else expr.when(clause, F.lit(r[b]))
                 )
-            outs.append(expr.alias(b))
-        result = input_df.select(*[input_df[c] for c in input_df.columns], *outs)
-        if how == "inner":
-            result = result.filter(F.col(band_fields[0]).isNotNull())
-        return result
+            # no bands at all → every field is a typeless null, the
+            # left shape survives, inner yields zero rows
+            outs.append(
+                (F.lit(None) if expr is None else expr).alias(b)
+            )
+        for r in rows:
+            matched = matched | (
+                (v >= F.lit(r[lo_col])) & (v < F.lit(r[hi_col]))
+            )
+        base = input_df.filter(matched) if how == "inner" else input_df
+        return base.select(*[input_df[c] for c in input_df.columns], *outs)
+    if isinstance(bands, list):
+        raise TypeError(
+            "strategy='bnlj' needs a DataFrame band table; literal "
+            "list bands compile only under strategy='case'"
+        )
     pruned = bands.select(
         F.col(lo_col).alias("__lo__"),
         F.col(hi_col).alias("__hi__"),

@@ -40,6 +40,17 @@ def salted_join(
             "salt_source must name a left column (ideally unique per row) "
             "whose hash distributes the hot key's rows"
         )
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if how not in ("inner", "left"):
+        # the right side is exploded ×salt, so right-preserving joins
+        # are NOT result-invariant: every exploded copy whose salt no
+        # left row hashes to would surface as a spurious null-padded
+        # row (up to salt duplicates per unmatched right row)
+        raise ValueError(
+            "salted_join is result-invariant only for how='inner'/'left' "
+            f"(right side is exploded x{salt}); got how={how!r}"
+        )
     lft = left.withColumn(
         "__salt__", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt))
     )

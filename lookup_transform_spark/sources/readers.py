@@ -11,10 +11,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def _pruned(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    """Early projection (None = all columns). An EMPTY list is refused:
+    a dynamically-computed pruning list that came up empty would
+    otherwise silently fall through the falsy check to a full-width
+    scan — the exact opposite of what the caller asked for."""
+    if columns is None:
+        return df
+    if not columns:
+        raise ValueError(
+            "columns=[] would project nothing; pass None for all columns"
+        )
+    return df.select(*columns)
+
+
 def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     """Parquet scan; select early so Catalyst prunes at the reader."""
-    df = spark.read.parquet(path)
-    return df.select(*columns) if columns else df
+    return _pruned(spark.read.parquet(path), columns)
 
 
 def read_csv(
@@ -41,8 +54,7 @@ def read_json(
 def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
     """ORC scan — self-describing columnar like parquet: predicate
     pushdown and column pruning both reach the reader."""
-    df = spark.read.orc(path)
-    return df.select(*columns) if columns else df
+    return _pruned(spark.read.orc(path), columns)
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:

@@ -210,3 +210,137 @@ def test_asof_negative_tolerance_rejected_all_directions(spark):
                 left, right, on="k", left_ts="ts", right_ts="ts",
                 value_fields=["v"], direction=direction, tolerance_us=-1,
             )
+
+
+def test_null_timestamps_never_match(spark):
+    """r8 review: NULL timestamps must behave like DuckDB ASOF / pandas
+    merge_asof — a right row with NULL right_ts is invisible (it used
+    to sort NULLS-FIRST with a NON-null packed struct and get carried
+    as a bogus match), and a left row with NULL left_ts keeps its
+    left-outer shape with null values in BOTH directions (forward's
+    desc sort used to park it behind every right row)."""
+    left = spark.createDataFrame([(1, 50), (1, None)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 100, 5.0), (1, 10, 1.0)],
+        "k long, ts long, v double",
+    )
+    back = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"],
+    )
+    assert _rows(back) == [(1, 50, 1.0), (1, None, None)]
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], direction="forward",
+    )
+    assert _rows(fwd) == [(1, 50, 5.0), (1, None, None)]
+    near = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], direction="nearest",
+    )
+    # |50-10| = 40 beats |100-50| = 50 -> the backward row wins
+    assert _rows(near) == [(1, 50, 1.0), (1, None, None)]
+
+
+def test_tolerance_and_nearest_work_on_integral_ts(spark):
+    """r8 review: tolerance/nearest used to hard-require TIMESTAMP
+    columns (unix_micros) while backward/forward accepted any orderable
+    type. Integral ts columns now work — tolerance is then in the
+    column's own units."""
+    left = spark.createDataFrame([(1, 100), (1, 500)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 130, 2.0)], "k long, ts long, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], tolerance_us=50,
+    )
+    # 100: backward match at 90 (delta 10 <= 50); 500: match at 130 is
+    # 370 away -> masked to null, row survives (left-outer)
+    assert _rows(out) == [(1, 100, 1.0), (1, 500, None)]
+
+
+def test_value_field_collision_with_left_column_refused(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10, 0.0)], "k long, ts long, v double")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    with _pytest.raises(ValueError, match="collides"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_fields=["v"],
+        )
+    out = asof_join(  # a suffix resolves it
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_fields=["v"], suffix="_r",
+    )
+    assert _rows(out) == [(1, 10, 0.0, 1.0)]
+
+
+def test_range_join_case_edge_semantics(spark):
+    """r8 review pins for strategy='case': (a) a matching band whose
+    payload is NULL is still a MATCH — inner keeps the row, same as
+    bnlj; (b) an empty band table yields all-null payloads (left) /
+    zero rows (inner) instead of crashing; (c) unknown strategies and
+    unsupported how are refused; (d) bnlj refuses literal list bands."""
+    import pytest as _pytest
+
+    from lookup_transform_spark.operators.asof import range_join
+
+    df = spark.createDataFrame([(10,), (75,), (200,)], "value long")
+    bands = [
+        {"lo": 0, "hi": 50, "band": None},   # matching but null payload
+        {"lo": 50, "hi": 100, "band": "mid"},
+    ]
+    inner = range_join(df, bands, "value", "lo", "hi", ["band"], how="inner")
+    assert _rows(inner) == [(10, None), (75, "mid")]  # 10 kept, 200 dropped
+    left = range_join(df, bands, "value", "lo", "hi", ["band"], how="left")
+    assert _rows(left) == [(10, None), (200, None), (75, "mid")]
+
+    empty_left = range_join(df, [], "value", "lo", "hi", ["band"])
+    assert _rows(empty_left) == [(10, None), (200, None), (75, None)]
+    empty_inner = range_join(
+        df, [], "value", "lo", "hi", ["band"], how="inner"
+    )
+    assert empty_inner.count() == 0
+
+    with _pytest.raises(ValueError, match="strategy"):
+        range_join(df, bands, "value", "lo", "hi", ["band"],
+                   strategy="broadcast")
+    with _pytest.raises(ValueError, match="how"):
+        range_join(df, bands, "value", "lo", "hi", ["band"], how="full")
+    with _pytest.raises(TypeError, match="bnlj"):
+        range_join(df, bands, "value", "lo", "hi", ["band"],
+                   strategy="bnlj")
+
+
+def test_salted_join_validates_invariance_breakers(spark):
+    """r8 review: salting explodes the right side xS, so right-
+    preserving joins emit spurious null-padded copies — refuse them,
+    and refuse degenerate salt counts, instead of silently returning
+    wrong shapes."""
+    import pytest as _pytest
+
+    from lookup_transform_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, id long")
+    right = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    with _pytest.raises(ValueError, match="result-invariant"):
+        salted_join(left, right, "k", "k", how="full", salt_source="id")
+    with _pytest.raises(ValueError, match="salt"):
+        salted_join(left, right, "k", "k", salt=0, salt_source="id")
+    ok = salted_join(left, right, "k", "k", salt=4, salt_source="id")
+    assert _rows(ok) == [(1, 100, 5.0)]
+
+
+def test_reader_empty_projection_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from lookup_transform_spark.sources.readers import read_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(3).write.parquet(p)
+    with _pytest.raises(ValueError, match="columns"):
+        read_parquet(spark, p, columns=[])
+    assert read_parquet(spark, p, columns=None).count() == 3
+    assert read_parquet(spark, p, columns=["id"]).columns == ["id"]
