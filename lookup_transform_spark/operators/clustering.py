@@ -135,9 +135,15 @@ def kmeans_assign(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # NULL vectors have no position: excluded from init, iteration, and
+    # output — one dirty row must not crash the job (len(None) here,
+    # ragged np.array inside every UDF stage)
+    df = df.filter(F.col(vec_col).isNotNull())
     head = df.select(vec_col).first()
     if head is None:
-        raise ValueError("kmeans_assign: input DataFrame is empty")
+        raise ValueError(
+            "kmeans_assign: input has no rows with a non-null vector"
+        )
     dim = len(head[0])
     init = (
         df.select(id_col, vec_col)

@@ -68,6 +68,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # materialize BEFORE the self-join below: `updated` appears on
+        # both sides of the doubling join, and as a lazy plan the whole
+        # propagate join+aggregate would execute twice per iteration
+        updated = updated.localCheckpoint()
         # pointer doubling: component ← component(component). Without
         # this, convergence is O(diameter) (a path graph needs one round
         # per hop); with it, O(log n) rounds.

@@ -176,11 +176,11 @@ def qsketch_quantiles(
         hit = F.when(
             F.col("__cum__") >= target, F.col("__b__")
         )
-        aggs.append(
-            bucket_value(F.min(hit), base, lo).alias(
-                f"p{str(p).replace('0.', '').ljust(2, '0')}"
-            )
-        )
+        # identifier-safe name: p50/p95/p99 as before, but p=1.0 -> p100
+        # (not 'p1.0' — an unquoted dot parses as struct-field access
+        # downstream) and fractional percentiles use '_' (0.999 -> p99_9)
+        name = "p" + ("%g" % (p * 100)).replace(".", "_").replace("-", "m")
+        aggs.append(bucket_value(F.min(hit), base, lo).alias(name))
     return cum.groupBy(*group_cols, "n_rows").agg(*aggs)
 
 

@@ -271,3 +271,104 @@ def test_embedding_near_dup_guard_refuses_on_stats_outage(spark, monkeypatch):
     emb = _vecs(spark, with_zero=False)
     with pytest.raises(ValueError, match="max_rows"):
         embedding_near_dup_pairs(emb, threshold=0.5, blocks=2, max_rows=2)
+
+
+def test_cosine_topk_guard_refuses_on_stats_outage(spark, monkeypatch):
+    # Same polarity pin as embedding_near_dup: unknown query-set size
+    # must confirm with a bounded count, never allow the driver collect.
+    import lookup_transform_spark.plans.lookup as plans_lookup
+    from lookup_transform_spark.operators.similarity import cosine_topk
+
+    monkeypatch.setattr(plans_lookup, "_estimated_rows", lambda df: None)
+    emb = _vecs(spark, with_zero=False)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(emb, emb, k=2, max_query_rows=2)
+
+
+def test_similarity_operators_survive_null_vectors(spark):
+    """r8 review: one dirty row (NULL embedding) must not kill the job.
+    NULL vectors carry no geometry — excluded from scoring on both
+    sides in every operator, same results as if pre-filtered."""
+    from lookup_transform_spark.operators.clustering import kmeans_assign
+    from lookup_transform_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    clean = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(cosine_topk(dirty, dirty, k=3)) == rows(
+        cosine_topk(clean, clean, k=3)
+    )
+    assert rows(
+        lsh_bucket_topk(dirty, dirty, k=3, dim=3, n_planes=2, n_bands=4)
+    ) == rows(lsh_bucket_topk(clean, clean, k=3, dim=3, n_planes=2, n_bands=4))
+    assert rows(
+        ivf_topk(dirty, dirty, k=3, n_centroids=4, nprobe=2)
+    ) == rows(ivf_topk(clean, clean, k=3, n_centroids=4, nprobe=2))
+    got = kmeans_assign(dirty, k=3, iters=2).collect()
+    assert len(got) == 40 and all(r["vec_id"] != 999 for r in got)
+
+
+def test_ivf_centroids_survive_sparse_ids(spark):
+    """r8 review: modulo centroid sampling assumed dense 0-based ids —
+    all-odd ids could match zero rows and crash with an opaque numpy
+    AxisError. The ordered-cut fallback must keep IVF working."""
+    from lookup_transform_spark.operators.similarity import ivf_topk
+
+    odd = spark.createDataFrame(
+        [(2 * i + 1, [float(i % 7), float((i * 3) % 5), 1.0])
+         for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_topk(odd, odd, k=3, n_centroids=16, nprobe=4)
+    assert out.count() > 0
+
+
+def test_approx_topk_exclude_self_escape_hatch(spark):
+    """r8 review: LSH/IVF hardwired self-exclusion by id equality, so a
+    corpus neighbor sharing an id with an UNRELATED query was silently
+    dropped. exclude_self=False must surface it (cosine_topk parity)."""
+    from lookup_transform_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    # query id 7 is unrelated to corpus doc 7 but shares its vector —
+    # doc 7 IS its nearest neighbor
+    queries = spark.createDataFrame(
+        [(7, [0.0, 1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    for op in (lsh_bucket_topk, ivf_topk):
+        kwargs = (
+            {"dim": 3, "n_planes": 1, "n_bands": 2}
+            if op is lsh_bucket_topk else {"n_centroids": 4, "nprobe": 4}
+        )
+        with_self = {
+            r["neighbor_id"]
+            for r in op(
+                corpus, queries, k=20, exclude_self=False, **kwargs
+            ).collect()
+        }
+        without = {
+            r["neighbor_id"]
+            for r in op(corpus, queries, k=20, **kwargs).collect()
+        }
+        assert 7 in with_self
+        assert 7 not in without

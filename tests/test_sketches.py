@@ -187,3 +187,27 @@ def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
     plan = buf.getvalue()
     scans = [ln for ln in plan.splitlines() if "InMemoryFileIndex" in ln]
     assert len(scans) == 1 and "qsketch_leaves" in scans[0]
+
+
+def test_qsketch_quantile_names_are_identifier_safe(spark):
+    """r8 review: p=1.0 used to emit a column literally named 'p1.0'
+    (an unquoted dot parses as struct-field access downstream);
+    fractional percentiles hit the same. Names must be identifier-safe
+    while the established p50/p95/p99 stay byte-identical."""
+    from lookup_transform_spark.operators.sketches import (
+        qsketch,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "event_type string, value double"
+    )
+    leaf = qsketch(ev, ["event_type"], "value")
+    out = qsketch_quantiles(
+        qsketch_merge(leaf, ["event_type"]), ["event_type"],
+        probs=[0.5, 0.95, 0.999, 1.0],
+    )
+    assert out.columns[-4:] == ["p50", "p95", "p99_9", "p100"]
+    # and the names are actually selectable (the old 'p1.0' was not)
+    assert out.select("p100").count() == 1
