@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def sessionize(
@@ -22,17 +23,31 @@ def sessionize(
     """Append a ``session_id`` column: 1-based per-key session index.
 
     A new session starts when the gap to the previous event of the same
-    key exceeds ``gap_seconds``. Ordering is (ts, tiebreak) for
-    determinism when timestamps collide.
+    key EXCEEDS ``gap_seconds`` (a gap of exactly ``gap_seconds``
+    continues the session — note ``F.session_window``'s half-open
+    [ts, ts+gap) windows SPLIT at that exact boundary, so the streaming
+    twin differs on boundary-exact data by construction). Ordering is
+    (ts, tiebreak) for determinism when timestamps collide.
+
+    A TIMESTAMP ``ts`` column compares at full µs precision
+    (``unix_micros`` — a bare ``cast('long')`` floors to whole seconds,
+    silently merging sessions up to 1 s wider than the gap); a numeric
+    ``ts`` passes through, with ``gap_seconds`` read in the column's
+    own units (the µs-epoch registry convention).
     """
     order = [F.col(ts).asc()] + (
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
     )
     w = Window.partitionBy(key).orderBy(*order)
-    epoch = F.col(ts).cast("long")
+    if isinstance(events.schema[ts].dataType, T.TimestampType):
+        epoch = F.unix_micros(F.col(ts))
+        gap_lit = int(gap_seconds) * 1_000_000
+    else:
+        epoch = F.col(ts).cast("long")
+        gap_lit = gap_seconds
     gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > F.lit(gap_seconds)), F.lit(1)
+        gap.isNull() | (gap > F.lit(gap_lit)), F.lit(1)
     ).otherwise(F.lit(0))
     return events.withColumn(
         "session_id",

@@ -27,7 +27,15 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text_col: str | Column) -> Column:
-    """Whitespace tokenization (lowercased)."""
+    """Whitespace tokenization (lowercased): ``split(lower(text),
+    '\\s+')``, VERBATIM — including regex-split's boundary artifacts
+    (empty text → [''], leading/trailing whitespace → '' elements).
+    This is a deliberate contract, not an oversight: every DuckDB
+    oracle that models token counts (text_stats, pipeline_curate,
+    bm25, tfidf, gopher, lang) uses the byte-identical
+    ``string_split_regex`` convention, so the pair stays exact on ANY
+    input. Callers needing linguistic word counts on untrimmed text
+    should normalize whitespace upstream (``normalize_text`` does)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.split(F.lower(c), r"\s+")
 
@@ -115,7 +123,7 @@ def content_fingerprint(text_col: str | Column) -> Column:
 
 
 def rolling_fingerprint(
-    text_col: str | Column, window: int = 5, hash_family: str = "xxhash64"
+    text_col: str, window: int = 5, hash_family: str = "xxhash64"
 ) -> Column:
     """Rolling-hash-style robust fingerprint: min hash over word
     ``window``-grams — stable under small insertions/deletions
@@ -129,7 +137,9 @@ def rolling_fingerprint(
         shingles,
     )
 
-    if isinstance(text_col, Column):
+    if not isinstance(text_col, str):
+        # dedup.shingles takes a column NAME (annotation says so too);
+        # accepting Column here would diverge from the oracle's shape
         raise TypeError("rolling_fingerprint requires a column name")
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_family: {hash_family!r}")

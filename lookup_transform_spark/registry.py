@@ -76,14 +76,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - µs timestamp without timezone → TIMESTAMP_NTZ on read; cast to
       TIMESTAMP (session tz is pinned UTC, so the cast is
       epoch-preserving and ``unix_micros`` applies)."""
+    from lookup_transform_spark.sources.readers import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _t(spark, sf_dir, "events")
-    ts_type = dict(raw.dtypes).get("ts")
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(_t(spark, sf_dir, "events"))
 
 
 def _fsum(col, alias: str, dp: int = 2):

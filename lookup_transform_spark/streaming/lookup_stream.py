@@ -13,7 +13,6 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from lookup_transform_spark.plans.lookup import LookupSpec
 
@@ -22,31 +21,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (ns parquet → µs ts,
     same normalization as registry._events). The file source requires a
     directory, so the single fixture file is staged via symlink."""
+    import hashlib
     import os
+
+    from lookup_transform_spark.sources.readers import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    # stage dir keyed by the FULL fixture path, not its basename — two
+    # sf_dirs sharing a basename must not share a stage (the second
+    # caller would silently stream the first one's data)
     stage = os.path.join(
-        repo, ".scratch", f"stream_events_{os.path.basename(sf_dir)}"
+        repo, ".scratch",
+        "stream_events_" + hashlib.md5(target.encode()).hexdigest()[:12],
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    # lexists, not exists: exists() follows the link, so a DANGLING
+    # symlink (fixture tree regenerated elsewhere, old path deleted)
+    # reads as absent and the re-create raises FileExistsError forever —
+    # wedging every streaming query until .scratch is hand-cleaned
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
 
     stream = spark.readStream.schema(batch.schema).parquet(stage)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    elif ts_type == "timestamp_ntz":
-        # µs-precision parquet reads as NTZ; watermarks/event-time need
-        # TIMESTAMP. Session tz is pinned UTC → epoch-preserving cast.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def stream_static_lookup(
@@ -76,6 +82,14 @@ def run_to_memory(
     checkpoint, so this is a per-query deployment decision, not a
     session conf — size it to expected state volume, not batch width.
     Pass ``None`` to inherit the session default.
+
+    CAVEAT: shuffle-partitions is session-scoped conf, and micro-batch
+    planning happens throughout the drain, so the override is live for
+    the whole ``start()``→``awaitTermination()`` window — a batch query
+    planned CONCURRENTLY on another thread of the same session compiles
+    with the override, and two overlapping run_to_memory calls race the
+    save/restore. Single-threaded drains (the harness shape) are safe;
+    concurrent use should pass ``None`` and size the session conf.
     """
     spark = df.sparkSession
     conf_key = "spark.sql.shuffle.partitions"

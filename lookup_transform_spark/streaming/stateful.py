@@ -40,11 +40,24 @@ def _track_sessions_factory(gap_us: int):
             ts = int(ts)
             if start is None:
                 start, last, n, sv = ts, ts, 1, float(val)
+            elif ts < start - gap_us:
+                # LATE beyond the open session's reach (rows are sorted
+                # within a batch, so this is cross-batch disorder). The
+                # session invariants (start <= last, gap decisions
+                # monotone) must survive: absorbing it would regress
+                # `last` and can emit an INVERTED session
+                # (end < start) — drop it instead, the same contract as
+                # Spark's own watermarked session_window.
+                continue
             elif ts - last > gap_us:
                 closed.append((start, last, n, sv))
                 start, last, n, sv = ts, ts, 1, float(val)
             else:
-                last, n, sv = ts, n + 1, sv + float(val)
+                # in-gap: late rows may extend the session BACKWARD
+                # (start shrinks) but never regress its end
+                start = min(start, ts)
+                last = max(last, ts)
+                n, sv = n + 1, sv + float(val)
         state.update((start, last, n, sv))
         if closed:
             yield pd.DataFrame(

@@ -755,3 +755,96 @@ def test_ingest_compaction_is_leveled_not_full_rewrite(spark, tmp_path):
     assert not names & {"seg_00000_00008", "seg_00008_00012",
                         "seg_00008_00016", "seg_00012_00016"}
     assert not any(n.startswith("batch_") for n in names)
+
+
+def test_stateful_sessionizer_survives_cross_batch_disorder():
+    """r8 review: a late event arriving in a LATER micro-batch used to
+    regress the open session's `last`, corrupting gap decisions and
+    emitting inverted sessions (end < start). Contract now: in-gap late
+    rows extend the session backward only; rows late beyond the open
+    session's reach are dropped (Spark's watermarked session_window
+    contract). Driven directly through the applyInPandasWithState
+    tracker with a fake state handle."""
+    import pandas as pd
+
+    from lookup_transform_spark.streaming.stateful import (
+        _track_sessions_factory,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    gap_us = 30 * 60 * 1_000_000
+    track = _track_sessions_factory(gap_us)
+    state = FakeState()
+    h = 60 * 60 * 1_000_000  # one hour in µs
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            {
+                "ts_us": [r[0] for r in rows],
+                "event_id": range(len(rows)),
+                "value": [r[1] for r in rows],
+            }
+        )
+        return list(track((7,), [pdf], state))
+
+    assert feed([(10 * h, 1.0)]) == []          # open session at 10:00
+    assert feed([(9 * h, 5.0)]) == []           # late beyond reach: drop
+    start, last, n, sv = state.get
+    assert (start, last, n) == (10 * h, 10 * h, 1)
+    # in-gap late row extends BACKWARD, never regresses the end
+    assert feed([(10 * h - 10 * 60 * 1_000_000, 2.0)]) == []
+    start, last, n, sv = state.get
+    assert start == 10 * h - 10 * 60 * 1_000_000 and last == 10 * h
+    # next on-time row past the gap closes a VALID (start <= end) session
+    out = feed([(12 * h, 3.0)])
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["session_start_us"] <= row["session_end_us"]
+    assert (row["session_start_us"], row["session_end_us"], row["n_events"]) == (
+        10 * h - 10 * 60 * 1_000_000, 10 * h, 2,
+    )
+
+
+def test_stream_stage_not_keyed_by_basename(spark, tmp_path):
+    """r8 review: the file-source stage dir was keyed by the sf_dir's
+    BASENAME, so two fixture dirs sharing a basename streamed the first
+    one's data; a dangling link (old tree deleted) wedged with
+    FileExistsError. Stage is now keyed by the full path and re-linked
+    when dangling or retargeted."""
+    import glob as _glob
+    import shutil
+
+    from lookup_transform_spark.streaming.lookup_stream import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d1 = tmp_path / "v1" / "data"
+    d2 = tmp_path / "v2" / "data"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    shutil.copy(src, d1 / "events.parquet")
+    spark.read.parquet(src).limit(100).coalesce(1).write.parquet(
+        str(tmp_path / "small")
+    )
+    (small,) = _glob.glob(str(tmp_path / "small" / "part-*.parquet"))
+    shutil.copy(small, d2 / "events.parquet")
+
+    n1 = run_to_memory(read_events_stream(spark, str(d1))).count()
+    n2 = run_to_memory(read_events_stream(spark, str(d2))).count()
+    assert n2 == 100 and n1 > n2  # same-basename dirs stream their OWN data
