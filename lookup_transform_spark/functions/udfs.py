@@ -30,29 +30,32 @@ def sigmoid(v: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())  # literal type: usable before a session exists
 def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized pairwise cosine over two array columns: one einsum per
-    Arrow batch — the fast path for candidate re-scoring when the pair
-    list is already materialized (interpreted higher-order-function
-    cosine is ~100× slower per pair)."""
+    (uniform-length) group per Arrow batch — the fast path for candidate
+    re-scoring when the pair list is already materialized (interpreted
+    higher-order-function cosine is ~100× slower per pair).
+
+    Degenerate rows return NULL instead of crashing the task (the JVM
+    higher-order-function form's behavior): NULL arrays, a/b length
+    mismatch, and zero-length arrays all yield NaN — which Arrow maps
+    to SQL NULL, the same sentinel the zero-norm division produces.
+    Rows are grouped by vector length before np.array, so a batch
+    mixing dimensionalities (or one ragged row) computes every valid
+    row instead of raising 'inhomogeneous shape'; an empty Arrow batch
+    returns empty instead of tripping einsum on a 1-D empty array."""
     la, lb = list(a), list(b)
-    valid = np.array(
-        [x is not None and y is not None for x, y in zip(la, lb)],
-        dtype=bool,
+    n = len(la)
+    if n == 0:
+        return pd.Series([], dtype=np.float64)
+    len_a = np.array(
+        [len(x) if x is not None else -1 for x in la], dtype=np.int64
     )
-    if valid.all():
-        ma = np.array(la, dtype=np.float64)
-        mb = np.array(lb, dtype=np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
-    # NULL arrays propagate NULL (the JVM higher-order-function form's
-    # behavior) instead of crashing the task on np.array(None). NaN is
-    # the null sentinel here: Arrow's from_pandas maps float64 NaN to
-    # SQL NULL, which is also what the fast path's zero-norm division
-    # already yields — so both paths return numeric dtype and agree.
-    out = np.full(len(la), np.nan, dtype=np.float64)
-    idx = np.flatnonzero(valid)
-    if idx.size:
+    len_b = np.array(
+        [len(y) if y is not None else -1 for y in lb], dtype=np.int64
+    )
+    valid = (len_a > 0) & (len_a == len_b)
+    out = np.full(n, np.nan, dtype=np.float64)
+    for length in np.unique(len_a[valid]):
+        idx = np.flatnonzero(valid & (len_a == length))
         ma = np.array([la[i] for i in idx], dtype=np.float64)
         mb = np.array([lb[i] for i in idx], dtype=np.float64)
         num = np.einsum("ij,ij->i", ma, mb)
@@ -191,7 +194,12 @@ def explode_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             # into the literal strings "None"/"nan", which would emit a
             # bogus token row where posexplode(split(...)) emits none
             pdf = pdf[pdf[text_col].notna()]
-            toks = pdf[text_col].astype(str).str.lower().str.split()
+            # split on a LITERAL single space, keeping empty elements —
+            # byte-identical to the documented posexplode(split(text,
+            # ' ')) twin and the DuckDB string_split oracle. Bare
+            # .split() would collapse whitespace runs and drop
+            # boundary empties, silently diverging on such text.
+            toks = pdf[text_col].astype(str).str.lower().str.split(" ")
             counts = toks.str.len().fillna(0).astype(np.int64).to_numpy()
             ids = np.repeat(pdf[id_col].to_numpy(dtype=np.int64), counts)
             # per-doc position = global index minus the doc's start offset

@@ -30,6 +30,17 @@ def compact_parquet_to_size(
         os.path.getsize(f)
         for f in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
     )
+    if total == 0:
+        # the size probe is a LOCAL-filesystem glob; an src Spark can
+        # read but glob cannot (s3a://, hdfs://, glob metachars) comes
+        # back empty and would silently size the rewrite to ONE file —
+        # a single-task rewrite of the whole dataset. Fail loud instead.
+        raise ValueError(
+            f"compact_parquet_to_size: found no *.parquet bytes under "
+            f"{src!r} with a local-filesystem glob; for non-local "
+            "storage size the file count yourself and call "
+            "compact_parquet(target_files=...)"
+        )
     n_files = max(1, round(total / (target_mb * 1024 * 1024)))
     return compact_parquet(spark, src, dst, target_files=n_files, partition_by=partition_by)
 
@@ -46,13 +57,23 @@ def compact_parquet(
     per-batch directories), rewrite to ``dst`` with a bounded file
     count.
 
-    ``coalesce`` (no shuffle) when reducing file count; Spark splits
-    output by ``maxRecordsPerFile`` when bounding file size instead.
-    Returns the compacted DataFrame (for row-count verification).
+    Unpartitioned: ``coalesce`` (no shuffle) bounds total files at
+    ``target_files``. WITH ``partition_by``: coalesce would multiply
+    instead of bound — each of the N coalesced tasks writes one file
+    into EVERY partition directory it holds rows for (N × |values|
+    files) — so the rewrite hash-repartitions on the partition columns:
+    one shuffle, each value lands wholly in one task, ≈ one file per
+    partition directory (``max_records_per_file`` re-splits oversized
+    values). Returns the compacted DataFrame (row-count verification).
     """
     srcs = [src] if isinstance(src, str) else list(src)
     df = spark.read.parquet(*srcs)
-    out = df.coalesce(target_files) if target_files else df
+    if target_files and partition_by:
+        out = df.repartition(target_files, *partition_by)
+    elif target_files:
+        out = df.coalesce(target_files)
+    else:
+        out = df
     w = out.write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)

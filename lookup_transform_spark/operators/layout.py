@@ -61,11 +61,17 @@ def zorder_write(
     a contiguous z-range — a tight 2-D min/max envelope for statistics
     pruning on either key."""
     code = zorder_code(bucket_a, bucket_b, bits)
+    # helper name must not collide with a user column: withColumn would
+    # silently REPLACE it and the trailing drop would delete it from
+    # the written data
+    z = "__z__"
+    while z in df.columns:
+        z += "_"
     (
-        df.withColumn("__z__", code)
-        .repartitionByRange(num_files, F.col("__z__"))
-        .sortWithinPartitions("__z__")
-        .drop("__z__")
+        df.withColumn(z, code)
+        .repartitionByRange(num_files, F.col(z))
+        .sortWithinPartitions(z)
+        .drop(z)
         .write.mode(mode)
         .parquet(path)
     )

@@ -169,11 +169,14 @@ def spec_from_cdap_config(config: dict[str, Any]) -> LookupSpec:
         # normalize avro → StructType JSON once, so LookupSpec's own
         # schema handling (Spark-native) applies downstream
         schema_json = parse_cdap_schema(schema_json).json()
+    # .get, not [..]: a missing required property must surface through
+    # LookupSpec.validate()'s "Missing required field" taxonomy
+    # (Lookup.java:411-428), not as a raw KeyError
     return LookupSpec(
-        lookup_dataset=config["lookupDataset"],
-        input_key_field=config["inputKeyField"],
-        lookup_key_field=config["lookupKeyField"],
-        lookup_value_field=config["lookupValueField"],
+        lookup_dataset=config.get("lookupDataset"),
+        input_key_field=config.get("inputKeyField"),
+        lookup_key_field=config.get("lookupKeyField"),
+        lookup_value_field=config.get("lookupValueField"),
         output_field=config.get("outputField"),
         schema_json=schema_json,
     )
@@ -222,6 +225,23 @@ def run_pipeline(
             spec = spec_from_cdap_config(cfg)
             if macros:
                 spec = spec.resolve(macros)
+            req = {
+                "lookupDataset": spec.lookup_dataset,
+                "inputKeyField": spec.input_key_field,
+                "lookupKeyField": spec.lookup_key_field,
+                "lookupValueField": spec.lookup_value_field,
+            }
+            bad = sorted(
+                k for k, v in req.items()
+                if v is None or v == "" or (isinstance(v, list) and not v)
+            )
+            if bad:
+                raise LookupConfigError(
+                    [ValidationFailure(
+                        f"Missing required field {b}.",
+                        f"Set {b} in the lookup config.", b)
+                     for b in bad]
+                )
             lookup_name = spec.lookup_dataset
             if lookup_name not in inputs:
                 raise LookupConfigError(
@@ -230,7 +250,17 @@ def run_pipeline(
                         f"Set lookupDataset to one of {inputs}.",
                         "lookup_dataset")]
                 )
-            (input_name,) = [i for i in inputs if i != lookup_name]
+            others = [i for i in inputs if i != lookup_name]
+            if len(others) != 1:
+                # e.g. inputs = ['lkp', 'lkp']: a duplicate stage name
+                # must be a config error, not a raw unpack ValueError
+                raise LookupConfigError(
+                    [ValidationFailure(
+                        f"Inputs must be one input stage and one lookup "
+                        f"stage, got {inputs}.",
+                        "Wire two distinct stages.")]
+                )
+            (input_name,) = others
             missing = [i for i in (input_name, lookup_name) if i not in bound]
             if missing:
                 # config error, not a raw KeyError: every other config

@@ -443,10 +443,10 @@ class LookupSpec:
             if isinstance(loaded, dict) and loaded.get("type") == "record":
                 # lazy import: cdap_compat imports this module at load
                 from lookup_transform_spark.plans.cdap_compat import (
-                    _avro_to_struct,
+                    avro_record_to_struct,
                 )
 
-                parsed = _avro_to_struct(loaded)
+                parsed = avro_record_to_struct(loaded)
             else:
                 parsed = T.StructType.fromJson(loaded)
         except Exception as exc:

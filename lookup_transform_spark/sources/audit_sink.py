@@ -33,6 +33,7 @@ MANIFEST = "_MANIFEST.json"
 class ShardCommit(WriterCommitMessage):
     shard: str
     rows: int
+    tmp: str = ""
 
 
 class ManifestJsonSink(DataSource):
@@ -51,19 +52,46 @@ class _ManifestWriter(DataSourceWriter):
         self.path = options["path"]
 
     def write(self, iterator) -> ShardCommit:
+        # shards are written under a DOTTED temp name and promoted at
+        # commit: a task that dies mid-write must never leave a
+        # final-looking *.jsonl that no manifest references but every
+        # naive glob reads (the module's no-stray-output invariant)
         os.makedirs(self.path, exist_ok=True)
         shard = f"shard-{uuid.uuid4().hex}.jsonl"
+        tmp = f".tmp-{shard}"
         n = 0
-        with open(os.path.join(self.path, shard), "w") as f:
+        with open(os.path.join(self.path, tmp), "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
-        return ShardCommit(shard=shard, rows=n)
+        return ShardCommit(shard=shard, rows=n, tmp=tmp)
 
     def commit(self, messages) -> None:
-        shards = [
-            {"shard": m.shard, "rows": m.rows} for m in messages if m is not None
-        ]
+        # a zero-task job (empty 0-partition input) runs no write(), so
+        # the dir may not exist yet — an empty manifest still publishes
+        os.makedirs(self.path, exist_ok=True)
+        shards = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, m.tmp),
+                os.path.join(self.path, m.shard),
+            )
+            shards.append({"shard": m.shard, "rows": m.rows})
+        # sweep before publish: stale *.jsonl from a previous write at
+        # this path (overwrite semantics) and .tmp-* leftovers from
+        # dead/speculative tasks — after this, the directory holds
+        # exactly the manifest's shard set
+        keep = {s["shard"] for s in shards}
+        for name in os.listdir(self.path):
+            stale_final = name.endswith(".jsonl") and name not in keep
+            stale_tmp = name.startswith(".tmp-shard-")
+            if stale_final or stale_tmp:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
         manifest = {
             "shards": shards,
             "total_rows": sum(s["rows"] for s in shards),
@@ -77,7 +105,7 @@ class _ManifestWriter(DataSourceWriter):
         for m in messages:
             if m is not None:
                 try:
-                    os.remove(os.path.join(self.path, m.shard))
+                    os.remove(os.path.join(self.path, m.tmp or m.shard))
                 except OSError:
                     pass
 

@@ -247,3 +247,59 @@ def test_avro_unknown_logical_falls_back_to_base():
     assert isinstance(st.fields[1].dataType, T.BinaryType)
     assert isinstance(st.fields[2].dataType, T.StringType)
     assert st.fields[3].dataType == T.ArrayType(T.IntegerType(), False)
+
+
+def test_macroed_avro_schema_resolves_at_apply_time(spark, fixture_tables):
+    """r8 review: a macro'd CDAP ``schema`` property skips eager
+    normalization and must parse as Avro at apply() time — the lazy
+    import named a nonexistent symbol, so this path ALWAYS failed with
+    a bogus 'Unable to parse schema' config error."""
+    cfg = dict(DOCS_CONFIG, schema="${out.schema}")
+    spec = spec_from_cdap_config(cfg)
+    assert "schema_json" in spec.macro_fields()
+    resolved = spec.resolve({"out.schema": AVRO_OUT_SCHEMA})
+    out = resolved.apply(
+        fixture_tables["customers"], fixture_tables["phone_numbers"]
+    )
+    assert out.columns == ["customer_id", "first_name", "last_name", "phone"]
+    assert out.count() == 2
+
+
+def test_missing_required_property_uses_taxonomy(spark, fixture_tables):
+    """A missing required property must surface as the reference's
+    'Missing required field' failure (Lookup.java:411-428), not a raw
+    KeyError from the config dict."""
+    cfg = {k: v for k, v in DOCS_CONFIG.items() if k != "lookupDataset"}
+    spec = spec_from_cdap_config(cfg)  # constructs; validation decides
+    with pytest.raises(LookupConfigError, match="Missing required"):
+        spec.validate(
+            {
+                "customers": fixture_tables["customers"].schema,
+                "phone_numbers": fixture_tables["phone_numbers"].schema,
+            }
+        )
+    pipeline = {
+        "stages": [
+            {"name": "customers", "type": "table-source"},
+            {"name": "phone_numbers", "type": "table-source"},
+            {"name": "lookup", "type": "Lookup",
+             "inputs": ["customers", "phone_numbers"], "config": cfg},
+        ],
+        "sink": "lookup",
+    }
+    with pytest.raises(LookupConfigError, match="Missing required"):
+        run_pipeline(spark, pipeline, tables=fixture_tables)
+
+
+def test_duplicate_input_stage_names_rejected(spark, fixture_tables):
+    pipeline = {
+        "stages": [
+            {"name": "phone_numbers", "type": "table-source"},
+            {"name": "lookup", "type": "Lookup",
+             "inputs": ["phone_numbers", "phone_numbers"],
+             "config": DOCS_CONFIG},
+        ],
+        "sink": "lookup",
+    }
+    with pytest.raises(LookupConfigError, match="distinct"):
+        run_pipeline(spark, pipeline, tables=fixture_tables)

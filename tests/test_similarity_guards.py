@@ -372,3 +372,32 @@ def test_approx_topk_exclude_self_escape_hatch(spark):
         }
         assert 7 in with_self
         assert 7 not in without
+
+
+def test_cosine_pairs_ragged_and_empty_batches(spark):
+    """r8 review: a batch mixing vector dimensionalities (or one ragged
+    row) crashed np.array with 'inhomogeneous shape'; now every
+    length-consistent row computes and mismatched/zero-length rows are
+    NULL. (Empty Arrow batches — einsum on a 1-D empty — are guarded in
+    the UDF body directly.)"""
+    from lookup_transform_spark.functions.udfs import cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),          # same 2-dim: 1.0
+            (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),  # same 3-dim: 0.0
+            (3, [1.0, 0.0], [1.0, 0.0, 0.0]),     # length mismatch: NULL
+            (4, [], []),                           # zero-length: NULL
+            (5, None, [1.0]),                      # NULL side: NULL
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id", cosine_pairs("a", "b").alias("sim")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] is None and got[4] is None and got[5] is None

@@ -230,3 +230,111 @@ def test_gopher_quality_rule_attribution(spark):
     assert not out[3].r_mean_word_len and not out[3].r_max_word_len
     assert not out[4].r_stopwords and not out[4].keep
     assert not out[5].r_digit_ratio and not out[5].keep
+
+
+def test_manifest_sink_overwrite_sweeps_stale_shards(spark, tmp_path):
+    """r8 review: shards are written under dotted temp names and
+    promoted at commit; a second write to the same path must leave the
+    directory holding EXACTLY the new manifest's shard set (stale
+    *.jsonl from the first write violated the module's own
+    no-stray-output invariant)."""
+    import os
+
+    from lookup_transform_spark.sources.audit_sink import (
+        read_manifest,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "manifest_overwrite")
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nat.repartition(4).write.format("manifestjson").option(
+        "path", path
+    ).mode("append").save()
+    first = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    nat.repartition(2).write.format("manifestjson").option(
+        "path", path
+    ).mode("append").save()
+    man = read_manifest(path)
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert on_disk == {s["shard"] for s in man["shards"]}
+    assert not (on_disk & first)  # stale shards swept
+    assert not any(f.startswith(".tmp-") for f in os.listdir(path))
+    assert man["total_rows"] == nat.count()
+
+
+def test_manifest_sink_zero_task_job_publishes_empty_manifest(spark, tmp_path):
+    import os
+
+    from lookup_transform_spark.sources.audit_sink import (
+        read_manifest,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "manifest_empty")
+    empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD(), "n_nationkey long, n_name string"
+    )
+    empty.write.format("manifestjson").option("path", path).mode(
+        "append"
+    ).save()
+    man = read_manifest(path)
+    # whether Spark schedules zero write tasks or one empty task, the
+    # manifest publishes, counts zero rows, and matches the directory
+    assert man["total_rows"] == 0
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert on_disk == {s["shard"] for s in man["shards"]}
+
+
+def test_compact_to_size_refuses_empty_probe(spark, tmp_path):
+    import pytest as _pytest
+
+    from lookup_transform_spark.operators.compaction import (
+        compact_parquet_to_size,
+    )
+
+    with _pytest.raises(ValueError, match="glob"):
+        compact_parquet_to_size(
+            spark, str(tmp_path / "nonexistent"), str(tmp_path / "out")
+        )
+
+
+def test_compact_partitioned_bounds_files_per_directory(spark, tmp_path):
+    """r8 review: coalesce(N) with partition_by multiplies files (every
+    task writes into every directory it holds rows for, N x |values|);
+    the hash repartition bounds it to ~one file per partition dir."""
+    import glob as _glob
+
+    from lookup_transform_spark.operators.compaction import compact_parquet
+
+    src = str(tmp_path / "src")
+    spark.range(10_000).selectExpr(
+        "id", "id % 10 AS dt"
+    ).repartition(16).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    out = compact_parquet(
+        spark, src, dst, target_files=8, partition_by=["dt"]
+    )
+    assert out.count() == 10_000
+    for d in _glob.glob(f"{dst}/dt=*"):
+        files = _glob.glob(f"{d}/part-*.parquet")
+        assert len(files) == 1, d
+
+
+def test_zorder_write_preserves_user_z_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.layout import zorder_write
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 5).alias("b"),
+        F.lit("keep-me").alias("__z__"),
+    )
+    path = str(tmp_path / "zout")
+    zorder_write(df, path, F.col("a"), F.col("b"), num_files=2, bits=4)
+    back = spark.read.parquet(path)
+    assert "__z__" in back.columns
+    assert back.filter(F.col("__z__") == "keep-me").count() == 100
