@@ -32,5 +32,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot(a,b) / (||a|| * ||b||); null-safe via Spark's null propagation."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """dot(a,b) / (||a|| * ||b||). Null-safe via Spark's null
+    propagation, AND zero-safe: under Spark 4's default ANSI mode a
+    plain Divide raises DIVIDE_BY_ZERO the moment one all-zeros vector
+    appears (empty/failed embedding rows are routine in a real corpus)
+    — ``try_divide`` returns NULL for that undefined similarity
+    instead of killing the job, matching cosine_pairs' NaN→NULL
+    convention."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))

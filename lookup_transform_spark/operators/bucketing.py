@@ -42,16 +42,20 @@ def ensure_bucketed(
 
     Bucketing is an ingest-time LAYOUT decision — the write cost is paid
     once and amortized over every co-located join after. If the layout
-    already exists on disk (``_SUCCESS`` marker), a fresh session just
-    re-attaches it to the catalog with external-table DDL (bucket
-    metadata lives in the catalog, so a bare ``read.parquet`` would lose
-    the no-shuffle property).
+    already exists on disk (``_SUCCESS`` marker, checked through the
+    path's own Hadoop FileSystem — a driver-local os.path check reads
+    every hdfs://s3a:// layout as absent and would re-fingerprint and
+    OVERWRITE the standing corpus on every fresh session), a fresh
+    session just re-attaches it to the catalog with external-table DDL
+    (bucket metadata lives in the catalog, so a bare ``read.parquet``
+    would lose the no-shuffle property).
     """
-    import os
-
     if spark.catalog.tableExists(table):
         return
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jp):
         attach_external_bucketed(
             spark, table, path, bucket_col, n_buckets, df.schema
         )

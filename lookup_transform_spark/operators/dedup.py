@@ -29,6 +29,23 @@ from pyspark.sql.functions import pandas_udf
 _PRIME = (1 << 31) - 1
 
 
+def _validate_banding(num_hashes: int, bands: int) -> int:
+    """rows-per-band, validated: ``bands`` must divide ``num_hashes``
+    with >= 1 signature element per band. Silent acceptance is the
+    failure mode this refuses — bands > num_hashes makes every band
+    bucket the constant hash of an EMPTY element list (all docs
+    collide; the size cap then drops every bucket and the operator
+    returns no near-dup pairs at all), and a non-dividing count
+    silently ignores the trailing signature elements."""
+    rows_per_band = num_hashes // bands
+    if bands < 1 or rows_per_band < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            "bands must divide num_hashes with at least one signature "
+            f"element per band; got num_hashes={num_hashes}, bands={bands}"
+        )
+    return rows_per_band
+
+
 def dedup_exact(
     df: DataFrame, key_cols: list[str], tiebreak: str
 ) -> DataFrame:
@@ -36,12 +53,41 @@ def dedup_exact(
     (deterministic survivor — plain ``dropDuplicates`` keeps an arbitrary
     row, which can't be oracle-checked; SURVEY §7 decision log).
 
-    Implemented as min_by aggregation: single hash aggregate with
-    map-side combine, no per-group sort.
+    Implemented as ONE packed-struct min aggregate (single hash
+    aggregate with map-side combine, no per-group sort): the struct
+    orders by tiebreak FIRST, then the remaining columns
+    lexicographically — so rows TIED on the tiebreak still resolve to
+    one deterministic survivor (a bare ``min_by`` keeps whichever tied
+    row a task scans first, varying run to run). The same atomicity
+    argument as asof_join's carry: all output fields come from exactly
+    one input row, never a column-wise mix of tied rows. A ``tiebreak``
+    listed in ``key_cols`` is constant per group and simply drops out
+    of the packing (the old formulation emitted it twice and died on
+    the duplicate column). Falls back to ``min_by`` when a payload type
+    is non-orderable (maps) — ties are arbitrary there, documented.
     """
-    others = [c for c in df.columns if c not in key_cols]
+    from lookup_transform_spark.operators.asof import _orderable
+
+    others = [
+        c for c in df.columns if c not in key_cols and c != tiebreak
+    ]
+    payload = ([tiebreak] if tiebreak not in key_cols else []) + others
+    if not payload:
+        return df.select(*key_cols).distinct().select(*df.columns)
+    if all(_orderable(df.schema[c].dataType) for c in payload):
+        packed = F.min(
+            F.struct(*[F.col(c) for c in payload])
+        ).alias("__s__")
+        out = df.groupBy(*key_cols).agg(packed)
+        return out.select(
+            *[
+                F.col(c) if c in key_cols
+                else F.col("__s__").getField(c).alias(c)
+                for c in df.columns
+            ]
+        )
     aggs = [F.min(tiebreak).alias(tiebreak)] + [
-        F.min_by(c, tiebreak).alias(c) for c in others if c != tiebreak
+        F.min_by(c, tiebreak).alias(c) for c in others
     ]
     out = df.groupBy(*key_cols).agg(*aggs)
     return out.select(*df.columns)  # restore original column order
@@ -243,8 +289,15 @@ def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
     this is a no-op: an unconditional repartition would be a gratuitous
     full shuffle of the corpus at 100 TB.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        narrow = df.rdd.getNumPartitions() < n
+    except Exception:
+        # Spark Connect exposes neither sparkContext nor .rdd — let the
+        # planner keep its own width rather than crash every dedup
+        # operator before it does any work
+        return df
+    if not narrow:
         return df
     return df.repartition(n, F.col(key_col))
 
@@ -383,7 +436,7 @@ def minhash_lsh_pairs(
     in another, sparser band, so the loss is bounded and the join stays
     O(docs·bands·cap). None disables the cap.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_banding(num_hashes, bands)
     # spread signature computation across cores: a small parquet arrives
     # as one input split, but the per-doc hashing is the expensive part.
     # Gated — already-wide inputs pass through unshuffled.
@@ -1104,7 +1157,7 @@ def _lsh_bands_and_store(
     - ``store`` (doc_id, sorted shingle-hash array): the verify stage's
       side of the Jaccard check.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_banding(num_hashes, bands)
     base = with_shingle_hashes(
         _ensure_parallel(docs, id_col), text_col, shingle_n
     )
@@ -1126,12 +1179,15 @@ def _lsh_bands_and_store(
     return banded, store
 
 
-def _fs_path(p: str) -> str:
-    """Scheme-stripped filesystem path of a location string (catalog
-    locations come back as URIs like ``file:/...``)."""
-    from urllib.parse import urlparse
-
-    return urlparse(p).path if "://" in p or p.startswith("file:") else p
+def _fs_exists(spark, path_str: str) -> bool:
+    """Existence check through the path's OWN Hadoop FileSystem — a
+    driver-local ``os.path.exists`` is False for every hdfs://s3a://
+    location (and for ``file:`` URIs), which here would read as
+    "no index" and silently skip the near-dup probe."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jp)
 
 
 def _lsh_current_location(spark, default_path: str) -> str:
@@ -1169,7 +1225,11 @@ def _lsh_current_location(spark, default_path: str) -> str:
             continue
         g = int(m.group(1))
         if g > best_gen:
-            best_gen, best = g, _fs_path(p.toString())
+            # full location string, scheme/authority INTACT: stripping
+            # to urlparse().path loses the s3a/hdfs bucket+host and
+            # every consumer would resolve a nonexistent default-FS
+            # path (Spark reads and CREATE ... LOCATION accept URIs)
+            best_gen, best = g, p.toString()
     return best
 
 
@@ -1199,7 +1259,7 @@ def lsh_index_ready(
         if spark.catalog.tableExists(table):
             continue
         loc = _lsh_current_location(spark, f"{path}/{sub}")
-        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        if not _fs_exists(spark, loc + "/_SUCCESS"):
             ok = False
             continue
         schema = spark.read.parquet(loc).schema
@@ -1397,7 +1457,7 @@ def incremental_minhash_probe(
     co-located, never re-shuffled or recomputed. Per-ingest cost is
     O(batch + collisions), not O(corpus).
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _validate_banding(num_hashes, bands)
     base = with_shingle_hashes(
         _ensure_parallel(new_docs, id_col), text_col, shingle_n
     )

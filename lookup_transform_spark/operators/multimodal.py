@@ -455,10 +455,14 @@ def resize_image(
     return img[rows[:, None], cols[None, :]]
 
 
-def extract_features(frame: DataFrame) -> DataFrame:
+def extract_features(
+    frame: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas — the
     Arrow-batched shape a real decoder plugs into (one numpy pass per
-    batch, no per-row Python).
+    batch, no per-row Python). ``id_col``/``payload_col`` name the
+    input columns (same contract as ``decode_stats`` — hardcoding them
+    surfaced as an opaque executor KeyError on renamed frames).
 
     Features here are the deterministic fake: payload length, mean byte
     value, byte entropy, and an 8-bin byte histogram as array<float>.
@@ -467,7 +471,7 @@ def extract_features(frame: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 # every emitted feature derives from the RAW bytes — no
                 # decode step here (a decode call whose result feeds
                 # nothing would waste a per-row conversion and, on

@@ -656,3 +656,56 @@ def test_lsh_compaction_generation_swap_and_catalog_recovery(spark, tmp_path):
     finally:
         for t in (f"{prefix}_bands", f"{prefix}_docs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_exact_deterministic_on_tiebreak_ties(spark):
+    """r8 review: rows TIED on the tiebreak resolved to whichever row a
+    task scanned first (min_by keeps an arbitrary tied row) — the
+    survivor must be deterministic across partitionings, and all its
+    fields must come from ONE row, never a column-wise mix."""
+    from lookup_transform_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (1, 10, "b", 2.0),
+        (1, 10, "a", 9.0),   # tied on (key=1, tiebreak=10)
+        (1, 20, "z", 0.0),
+        (2, 5, "q", 1.0),
+    ]
+    for nparts in (1, 4):
+        df = spark.createDataFrame(
+            rows, "k long, tb long, s string, v double"
+        ).repartition(nparts)
+        got = sorted(
+            tuple(r) for r in dedup_exact(df, ["k"], "tb").collect()
+        )
+        # min tiebreak first, ties broken by the remaining columns
+        # lexicographically -> ('a', 9.0) wins ATOMICALLY
+        assert got == [(1, 10, "a", 9.0), (2, 5, "q", 1.0)]
+
+
+def test_dedup_exact_tiebreak_inside_key_cols(spark):
+    from lookup_transform_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "a"), (2, "y")], "k long, s string"
+    )
+    got = sorted(tuple(r) for r in dedup_exact(df, ["k"], "k").collect())
+    assert got == [(1, "a"), (2, "y")]
+
+
+def test_lsh_banding_validated(spark):
+    """r8 review: bands > num_hashes silently hashed an EMPTY element
+    list per band (all docs in one bucket -> size cap drops everything
+    -> zero near-dup pairs reported with no error); non-dividing counts
+    silently ignored trailing signature elements."""
+    import pytest
+
+    from lookup_transform_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=32, bands=10)

@@ -323,3 +323,22 @@ def test_feature_extraction_deterministic(spark, frame):
 def test_frame_sample(frame):
     sampled = frame_sample(frame, every_nth=10)
     assert 0 < sampled.count() < frame.count()
+
+
+def test_extract_features_parameterized_columns(spark):
+    """r8 review: hardcoded pdf['doc_id']/pdf['payload'] crashed with an
+    opaque executor KeyError on renamed frames; the columns are now
+    parameters (decode_stats' existing contract)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"\x00\x01\x02\x03"))],
+        "image_id long, blob binary",
+    )
+    out = extract_features(df, id_col="image_id", payload_col="blob").collect()
+    assert len(out) == 1 and out[0]["payload_len"] == 4
+    # default names still work
+    d2 = df.select(F.col("image_id").alias("doc_id"), F.col("blob").alias("payload"))
+    assert extract_features(d2).count() == 1

@@ -63,6 +63,13 @@ def test_cosine_topk_guards_oversized_query_collect(spark):
 
 
 def test_explode_tokens_matches_builtin(spark):
+    """explode_tokens ≡ posexplode(split(text, ' ', -1)) — the literal
+    single-space split KEEPING boundary/run empties, because that is
+    what the DuckDB udtf_tokens oracle (string_split) computes. r8
+    review: the Python side used bare str.split() (collapse runs, drop
+    empties), which silently diverged from the oracle on exactly the
+    texts in this fixture; this pin held the OLD semantics and has been
+    realigned to the oracle's."""
     from lookup_transform_spark.functions.udfs import explode_tokens
 
     df = spark.createDataFrame(
@@ -81,19 +88,10 @@ def test_explode_tokens_matches_builtin(spark):
     want = sorted(
         df.select(
             "doc_id",
-            F.posexplode(F.split(F.lower("text"), r"\s+", -1)).alias(
+            F.posexplode(F.split(F.lower("text"), " ", -1)).alias(
                 "pos", "token"
             ),
-        )
-        .filter(F.col("token") != "")  # split() keeps empty fragments
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("pos")
-            )
-            - 1,
-        )
-        .collect(),
+        ).collect(),
         key=lambda r: (r["doc_id"], r["pos"]),
     )
     assert [(r["doc_id"], r["token"], r["pos"]) for r in got] == [
@@ -401,3 +399,24 @@ def test_cosine_pairs_ragged_and_empty_batches(spark):
     assert got[1] == pytest.approx(1.0)
     assert got[2] == pytest.approx(0.0)
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_cosine_similarity_zero_vector_is_null_not_error(spark):
+    """r8 review: under ANSI mode (Spark 4 default) a plain Divide
+    raises DIVIDE_BY_ZERO on the first all-zeros embedding; the
+    exported JVM-side cosine must return NULL for that undefined
+    similarity instead of killing the job."""
+    from lookup_transform_spark.functions import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [0.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["sim"]
+        for r in df.select(
+            "id", cosine_similarity(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None
