@@ -42,6 +42,41 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
                        if "__file__" in globals() else "/root/repo", ".scratch")
 
 
+def _stale_guard(
+    spark,
+    path: str,
+    fixture: str,
+    success: str | None = None,
+    tables: tuple[str, ...] = (),
+) -> bool:
+    """Shared staleness gate for at-rest materializations: when the
+    source fixture is NEWER than the artifact's ``_SUCCESS`` (the
+    regenerated-fixture round workflow), drop the catalog tables and
+    remove the artifact directory. Returns True when the artifact needs
+    (re)building. ONE implementation — the six hand-copied versions
+    this replaces disagreed in small ways, and the one at-rest query
+    that forgot the gate entirely (bucketed_join) silently answered
+    from stale data after a fixture regeneration."""
+    success = success or f"{path}/_SUCCESS"
+    stale = os.path.exists(success) and os.path.exists(fixture) and (
+        os.path.getmtime(fixture) > os.path.getmtime(success)
+    )
+    if stale:
+        import shutil
+
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(path, ignore_errors=True)
+    return not os.path.exists(success)
+
+
+def _vtag(sf: str) -> str:
+    """Identifier-safe per-sf tag for session-global names (temp views):
+    fixed names are shared session state and race across concurrent
+    registry calls for different sf_dirs."""
+    return os.path.basename(sf).replace(".", "_").replace("-", "_")
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -132,13 +167,18 @@ def q_lookup_default_alias(spark, sf):
 
 @_q(
     "lookup_default_on_miss",
-    """SELECT o.o_orderkey, COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    """SELECT o.o_orderkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'UNKNOWN'
+            ELSE c.c_mktsegment END AS segment
 FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
 ON o.o_custkey = c.c_custkey""",
 )
 def q_lookup_default_on_miss(spark, sf):
     """B12: the widget's declared-but-unshipped defaultValue
-    (widgets/Lookup-batchjoiner.json:44-51) → coalesce on miss."""
+    (widgets/Lookup-batchjoiner.json:44-51) — applied on MISS only: a
+    matched row whose value field is NULL keeps that NULL (the oracle
+    mirrors with a miss-marker CASE, not COALESCE, which would rewrite
+    matched NULLs too — r8 review)."""
     lkp = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
     spec = LookupSpec(
         "customer", "o_custkey", "c_custkey", "c_mktsegment", "segment",
@@ -1030,16 +1070,9 @@ def q_dedup_incremental_indexed(spark, sf):
     tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
     table = f"fpidx_{tag}"
     path = f"{SCRATCH}/fpidx_{os.path.basename(sf)}"
-    success = f"{path}/_SUCCESS"
-    fixture = os.path.join(sf, "documents.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
+    _stale_guard(
+        spark, path, os.path.join(sf, "documents.parquet"), tables=(table,)
     )
-    if stale:
-        import shutil
-
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(path, ignore_errors=True)
     standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
     write_fingerprint_index(spark, standing, table, path)
     new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
@@ -1170,7 +1203,12 @@ def q_embedding_near_dup(spark, sf):
     never changes results (the op is exact), only tile shape; total
     FLOPs stay O(n²) by design."""
     emb = _t(spark, sf, "embeddings")
-    n = emb.count()
+    # size `blocks` from free plan statistics when available — the
+    # operator's own guard re-checks size anyway, so a second full
+    # count() per invocation is a wasted corpus scan
+    from lookup_transform_spark.plans.lookup import _estimated_rows
+
+    n = _estimated_rows(emb) or emb.count()
     blocks = max(8, -(-n // 8000))
     return DD.embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks)
 
@@ -1345,8 +1383,9 @@ def q_fingerprint_rolling(spark, sf):
     so the min-over-windows fingerprint is recomputed independently by
     the DuckDB oracle. The xxhash64 family remains available on the
     operator for speed-first pipelines (rows-only there by nature)."""
-    d = _t(spark, sf, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    from lookup_transform_spark.operators.dedup import _ensure_parallel
+
+    d = _ensure_parallel(_t(spark, sf, "documents"), "doc_id")
     return d.select(
         "doc_id",
         TX.rolling_fingerprint("text", window=5, hash_family="md5").alias(
@@ -1399,16 +1438,10 @@ def q_simsearch_ivf_pruned(spark, sf):
     # Staleness gate: a regenerated fixture must invalidate the cached
     # index, else the pruned probe silently answers over the OLD corpus
     # (diverging from simsearch_ivf, which reads the fixture directly).
-    success = f"{path}/data/_SUCCESS"
-    fixture = os.path.join(sf, "embeddings.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
-    )
-    if stale:
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-    if not os.path.exists(success):
+    if _stale_guard(
+        spark, path, os.path.join(sf, "embeddings.parquet"),
+        success=f"{path}/data/_SUCCESS",
+    ):
         write_ivf_layout(emb, path, n_centroids=32, refine_iters=5)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_probe_topk(spark, path, queries, k=10, nprobe=8)
@@ -1522,12 +1555,7 @@ def q_sink_partitioned(spark, sf):
     from lookup_transform_spark.sources import write_parquet_partitioned
 
     path = f"{SCRATCH}/orders_part_{os.path.basename(sf)}"
-    success = f"{path}/_SUCCESS"
-    fixture = os.path.join(sf, "orders.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
-    )
-    if stale or not os.path.exists(success):
+    if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
         write_parquet_partitioned(
             _t(spark, sf, "orders"), path, partition_by=["o_orderstatus"]
         )
@@ -1570,12 +1598,7 @@ def q_sink_upsert(spark, sf):
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     src = _t(spark, sf, "orders").select(*cols)
     path = f"{SCRATCH}/orders_upsert_{os.path.basename(sf)}"
-    success = f"{path}/_SUCCESS"
-    fixture = os.path.join(sf, "orders.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
-    )
-    if stale or not os.path.exists(success):
+    if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
         write_parquet_partitioned(src, path, partition_by=["o_orderstatus"])
 
     updates = src.filter(F.col("o_orderkey") % 997 == 0).withColumn(
@@ -1699,11 +1722,15 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
 )
 def q_grouping_sets(spark, sf):
     """B33: grouping sets via the SQL surface."""
-    li = _t(spark, sf, "lineitem")
-    li.createOrReplaceTempView("lineitem_gs")
+    # sf-scoped view name: a fixed name is session-global state, and
+    # two registry calls for DIFFERENT sf_dirs in one session (probe
+    # worker threads, parity interleaved with bench) would race it —
+    # whichever analyzes second reads the other scale's data
+    v = "lineitem_gs_" + _vtag(sf)
+    _t(spark, sf, "lineitem").createOrReplaceTempView(v)
     return spark.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-           FROM lineitem_gs
+        f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM {v}
            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
     )
 
@@ -2098,21 +2125,17 @@ def q_dedup_incremental_minhash(spark, sf):
     tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
     table = f"lshidx_{tag}"
     path = f"{SCRATCH}/lshidx_{os.path.basename(sf)}"
-    success = f"{path}/bands/_SUCCESS"
-    fixture = os.path.join(sf, "documents.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
+    _stale_guard(
+        spark, path, os.path.join(sf, "documents.parquet"),
+        success=f"{path}/bands/_SUCCESS",
+        tables=(f"{table}_bands", f"{table}_docs"),
     )
-    if stale:
-        import shutil
-
-        spark.sql(f"DROP TABLE IF EXISTS {table}_bands")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_docs")
-        shutil.rmtree(path, ignore_errors=True)
     standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
     write_lsh_index(spark, standing, table, path)
     new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
-    return incremental_minhash_probe(spark, new, table).orderBy("doc_id")
+    # no trailing orderBy: the parity comparator sorts rows itself, and
+    # a global sort is an extra range exchange inside the timed region
+    return incremental_minhash_probe(spark, new, table)
 
 
 @_q("stream_ingest_neardedup")
@@ -2248,13 +2271,14 @@ WHERE o_totalprice > (
 )
 def q_subquery_scalar(spark, sf):
     """B37: scalar subquery through the SQL surface."""
-    _t(spark, sf, "orders").createOrReplaceTempView("orders_sq")
+    v = "orders_sq_" + _vtag(sf)  # sf-scoped: see grouping_sets
+    _t(spark, sf, "orders").createOrReplaceTempView(v)
     return spark.sql(
-        """SELECT o_orderkey FROM orders_sq
+        f"""SELECT o_orderkey FROM {v}
            WHERE o_totalprice > (
              SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
                     / COUNT(*)
-             FROM orders_sq)"""
+             FROM {v})"""
     )
 
 
@@ -2343,8 +2367,19 @@ def q_bucketed_join(spark, sf):
         ensure_bucketed,
     )
 
-    tag = os.path.basename(sf).replace(".", "_")
+    tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
     ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    # staleness gate (r8 review: this was the ONE at-rest query without
+    # it — a regenerated fixture was silently answered from the stale
+    # bucketed tables while the oracle read the fresh parquet)
+    _stale_guard(
+        spark, f"{SCRATCH}/{ot}", os.path.join(sf, "orders.parquet"),
+        tables=(ot,),
+    )
+    _stale_guard(
+        spark, f"{SCRATCH}/{lt}", os.path.join(sf, "lineitem.parquet"),
+        tables=(lt,),
+    )
     ensure_bucketed(
         spark, _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
         ot, "o_orderkey", 8, path=f"{SCRATCH}/{ot}",
@@ -2658,14 +2693,15 @@ WHERE l.l_quantity < (
 def q_correlated_subquery(spark, sf):
     """B37: correlated scalar subquery (TPC-H Q17 shape) — Catalyst
     decorrelates it into an aggregate + join."""
-    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_cs")
+    v = "lineitem_cs_" + _vtag(sf)  # sf-scoped: see grouping_sets
+    _t(spark, sf, "lineitem").createOrReplaceTempView(v)
     return spark.sql(
-        """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
-           FROM lineitem_cs l
+        f"""SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+           FROM {v} l
            WHERE l.l_quantity < (
              SELECT 0.2 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
                            / COUNT(*))
-             FROM lineitem_cs l2 WHERE l2.l_partkey = l.l_partkey)"""
+             FROM {v} l2 WHERE l2.l_partkey = l.l_partkey)"""
     )
 
 
@@ -2701,12 +2737,14 @@ WHERE s_suppkey NOT IN (
 )
 def q_not_in_subquery(spark, sf):
     """B37: NOT IN (null-aware anti-join) through the SQL surface."""
-    _t(spark, sf, "supplier").createOrReplaceTempView("supplier_ni")
-    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_ni")
+    sv = "supplier_ni_" + _vtag(sf)  # sf-scoped: see grouping_sets
+    lv = "lineitem_ni_" + _vtag(sf)
+    _t(spark, sf, "supplier").createOrReplaceTempView(sv)
+    _t(spark, sf, "lineitem").createOrReplaceTempView(lv)
     return spark.sql(
-        """SELECT s_suppkey FROM supplier_ni
+        f"""SELECT s_suppkey FROM {sv}
            WHERE s_suppkey NOT IN (
-             SELECT l_suppkey FROM lineitem_ni WHERE l_quantity > 49 AND l_orderkey % 20 = 0)"""
+             SELECT l_suppkey FROM {lv} WHERE l_quantity > 49 AND l_orderkey % 20 = 0)"""
     )
 
 
@@ -4386,7 +4424,7 @@ def q_quality_filter_gopher(spark, sf):
     """SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
        md5(text) AS payload_md5
-FROM documents WHERE doc_id < 400""",
+FROM documents WHERE doc_id < 400 AND length(text) > 0""",
 )
 def q_scan_binary_files(spark, sf):
     """B1/B54: raw binary-asset ingest through Spark's ``binaryFile``
@@ -4404,19 +4442,13 @@ def q_scan_binary_files(spark, sf):
     )
 
     path = f"{SCRATCH}/bin_assets_{os.path.basename(sf)}"
-    success = f"{path}/_SUCCESS"
-    fixture = os.path.join(sf, "documents.parquet")
-    stale = os.path.exists(success) and os.path.exists(fixture) and (
-        os.path.getmtime(fixture) > os.path.getmtime(success)
-    )
-    if stale:
-        import shutil
-
-        shutil.rmtree(path, ignore_errors=True)
-    if not os.path.exists(success):
+    if _stale_guard(spark, path, os.path.join(sf, "documents.parquet")):
         docs = (
             _t(spark, sf, "documents")
-            .filter(F.col("doc_id") < 400)
+            # length > 0 on BOTH sides (oracle below matches): Spark's
+            # binaryFile source drops zero-length files, so an empty
+            # text would round-trip as a silently missing row
+            .filter((F.col("doc_id") < 400) & (F.length("text") > 0))
             .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
         )
         write_binary_files(docs, path)
