@@ -1519,12 +1519,19 @@ def q_scan_orc_roundtrip(spark, sf):
     return read_orc(spark, path)
 
 
-@_q("scan_generator_source")
+from lookup_transform_spark.sources.synthetic import generator_oracle_sql
+
+
+@_q("scan_generator_source", generator_oracle_sql(n=2000, seed=42))
 def q_scan_generator_source(spark, sf):
     """B1 extension: custom Python DataSource (Spark 4 API) — the
     deterministic synthetic-corpus generator; partition-parallel rows
-    from pure compute, no storage. Rows-only (the generator's hash is
-    not expressible in the oracle's SQL)."""
+    from pure compute, no storage. Oracle-exact (r8): rows are a pure
+    function of (seed, doc_id), so the DuckDB oracle RE-DERIVES the
+    corpus — splitmix64 transpiled to HUGEINT SQL
+    (``sources/synthetic.py:generator_oracle_sql``) — instead of
+    reading it; the independent recomputation is a stronger check than
+    any staged copy."""
     from lookup_transform_spark.sources.synthetic import register
 
     register(spark)

@@ -112,6 +112,45 @@ def test_synthetic_datasource_deterministic_and_parallel(spark):
     assert rows[0] == make_doc(7, 0)
 
 
+def test_generator_oracle_sql_matches_scalar_spec():
+    """The DuckDB transpilation of splitmix64 (HUGEINT split-multiply,
+    UBIGINT xor) must reproduce the scalar ``make_doc`` aggregate
+    bit-for-bit — this is what lets ``scan_generator_source`` carry a
+    value-exact oracle for a zero-I/O source."""
+    import duckdb
+
+    from lookup_transform_spark.sources.synthetic import (
+        _mix,
+        generator_oracle_sql,
+        make_doc,
+    )
+
+    # the mix primitive itself, over edge-case inputs
+    vals = [0, 1, (1 << 64) - 1, 42 * 1_000_003 + 1999, 0x9E3779B97F4A7C15]
+    from lookup_transform_spark.sources.synthetic import _sql_mix
+
+    got = duckdb.sql(
+        f"SELECT v, {_sql_mix('v::HUGEINT')} AS m "
+        "FROM (SELECT unnest($vals) AS v)",
+        params={"vals": vals},
+    ).fetchall()
+    assert all(int(m) == _mix(int(v)) for v, m in got)
+
+    # the full aggregate, at two (n, seed) points
+    for n, seed in ((2000, 42), (137, 7)):
+        agg = {}
+        for did in range(n):
+            _, lang, _, _, n_chars = make_doc(seed, did)
+            c = agg.setdefault(lang, [0, 0])
+            c[0] += 1
+            c[1] += n_chars
+        exp = sorted((l, v[0], v[1]) for l, v in agg.items())
+        rows = duckdb.sql(
+            f"SELECT * FROM ({generator_oracle_sql(n, seed)}) ORDER BY lang"
+        ).fetchall()
+        assert [tuple(r) for r in rows] == exp
+
+
 def test_manifest_sink_two_phase_commit(spark, tmp_path):
     import json
 
