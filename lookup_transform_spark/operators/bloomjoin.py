@@ -247,7 +247,13 @@ def bloom_semi_join(
 _KEY_OVERHEAD = 16
 
 
-def _key_width(df: DataFrame, key_col: str) -> int:
+def _key_width(df: DataFrame, key_col: str) -> int | None:
+    """Estimated in-memory bytes per broadcast key row, or None when the
+    width is genuinely unknowable (variable-width key with no column
+    statistics) — the byte gate promises to err toward the bloom path,
+    never toward an OOM broadcast, and a fixed guess for strings breaks
+    that promise the moment keys are wider than the guess (URLs,
+    fingerprints, document keys easily exceed any constant)."""
     dt = df.schema[key_col].dataType
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType,
                        T.DateType)):
@@ -260,7 +266,15 @@ def _key_width(df: DataFrame, key_col: str) -> int:
         return (8 if dt.precision <= 18 else 16) + _KEY_OVERHEAD
     if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
         return 8 + _KEY_OVERHEAD
-    return 24 + _KEY_OVERHEAD  # strings/binary: conservative average
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # variable width: only a measured average (ANALYZE FOR COLUMNS
+        # avgLen, propagated through the plan) is trustworthy; pad it
+        # 2x for UTF-16 in-heap expansion + skew headroom
+        from lookup_transform_spark.plans.lookup import _column_avg_len
+
+        avg = _column_avg_len(df, key_col)
+        return (2 * avg + _KEY_OVERHEAD) if avg is not None else None
+    return None  # structs/arrays/maps: no width story — bloom path
 
 
 def semi_join_auto(
@@ -307,11 +321,13 @@ def semi_join_auto(
     route = force
     if route is None:
         est = _estimated_rows(keys)
+        width = _key_width(keys, keys_key)
         route = (
             "plain"
             if est is not None
+            and width is not None  # unknown key width → never broadcast
             and est <= broadcast_rows
-            and est * _key_width(keys, keys_key) <= broadcast_bytes
+            and est * width <= broadcast_bytes
             else "bloom"
         )
     if route == "plain":

@@ -50,12 +50,11 @@ def ensure_bucketed(
     (bucket metadata lives in the catalog, so a bare ``read.parquet``
     would lose the no-shuffle property).
     """
+    from lookup_transform_spark.hadoopfs import fs_exists
+
     if spark.catalog.tableExists(table):
         return
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jp):
+    if fs_exists(spark, path + "/_SUCCESS"):
         attach_external_bucketed(
             spark, table, path, bucket_col, n_buckets, df.schema
         )

@@ -75,8 +75,20 @@ def dedup_exact(
     if not payload:
         return df.select(*key_cols).distinct().select(*df.columns)
     if all(_orderable(df.schema[c].dataType) for c in payload):
+        # Struct ordering sorts a NULL field BEFORE any value, so a bare
+        # packed min would let a NULL tiebreak beat every real one —
+        # inverting both ``min_by`` (which skips NULL ordering values)
+        # and the oracle's ROW_NUMBER ... ORDER BY (DuckDB defaults to
+        # NULLS LAST). A leading is-null flag (false < true) restores
+        # NULLS-LAST for the tiebreak; all-NULL groups then resolve
+        # deterministically on the remaining payload fields.
+        lead = (
+            [F.col(tiebreak).isNull().alias("__tb_null__")]
+            if tiebreak not in key_cols
+            else []
+        )
         packed = F.min(
-            F.struct(*[F.col(c) for c in payload])
+            F.struct(*lead, *[F.col(c) for c in payload])
         ).alias("__s__")
         out = df.groupBy(*key_cols).agg(packed)
         return out.select(
@@ -86,9 +98,12 @@ def dedup_exact(
                 for c in df.columns
             ]
         )
-    aggs = [F.min(tiebreak).alias(tiebreak)] + [
-        F.min_by(c, tiebreak).alias(c) for c in others
-    ]
+    # min_by fallback (non-orderable payload type): a tiebreak listed in
+    # key_cols is already a grouping column — re-aggregating it would
+    # emit the column twice and die on the ambiguous reference
+    aggs = (
+        [F.min(tiebreak).alias(tiebreak)] if tiebreak not in key_cols else []
+    ) + [F.min_by(c, tiebreak).alias(c) for c in others]
     out = df.groupBy(*key_cols).agg(*aggs)
     return out.select(*df.columns)  # restore original column order
 
@@ -1184,10 +1199,9 @@ def _fs_exists(spark, path_str: str) -> bool:
     driver-local ``os.path.exists`` is False for every hdfs://s3a://
     location (and for ``file:`` URIs), which here would read as
     "no index" and silently skip the near-dup probe."""
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jp)
+    from lookup_transform_spark.hadoopfs import fs_exists
+
+    return fs_exists(spark, path_str)
 
 
 def _lsh_current_location(spark, default_path: str) -> str:

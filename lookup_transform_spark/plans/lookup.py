@@ -123,36 +123,14 @@ def _estimated_rows(df: DataFrame) -> int | None:
     because of exactly this.
     """
     try:
-        from py4j.java_gateway import JavaPackage
-
-        spark = df.sparkSession
-        # Spark 4 moved the JVM class to sql.classic; fall back to the
-        # Spark 3 location rather than letting the blanket except below
-        # swallow the miss — a silent total stats outage would route
-        # EVERY semi_join_auto call down the bloom path (the same
-        # mis-route the thread-local fix was for). py4j NEVER raises on
-        # a missing class path: attribute access on an unknown FQN
-        # returns another JavaPackage (only CALLING one raises), so a
-        # try/except here would be dead code — the fallback must be an
-        # isinstance check (pinned in tests/test_plans.py).
-        jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
-        if isinstance(jcls, JavaPackage):  # Spark 3.x: no sql.classic
-            jcls = spark._jvm.org.apache.spark.sql.SparkSession
-        prev = jcls.getActiveSession()  # scala Option
-        jcls.setActiveSession(spark._jsparkSession)
+        stats, _release = _pinned_plan_stats(df)
         try:
-            stats = df._jdf.queryExecution().optimizedPlan().stats()
             row_count = stats.rowCount()
             if row_count.isDefined():
                 return int(str(row_count.get()))
             size = int(str(stats.sizeInBytes()))
         finally:
-            # restore: leaving OUR session bound would silently change
-            # a multi-session thread's later plans (conf is per-session)
-            if prev.isDefined():
-                jcls.setActiveSession(prev.get())
-            else:
-                jcls.clearActiveSession()
+            _release()
     except Exception as exc:  # pragma: no cover - environment-specific
         _warn_stats_unavailable_once(exc)
         return None
@@ -160,6 +138,87 @@ def _estimated_rows(df: DataFrame) -> int | None:
         _FIELD_WIDTH.get(type(f.dataType), 8) for f in df.schema.fields
     )
     return size * _DECOMPRESSION_FACTOR // max(width, 1)
+
+
+def _exact_rows_if_known(df: DataFrame) -> int | None:
+    """Catalog-exact row count (CBO ``rowCount``) or None — WITHOUT the
+    deliberate sizeInBytes over-count ``_estimated_rows`` falls back to.
+    For sizing decisions that scale WORK (e.g. a tile/block count where
+    over-counting rows quadratically inflates task count), an inflated
+    guess is the wrong tool: callers should fall back to a real
+    ``count()`` instead."""
+    try:
+        stats, _release = _pinned_plan_stats(df)
+        try:
+            row_count = stats.rowCount()
+            return int(str(row_count.get())) if row_count.isDefined() else None
+        finally:
+            _release()
+    except Exception as exc:  # pragma: no cover - environment-specific
+        _warn_stats_unavailable_once(exc)
+        return None
+
+
+def _pinned_plan_stats(df: DataFrame):
+    """Optimized-plan ``Statistics`` for ``df`` with the owning session
+    pinned to the calling thread for the duration of the read. Returns
+    ``(stats, release)``; the caller MUST invoke ``release()`` (restores
+    the thread's previous active session — leaving OURS bound would
+    silently change a multi-session thread's later plans).
+
+    Spark 4 moved the JVM class to sql.classic; fall back to the
+    Spark 3 location rather than letting a blanket except swallow the
+    miss — a silent total stats outage would route EVERY
+    semi_join_auto call down the bloom path (the same mis-route the
+    thread-local fix was for). py4j NEVER raises on a missing class
+    path: attribute access on an unknown FQN returns another
+    JavaPackage (only CALLING one raises), so a try/except here would
+    be dead code — the fallback must be an isinstance check (pinned in
+    tests/test_plans.py)."""
+    from py4j.java_gateway import JavaPackage
+
+    spark = df.sparkSession
+    jcls = spark._jvm.org.apache.spark.sql.classic.SparkSession
+    if isinstance(jcls, JavaPackage):  # Spark 3.x: no sql.classic
+        jcls = spark._jvm.org.apache.spark.sql.SparkSession
+    prev = jcls.getActiveSession()  # scala Option
+    jcls.setActiveSession(spark._jsparkSession)
+
+    def _release() -> None:
+        if prev.isDefined():
+            jcls.setActiveSession(prev.get())
+        else:
+            jcls.clearActiveSession()
+
+    try:
+        return df._jdf.queryExecution().optimizedPlan().stats(), _release
+    except Exception:
+        _release()
+        raise
+
+
+def _column_avg_len(df: DataFrame, col: str) -> int | None:
+    """Average byte length of ``col`` from the plan's propagated column
+    statistics (``ANALYZE ... FOR COLUMNS`` avgLen, carried through
+    projections/filters when CBO is on), or None when no such stat
+    reaches this plan. The honest answer for a variable-width column
+    without stats IS "unknown" — callers sizing a broadcast must treat
+    None as not-broadcastable rather than guess a width."""
+    try:
+        stats, _release = _pinned_plan_stats(df)
+        try:
+            it = stats.attributeStats().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if str(kv._1().name()) == col:
+                    avg = kv._2().avgLen()
+                    return int(str(avg.get())) if avg.isDefined() else None
+            return None
+        finally:
+            _release()
+    except Exception as exc:  # pragma: no cover - environment-specific
+        _warn_stats_unavailable_once(exc)
+        return None
 
 
 def contains_macro(value: Any) -> bool:

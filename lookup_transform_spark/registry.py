@@ -1067,7 +1067,7 @@ def q_dedup_incremental_indexed(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
+    tag = _vtag(sf)
     table = f"fpidx_{tag}"
     path = f"{SCRATCH}/fpidx_{os.path.basename(sf)}"
     _stale_guard(
@@ -1203,12 +1203,15 @@ def q_embedding_near_dup(spark, sf):
     never changes results (the op is exact), only tile shape; total
     FLOPs stay O(n²) by design."""
     emb = _t(spark, sf, "embeddings")
-    # size `blocks` from free plan statistics when available — the
-    # operator's own guard re-checks size anyway, so a second full
-    # count() per invocation is a wasted corpus scan
-    from lookup_transform_spark.plans.lookup import _estimated_rows
+    # size `blocks` from the catalog-EXACT row count when one exists
+    # (free), else one count() scan. The over-counting sizeInBytes
+    # estimate must not be used here (r8 review): it guesses 8 bytes
+    # for the embedding array (~512 real), inflating rows ~100x and the
+    # O(blocks²) tile-pair count ~10,000x — block sizing scales WORK,
+    # so it needs a truthful n, not a gate-safe over-count
+    from lookup_transform_spark.plans.lookup import _exact_rows_if_known
 
-    n = _estimated_rows(emb) or emb.count()
+    n = _exact_rows_if_known(emb) or emb.count()
     blocks = max(8, -(-n // 8000))
     return DD.embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks)
 
@@ -1279,14 +1282,18 @@ def _simhash_md5_oracle(max_hamming: int = 3) -> str:
     (same token set, same first-64-md5-bits hash, same majority vote —
     see ``dedup._md5_token_hash``) and emitting hamming <= max_hamming
     pairs. The 64 per-bit vote terms are generated, not hand-written."""
+    # the vote terms coalesce the empty-list sum (NULL in DuckDB) to 0,
+    # so an empty token set votes every bit ON (2·0 >= 0) — matching the
+    # engine's all-ones ``empty_sig`` for NULL/tokenless texts instead
+    # of silently diverging to signature 0 on such rows
     bitsum = "\n      + ".join(
-        f"(CASE WHEN 2*list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT))"
+        f"(CASE WHEN 2*coalesce(list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT)), 0)"
         f" >= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
         for j in range(64)
     )
     return f"""WITH d AS (
-  SELECT doc_id, list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
-         t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+  SELECT doc_id, coalesce(list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+         t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT), []) AS hs
   FROM documents),
 sig AS (
   SELECT doc_id, ({bitsum}) AS sig FROM d)
@@ -2129,7 +2136,7 @@ def q_dedup_incremental_minhash(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
+    tag = _vtag(sf)
     table = f"lshidx_{tag}"
     path = f"{SCRATCH}/lshidx_{os.path.basename(sf)}"
     _stale_guard(
@@ -2374,7 +2381,7 @@ def q_bucketed_join(spark, sf):
         ensure_bucketed,
     )
 
-    tag = os.path.basename(sf).replace(".", "_").replace("-", "_")
+    tag = _vtag(sf)
     ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
     # staleness gate (r8 review: this was the ONE at-rest query without
     # it — a regenerated fixture was silently answered from the stale

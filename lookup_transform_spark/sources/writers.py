@@ -156,11 +156,11 @@ def upsert_partitioned(
     """
     from pyspark.sql import functions as F
 
+    from lookup_transform_spark.hadoopfs import hadoop_fs
+
     staging = f"{path}.__upsert_staging__"
     jvm = spark._jvm
-    jconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = jpath.getFileSystem(jconf)
+    fs, jpath = hadoop_fs(spark, staging)
     prefix = f"{partition_col}="
     # Crash recovery BEFORE reading the table. A staging dir WITH
     # _SUCCESS means a previous call crashed mid-commit: some affected

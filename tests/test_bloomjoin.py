@@ -213,3 +213,35 @@ def test_semi_join_auto_byte_gate_and_key_projection(spark):
     )
     pb = plan_of(routed)
     assert "xxhash64" in pb and "element_at" in pb
+
+
+def test_semi_join_auto_unknown_string_width_refuses_broadcast(spark):
+    """r8 review: a variable-width key with no column statistics has NO
+    trustworthy byte estimate — a fixed per-key guess admits multi-GB
+    wide-string relations into the broadcast route (the exact OOM the
+    byte gate exists to prevent). With avgLen unavailable the router
+    must take the bloom path regardless of row count."""
+    from lookup_transform_spark.operators.bloomjoin import (
+        _key_width,
+        semi_join_auto,
+    )
+
+    fact = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "source")
+    keys = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("source").distinct()
+    # plain parquet reads carry no ANALYZE column stats → width unknown
+    assert _key_width(keys, "source") is None
+    routed = semi_join_auto(fact, keys, "source", "source")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        routed.explain("simple")
+    p = buf.getvalue()
+    assert "xxhash64" in p and "element_at" in p  # bloom prefilter
+    # results are exact either way: every fact row has a key-side match
+    assert routed.count() == fact.count()

@@ -516,7 +516,13 @@ def test_simhash_md5_family_matches_duckdb_bit_for_bit(spark):
     )
 
     path = "/root/testdata/sf0.001/documents.parquet"
-    docs = spark.read.parquet(path)
+    # append a NULL text and an empty text: both engines must agree on
+    # the degenerate rows too (engine: all-ones empty_sig; oracle: the
+    # coalesce'd vote terms — 2·0 >= 0 — set every bit)
+    extra = spark.createDataFrame(
+        [(10_000_001, None), (10_000_002, "")], "doc_id long, text string"
+    )
+    docs = spark.read.parquet(path).select("doc_id", "text").unionByName(extra)
     got = {
         r["doc_id"]: r["sig"] & ((1 << 64) - 1)
         for r in docs.select(
@@ -525,19 +531,24 @@ def test_simhash_md5_family_matches_duckdb_bit_for_bit(spark):
         ).collect()
     }
 
+    # the same vote SQL the registry oracle generates (coalesce: an
+    # empty list_sum is NULL in DuckDB and must count as zero ones)
     bitsum = " + ".join(
-        f"(CASE WHEN 2*list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT))"
+        f"(CASE WHEN 2*coalesce(list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT)), 0)"
         f" >= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
         for j in range(64)
     )
     con = duckdb.connect()
     want = dict(
         con.sql(
-            rf"""WITH d AS (
-      SELECT doc_id, list_transform(
+            rf"""WITH raw AS (
+      SELECT doc_id, text FROM '{path}'
+      UNION ALL VALUES (10000001, NULL), (10000002, '')),
+    d AS (
+      SELECT doc_id, coalesce(list_transform(
         list_distinct(string_split_regex(lower(text), '\s+')),
-        t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
-      FROM '{path}')
+        t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT), []) AS hs
+      FROM raw)
     SELECT doc_id, ({bitsum}) AS sig FROM d"""
         ).fetchall()
     )
@@ -691,6 +702,47 @@ def test_dedup_exact_tiebreak_inside_key_cols(spark):
     )
     got = sorted(tuple(r) for r in dedup_exact(df, ["k"], "k").collect())
     assert got == [(1, "a"), (2, "y")]
+
+
+def test_dedup_exact_null_tiebreak_loses(spark):
+    """r8 review: struct ordering sorts a NULL field BEFORE any value,
+    so the packed-struct min let a NULL tiebreak beat every real one —
+    inverting min_by semantics (which skips NULL ordering values) and
+    the DuckDB oracle's NULLS-LAST ROW_NUMBER. A NULL tiebreak must
+    lose to any non-NULL one; an all-NULL group still resolves
+    deterministically on the payload."""
+    from lookup_transform_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (1, None, "null-tb", 1.0),
+        (1, 7, "real-tb", 2.0),
+        (2, None, "b", 1.0),
+        (2, None, "a", 2.0),  # all-NULL group: payload breaks the tie
+    ]
+    for nparts in (1, 4):
+        df = spark.createDataFrame(
+            rows, "k long, tb long, s string, v double"
+        ).repartition(nparts)
+        got = sorted(
+            tuple(r) for r in dedup_exact(df, ["k"], "tb").collect()
+        )
+        assert got == [(1, 7, "real-tb", 2.0), (2, None, "a", 2.0)]
+
+
+def test_dedup_exact_minby_fallback_tiebreak_in_key_cols(spark):
+    """r8 review: the non-orderable-payload fallback re-aggregated a
+    tiebreak that was already a grouping column, emitting it twice and
+    dying on the ambiguous reference downstream."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, 3, "a"), (1, 3, "b"), (2, 4, "c")], "k long, tb long, s string"
+    ).withColumn("m", F.create_map(F.col("s"), F.col("tb")))
+    got = dedup_exact(df, ["k", "tb"], "tb").collect()
+    assert sorted((r["k"], r["tb"]) for r in got) == [(1, 3), (2, 4)]
+    assert set(df.columns) == set(got[0].asDict().keys())
 
 
 def test_lsh_banding_validated(spark):
