@@ -135,10 +135,22 @@ def kmeans_assign(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # NULL vectors have no position: excluded from init, iteration, and
-    # output — one dirty row must not crash the job (len(None) here,
-    # ragged np.array inside every UDF stage)
-    df = df.filter(F.col(vec_col).isNotNull())
+    # Dirty vectors have no position: excluded from init, iteration, and
+    # output — one dirty row must not crash (NULL vector: len(None) /
+    # ragged np.array) or silently CORRUPT the job. The corrupt mode is
+    # the nastier one (r8 review): a NULL or NaN ELEMENT passes a bare
+    # isNotNull() filter, numpy converts it to NaN, the all-NaN distance
+    # row argmins to cluster 0, and trunc(NaN).astype(int64) is
+    # INT64_MIN — one row poisons a centroid's fixed-point sum with no
+    # error. ±Inf does the same through the distance matmul. One cheap
+    # JVM-side exists() screens all of it before any UDF stage.
+    dirty_elem = F.exists(
+        F.col(vec_col),
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | x.isin(float("inf"), float("-inf")),
+    )
+    df = df.filter(F.col(vec_col).isNotNull() & ~dirty_elem)
     head = df.select(vec_col).first()
     if head is None:
         raise ValueError(

@@ -103,7 +103,12 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
         labels = updated
-        if prev_sum is not None and new_sum == prev_sum:
+        # empty node set sums to NULL (None here): the answer is known —
+        # nothing to propagate — and `None == None` never trips the
+        # prev_sum comparison, so without this check an empty edge set
+        # would burn every remaining iteration on no-op checkpoints +
+        # collects (r8 review)
+        if new_sum is None or (prev_sum is not None and new_sum == prev_sum):
             break
         prev_sum = new_sum
     return labels

@@ -39,12 +39,30 @@ def sessionize(
         [F.col(order_tiebreak).asc()] if order_tiebreak else []
     )
     w = Window.partitionBy(key).orderBy(*order)
-    if isinstance(events.schema[ts].dataType, T.TimestampType):
+    ts_dt = events.schema[ts].dataType
+    if isinstance(ts_dt, T.TimestampNTZType):
+        # NTZ has no unix_micros and refuses cast('long') outright
+        # (DATATYPE_MISMATCH at analysis) — reinterpret as an instant
+        # first. Gap arithmetic only DIFFERENCES the values, so the
+        # fixed offset the reinterpretation pins cancels under any
+        # non-DST session timezone (UTC, this engine's default; a DST
+        # zone would shift gaps spanning a transition by the offset
+        # delta).
+        epoch = F.unix_micros(F.col(ts).cast("timestamp"))
+        gap_lit = int(gap_seconds) * 1_000_000
+    elif isinstance(ts_dt, T.TimestampType):
         epoch = F.unix_micros(F.col(ts))
         gap_lit = int(gap_seconds) * 1_000_000
-    else:
+    elif isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                            T.LongType)):
         epoch = F.col(ts).cast("long")
         gap_lit = gap_seconds
+    else:
+        raise TypeError(
+            f"sessionize: ts column {ts!r} must be TIMESTAMP, "
+            f"TIMESTAMP_NTZ, or integral epoch units; got "
+            f"{ts_dt.simpleString()}"
+        )
     gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(
         gap.isNull() | (gap > F.lit(gap_lit)), F.lit(1)

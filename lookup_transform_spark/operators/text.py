@@ -217,6 +217,28 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def _nfc_udf():
+    """Module-cached NFC pandas UDF: the decorator builds and registers
+    a fresh Python UDF wrapper each time it runs, so constructing it
+    per ``normalize_text`` call paid that per-invocation and produced
+    distinct UDF instances that defeat expression-level reuse (r8
+    review). Built lazily (not at import) so importing the module never
+    requires an active Spark context."""
+    global _NFC
+    if _NFC is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(s):  # type: ignore[no-untyped-def]
+            return s.str.normalize("NFC")
+
+        _NFC = _nfc
+    return _NFC
+
+
+_NFC = None
+
+
 def normalize_text(text_col: str | Column) -> Column:
     """Canonical text normalization — the pass every dedup/fingerprint
     stage should share so byte-different-but-equal texts collide:
@@ -226,12 +248,5 @@ def normalize_text(text_col: str | Column) -> Column:
     is the Arrow-batched path); case/whitespace stay JVM-side so the
     UDF does exactly the one thing Spark can't.
     """
-    import pandas as pd  # noqa: F401  (doc: pandas str backend)
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _nfc(s):  # type: ignore[no-untyped-def]
-        return s.str.normalize("NFC")
-
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.trim(F.regexp_replace(F.lower(_nfc(c)), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(_nfc_udf()(c)), r"\s+", " "))

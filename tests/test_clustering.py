@@ -44,6 +44,41 @@ def test_kmeans_matches_numpy_replica(spark, fixture_vectors):
     assert not mism, f"{len(mism)} assignment mismatches: {sorted(mism)[:5]}"
 
 
+def test_kmeans_excludes_dirty_vectors_without_corruption(spark, fixture_vectors):
+    """r8 review: a NULL/NaN ELEMENT passed the bare isNotNull() filter,
+    numpy turned it into NaN, the all-NaN distance row argmin'd to
+    cluster 0, and trunc(NaN)→INT64_MIN poisoned that centroid's
+    fixed-point sum — results silently corrupted by one dirty row. Dirty
+    rows (NULL vector, NULL/NaN/±Inf element) must be EXCLUDED and the
+    clean rows' assignments unchanged."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    ids, vecs = fixture_vectors
+    clean = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(vecs[0])
+    dirty = spark.createDataFrame(
+        [
+            (10_000_001, None, "x"),
+            (10_000_002, [float("nan")] + [0.5] * (dim - 1), "x"),
+            (10_000_003, [None] + [0.5] * (dim - 1), "x"),
+            (10_000_004, [float("inf")] + [0.5] * (dim - 1), "x"),
+        ],
+        clean.select("vec_id", "embedding", F.lit("x").alias("label")).schema,
+    )
+    mixed = clean.unionByName(dirty.select(*clean.columns))
+    base = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(clean, "vec_id", "embedding", k=8, iters=3).collect()
+    }
+    got = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(mixed, "vec_id", "embedding", k=8, iters=3).collect()
+    }
+    assert got == base  # dirty ids absent, clean assignments identical
+
+
 def test_kmeans_partitioning_invariant(spark, fixture_vectors):
     """Decimal-mean centroid updates make the result independent of
     input partitioning — the property that lets the operator run at any

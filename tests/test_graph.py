@@ -55,6 +55,15 @@ def test_components_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_components_empty_edges_short_circuit(spark):
+    """r8 review: an empty edge set summed to NULL every iteration and
+    `None == None` never tripped the fixpoint probe — 20 no-op rounds of
+    checkpoints + collects for an input whose answer is known at round
+    zero. Result must be an empty frame either way."""
+    df = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(df).count() == 0
+
+
 def test_dedup_clusters_canonical(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"

@@ -140,6 +140,37 @@ def test_ivf_layout_probe_matches_inplan_and_prunes(spark, tmp_path):
     assert n_cells > probe_cells  # pruning is actually cutting cells
 
 
+def test_ivf_probe_exclude_self_flag(spark, tmp_path):
+    """r8 review: the at-rest probe hardcoded exclude_self — for an
+    EXTERNAL query whose id collides with an unrelated corpus id, the
+    legitimate neighbor was silently dropped from its top-k. With
+    exclude_self=False the identical vector (corpus id == query id by
+    coincidence) must appear as the top neighbor."""
+    from lookup_transform_spark.operators.similarity import (
+        ivf_probe_topk,
+        write_ivf_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    path = str(tmp_path / "ivf_ext")
+    write_ivf_layout(emb, path, n_centroids=8)
+    # external queries that REUSE corpus ids but are the same vectors —
+    # so the id-colliding corpus row is also the true nearest neighbor
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    with_self = ivf_probe_topk(
+        spark, path, queries, k=1, nprobe=2, exclude_self=False
+    ).collect()
+    assert with_self and all(
+        r["neighbor_id"] == r["query_id"] and r["sim"] == 1.0
+        for r in with_self
+    )
+    without = ivf_probe_topk(
+        spark, path, queries, k=1, nprobe=2, exclude_self=True
+    ).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in without)
+
+
 def test_ivf_pruned_cache_invalidates_on_newer_fixture(spark, tmp_path):
     """round-4 ADVICE: the cached at-rest IVF layout must be rebuilt
     when the fixture it was built from changes, else the pruned probe

@@ -124,6 +124,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert spark.table("t_late").count() > 0
 
 
+def test_sessionize_ntz_timestamp_and_type_refusal(spark):
+    """r8 review: an NTZ ts column fell into the numeric branch and
+    crashed at analysis (NTZ refuses cast('long')); it must sessionize
+    identically to the same instants as TIMESTAMP, and a non-time type
+    must be refused loudly rather than mis-read as epoch numbers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:10:00"),   # in-gap: same session
+        (1, 3, "2024-01-01 01:00:00"),   # >30min gap: new session
+        (2, 4, "2024-01-01 00:00:00"),
+    ]
+    base = spark.createDataFrame(rows, "user_id long, event_id long, s string")
+    tz = base.withColumn("ts", F.col("s").cast("timestamp"))
+    ntz = base.withColumn("ts", F.col("s").cast("timestamp_ntz"))
+    assert ntz.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    key = ["user_id", "event_id", "session_id"]
+    got_tz = sorted(
+        tuple(r) for r in sessionize(tz, gap_seconds=1800).select(*key).collect()
+    )
+    got_ntz = sorted(
+        tuple(r) for r in sessionize(ntz, gap_seconds=1800).select(*key).collect()
+    )
+    assert got_tz == got_ntz == [(1, 1, 1), (1, 2, 1), (1, 3, 2), (2, 4, 1)]
+    with pytest.raises(TypeError, match="sessionize"):
+        sessionize(base.withColumn("ts", F.col("s")), gap_seconds=1800)
+
+
 def test_stateful_sessionize_matches_batch(spark):
     """applyInPandasWithState session tracker: closed sessions must
     agree with the batch sessionize twin (sessions that are still open
