@@ -60,8 +60,14 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
         mb = np.array([lb[i] for i in idx], dtype=np.float64)
         num = np.einsum("ij,ij->i", ma, mb)
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             out[idx] = num / den
+    # ±Inf (norm product underflows to 0 while the dot product stays
+    # finite nonzero, or non-finite inputs) must fold to the same NULL
+    # sentinel: Arrow maps NaN→NULL but ships Inf as a real double,
+    # which would outrank every genuine similarity in any top-k
+    # re-scoring — and the JVM try_divide twin returns NULL there
+    out[~np.isfinite(out)] = np.nan
     return pd.Series(out)
 
 

@@ -44,12 +44,24 @@ def log_bucket(value: str | Column, base: float = 1.04, lo: float = 0.01) -> Col
     """Geometric bucket index of a double: 0 for |v| ≤ lo (absolute-
     error floor), else ``sign(v) · (floor(log(|v|/lo)/log(base)) + 1)``.
     Negative values get mirrored negative indices, so the bucket order
-    is the value order."""
+    is the value order.
+
+    Non-finite values bucket to NULL — the same excluded-like-NULL
+    contract the sketch documents for null values. Unguarded they are
+    not ignorable noise (r8 review): ±Inf saturates ``floor(log(∞))``
+    to Long.MaxValue and the ``+1`` ARITHMETIC_OVERFLOWs the whole job
+    under ANSI mode, while NaN falls through every comparison into
+    bucket 1 and silently biases each quantile toward the absolute-
+    error floor."""
     v = F.col(value) if isinstance(value, str) else value
     mag = F.abs(v)
     k = (F.floor(F.log(mag / F.lit(lo)) / F.lit(math.log(base))) + 1).cast("int")
-    return F.when(mag <= lo, F.lit(0)).otherwise(
-        F.when(v < 0, -k).otherwise(k)
+    return F.when(
+        F.isnan(v) | (mag == F.lit(float("inf"))), F.lit(None).cast("int")
+    ).otherwise(
+        F.when(mag <= lo, F.lit(0)).otherwise(
+            F.when(v < 0, -k).otherwise(k)
+        )
     )
 
 
@@ -89,6 +101,17 @@ def qsketch(
         .groupBy(*group_cols, "__b__")
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
+    return _sketch_rebuild(per_bucket, group_cols)
+
+
+def _sketch_rebuild(per_bucket: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group, __b__, __c__) → one sketch row per group. The ONE copy of
+    the map-build + n_rows contract shared by build and merge (the two
+    previously spelled it twice — any fix to the null-entry/map-build
+    rules must hit both paths identically or merge ≠ rebuild): a null
+    bucket (null/non-finite values) contributes no map entry and no
+    n_rows count, but keeps the GROUP alive — an all-null group emits
+    (group, empty sketch, 0)."""
     return per_bucket.groupBy(*group_cols).agg(
         F.map_from_entries(
             F.array_sort(
@@ -100,8 +123,11 @@ def qsketch(
                 )
             )
         ).alias("sketch"),
-        F.sum(
-            F.when(F.col("__b__").isNotNull(), F.col("__c__")).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__b__").isNotNull(), F.col("__c__"))
+            ),
+            F.lit(0).cast("long"),
         ).alias("n_rows"),
     )
 
@@ -121,24 +147,7 @@ def qsketch_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
     per_bucket = exploded.groupBy(*group_cols, "__b__").agg(
         F.sum("__c__").alias("__c__")
     )
-    return per_bucket.groupBy(*group_cols).agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col("__b__").isNotNull(),
-                        F.struct("__b__", "__c__"),
-                    )
-                )
-            )
-        ).alias("sketch"),
-        F.coalesce(
-            F.sum(
-                F.when(F.col("__b__").isNotNull(), F.col("__c__"))
-            ),
-            F.lit(0).cast("long"),
-        ).alias("n_rows"),
-    )
+    return _sketch_rebuild(per_bucket, group_cols)
 
 
 def qsketch_quantiles(

@@ -33,6 +33,12 @@ def register_views(con, sf_dir: str, glob: bool = False) -> None:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
 
+#: NaN sentinel: a dedicated marker object, NOT the string "NaN" — a
+#: genuine varchar value 'NaN' in one engine must never compare equal
+#: to a float NaN in the other (r8 review)
+_NAN = ("__float_nan__",)
+
+
 def normalize(rows: list[tuple], columns: list[str]) -> tuple[list, list]:
     """Sort columns by name, then rows; make values hashable/comparable."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -40,7 +46,7 @@ def normalize(rows: list[tuple], columns: list[str]) -> tuple[list, list]:
     def norm(v: Any) -> Any:
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
+                return _NAN
             return v
         if isinstance(v, (bytes, bytearray)):
             return bytes(v)
@@ -92,14 +98,23 @@ def compare(spark_df, duck_con, oracle_sql: str) -> dict:
         return rec
     s_norm, cols = normalize(spark_rows, spark_cols)
     d_norm, _ = normalize(duck_rows, duck_cols)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
-    ]
-    rec["hash_match"] = not mismatches
-    if mismatches:
-        i, a, b = mismatches[0]
+    # MULTISET equality, not positional zip after a repr-sort (r8
+    # review): values that compare equal but repr differently across
+    # engines (Spark double 1.0 vs DuckDB BIGINT 1, Decimal('2') vs
+    # 2.0, -0.0 vs 0.0) sort into different positions and a zip then
+    # reports spurious mismatches for a correct query. Python
+    # guarantees equal numerics hash equal, so Counter equality is
+    # exactly value-multiset equality.
+    from collections import Counter
+
+    sc, dcount = Counter(s_norm), Counter(d_norm)
+    rec["hash_match"] = sc == dcount
+    if sc != dcount:
+        only_s = list((sc - dcount).elements())
+        only_d = list((dcount - sc).elements())
         rec["err"] = (
-            f"{len(mismatches)} row mismatches; first at {i} "
-            f"(cols {cols}): {a!r} vs {b!r}"
+            f"{max(len(only_s), len(only_d))} row mismatches "
+            f"(cols {cols}); spark-only sample: {only_s[:1]!r}, "
+            f"oracle-only sample: {only_d[:1]!r}"
         )
     return rec

@@ -44,12 +44,13 @@ class ManifestJsonSink(DataSource):
         return "manifestjson"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _ManifestWriter(self.options)
+        return _ManifestWriter(self.options, overwrite)
 
 
 class _ManifestWriter(DataSourceWriter):
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = True) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> ShardCommit:
         # shards are written under a DOTTED temp name and promoted at
@@ -71,6 +72,15 @@ class _ManifestWriter(DataSourceWriter):
         # the dir may not exist yet — an empty manifest still publishes
         os.makedirs(self.path, exist_ok=True)
         shards = []
+        if not self.overwrite:
+            # append honors the previous snapshot (r8 review: the flag
+            # was silently ignored — .mode('append') destroyed the prior
+            # write's committed shards): the new manifest carries the
+            # old shard entries forward and the sweep keeps their files
+            try:
+                shards.extend(read_manifest(self.path)["shards"])
+            except FileNotFoundError:
+                pass  # first write at this path
         for m in messages:
             if m is None:
                 continue
@@ -79,19 +89,6 @@ class _ManifestWriter(DataSourceWriter):
                 os.path.join(self.path, m.shard),
             )
             shards.append({"shard": m.shard, "rows": m.rows})
-        # sweep before publish: stale *.jsonl from a previous write at
-        # this path (overwrite semantics) and .tmp-* leftovers from
-        # dead/speculative tasks — after this, the directory holds
-        # exactly the manifest's shard set
-        keep = {s["shard"] for s in shards}
-        for name in os.listdir(self.path):
-            stale_final = name.endswith(".jsonl") and name not in keep
-            stale_tmp = name.startswith(".tmp-shard-")
-            if stale_final or stale_tmp:
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except OSError:
-                    pass
         manifest = {
             "shards": shards,
             "total_rows": sum(s["rows"] for s in shards),
@@ -100,6 +97,26 @@ class _ManifestWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+        # sweep AFTER publish (r8 review: sweeping first destroyed the
+        # OLD manifest's shards before the new manifest existed — a
+        # crash in that window left a manifest referencing deleted
+        # files, the exact partial-exposure state the protocol
+        # prevents). Post-publish, a crash mid-sweep only leaves
+        # unreferenced strays, which the next commit re-sweeps; a
+        # manifest-trusting reader is consistent at every instant.
+        # Swept: unreferenced *.jsonl (previous overwritten snapshot),
+        # .tmp-* from dead/speculative tasks, and ._MANIFEST.json.*
+        # temps from a commit that crashed before its os.replace.
+        keep = {s["shard"] for s in shards}
+        for name in os.listdir(self.path):
+            stale_final = name.endswith(".jsonl") and name not in keep
+            stale_tmp = name.startswith(".tmp-shard-")
+            stale_mtmp = name.startswith(f".{MANIFEST}.")
+            if stale_final or stale_tmp or stale_mtmp:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -268,6 +268,30 @@ def test_cosine_pairs_null_path_propagates_null_numeric_dtype(spark):
     assert got[4] is None  # NaN -> SQL NULL via Arrow, same as fast path
 
 
+def test_cosine_pairs_underflow_inf_folds_to_null(spark):
+    """r8 review: when the norm PRODUCT underflows to 0 while the dot
+    product stays finite nonzero, num/den is +Inf — Arrow ships Inf as
+    a real double (unlike NaN→NULL), and Inf outranks every genuine
+    similarity in any top-k re-scoring. Must fold to NULL like the JVM
+    try_divide twin."""
+    from lookup_transform_spark.functions.udfs import cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1e-200], [1e150]),     # den underflows to 0, num=1e-50
+            (2, [-1e-200], [1e150]),    # same, negative: -Inf
+            (3, [1.0, 0.0], [1.0, 0.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: r["sim"]
+        for r in df.select("id", cosine_pairs("a", "b").alias("sim")).collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[3] == pytest.approx(1.0)
+
+
 def test_embedding_near_dup_guards_quadratic_corpus(spark):
     # r8 VERDICT #4: the exact all-pairs tier is O(n²) BY DESIGN; above
     # max_rows it must refuse with a pointer to the sub-quadratic

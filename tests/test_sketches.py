@@ -155,6 +155,29 @@ def test_null_values_dropped_groups_survive(spark):
     assert qrows["a"]["p50"] is not None
 
 
+def test_nonfinite_values_excluded_like_null(spark):
+    """r8 review: ±Inf saturated floor(log(∞)) to Long.MaxValue and the
+    +1 ARITHMETIC_OVERFLOWed the job under ANSI mode; NaN fell through
+    every comparison into bucket 1, silently biasing quantiles low.
+    Non-finite values must follow the documented null contract: no
+    bucket, no n_rows count, group survives."""
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", inf), ("a", -inf), ("a", float("nan")),
+         ("a", 2.0), ("b", inf)],
+        "g string, v double",
+    )
+    got = _sketch_maps(qsketch(df, ["g"], "v", BASE, LO), ["g"])
+    assert got[("a",)][1] == 2  # only the two finite values counted
+    assert got[("b",)] == ({}, 0)  # all-non-finite group kept, empty
+    clean = _sketch_maps(
+        qsketch(df.filter("v = v AND abs(v) != cast('inf' as double)"),
+                ["g"], "v", BASE, LO),
+        ["g"],
+    )
+    assert got[("a",)] == clean[("a",)]  # dirty rows changed nothing
+
+
 def test_at_rest_rollup_equals_direct(spark, ev, tmp_path):
     """The at-rest path — leaf sketches written once, percentiles read
     from the leaf table — must equal the in-plan sketch on the raw

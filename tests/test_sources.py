@@ -289,6 +289,36 @@ def test_manifest_sink_overwrite_sweeps_stale_shards(spark, tmp_path):
     nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     nat.repartition(4).write.format("manifestjson").option(
         "path", path
+    ).mode("overwrite").save()
+    first = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    nat.repartition(2).write.format("manifestjson").option(
+        "path", path
+    ).mode("overwrite").save()
+    man = read_manifest(path)
+    on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert on_disk == {s["shard"] for s in man["shards"]}
+    assert not (on_disk & first)  # stale shards swept
+    assert not any(f.startswith(".tmp-") for f in os.listdir(path))
+    assert man["total_rows"] == nat.count()
+
+
+def test_manifest_sink_append_merges_previous_snapshot(spark, tmp_path):
+    """r8 review: the writer ignored the overwrite flag, so
+    .mode('append') silently destroyed the previous write's committed
+    shards. Append must carry the old manifest's shard entries forward
+    — files intact, totals summed — while overwrite still sweeps."""
+    import os
+
+    from lookup_transform_spark.sources.audit_sink import (
+        read_manifest,
+        register,
+    )
+
+    register(spark)
+    path = str(tmp_path / "manifest_append")
+    nat = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    nat.repartition(3).write.format("manifestjson").option(
+        "path", path
     ).mode("append").save()
     first = {f for f in os.listdir(path) if f.endswith(".jsonl")}
     nat.repartition(2).write.format("manifestjson").option(
@@ -296,10 +326,10 @@ def test_manifest_sink_overwrite_sweeps_stale_shards(spark, tmp_path):
     ).mode("append").save()
     man = read_manifest(path)
     on_disk = {f for f in os.listdir(path) if f.endswith(".jsonl")}
+    assert first <= on_disk  # previous snapshot's files retained
     assert on_disk == {s["shard"] for s in man["shards"]}
-    assert not (on_disk & first)  # stale shards swept
-    assert not any(f.startswith(".tmp-") for f in os.listdir(path))
-    assert man["total_rows"] == nat.count()
+    assert len(man["shards"]) == 5
+    assert man["total_rows"] == 2 * nat.count()
 
 
 def test_manifest_sink_zero_task_job_publishes_empty_manifest(spark, tmp_path):
