@@ -149,7 +149,19 @@ def asof_join(
     # NULL right_ts rows can never be "at or before/after" any left ts —
     # unfiltered they sort NULLS-FIRST (asc) ahead of every real row and
     # their NON-null packed struct would be carried as a bogus match
-    right_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+    # NULL join KEYS never match either (r8 review): the window's
+    # partitionBy groups NULL keys into ONE partition, so unfiltered, a
+    # NULL-key left row would pick up carries from NULL-key right rows —
+    # but the equi-join ON clause this operator mirrors (DuckDB ASOF,
+    # pandas merge_asof) treats NULL = NULL as no match. Right rows with
+    # any NULL key are invisible; left rows with any NULL key are masked
+    # to the no-match shape below.
+    keys_ok = F.lit(True)
+    for k in keys:
+        keys_ok = keys_ok & F.col(k).isNotNull()
+    right_tagged = right.filter(
+        F.col(right_ts).isNotNull() & keys_ok
+    ).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in keys else F.col(c)
           for c in left.columns],
@@ -186,8 +198,10 @@ def asof_join(
     # forward (desc) pass it would sort NULLS-LAST behind every right
     # row and pick up a bogus carry — mask it to the no-match shape
     # (backward gets this for free from NULLS-FIRST, masked anyway for
-    # symmetry)
-    matchable = F.col(left_ts).isNotNull()
+    # symmetry). A NULL join key masks the same way — right null-key
+    # rows are already filtered above, so the mask is belt-and-braces
+    # for the equi-join never-match contract.
+    matchable = F.col(left_ts).isNotNull() & keys_ok
     return (
         carried.filter(F.col("__tag__") == 1)
         .select(

@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+# THE tokenization expression (split(lower(text), '\\s+')) — one copy,
+# shared with every text stat: its byte-identical DuckDB
+# string_split_regex contract is pinned in operators/text.py, and four
+# local copies of the expression could silently drift from it (r8
+# review). text.py imports dedup only inside functions, so this
+# module-level import creates no cycle.
+from lookup_transform_spark.operators.text import tokens as _tokens
+
 # Mersenne prime for universal-hash permutations h_i(x) = (a_i*x + b_i) mod p.
 # 31-bit so that a*h + b stays < 2^63 (Spark 4 runs ANSI mode: long overflow
 # is an error, so the modular arithmetic must provably fit in a long).
@@ -100,17 +108,27 @@ def dedup_exact(
         )
     # min_by fallback (non-orderable payload type): a tiebreak listed in
     # key_cols is already a grouping column — re-aggregating it would
-    # emit the column twice and die on the ambiguous reference
+    # emit the column twice and die on the ambiguous reference. The
+    # ordering key is a STRUCT (is-null flag, tiebreak), never bare
+    # tiebreak: min/min_by SKIP NULL ordering values, so an all-NULL
+    # tiebreak group would fabricate a keys+all-NULL row that exists in
+    # no input (r8 review) — the struct is non-null even when its
+    # fields are, so some real row always wins (NULLS LAST, matching
+    # the packed path). Ties remain arbitrary per column here,
+    # documented.
+    ord_key = F.struct(F.col(tiebreak).isNull(), F.col(tiebreak))
     aggs = (
-        [F.min(tiebreak).alias(tiebreak)] if tiebreak not in key_cols else []
-    ) + [F.min_by(c, tiebreak).alias(c) for c in others]
+        [F.min_by(tiebreak, ord_key).alias(tiebreak)]
+        if tiebreak not in key_cols
+        else []
+    ) + [F.min_by(c, ord_key).alias(c) for c in others]
     out = df.groupBy(*key_cols).agg(*aggs)
     return out.select(*df.columns)  # restore original column order
 
 
 def shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (JVM-side)."""
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens = _tokens(text_col)
     if n == 1:
         return F.array_distinct(tokens)
     idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
@@ -146,7 +164,7 @@ def with_shingle_hashes(
     documents ANSI-safe; nulls hash as skipped args, mirroring the
     string path's truncated final shingle.
     """
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens = _tokens(text_col)
     step = df.withColumn(
         "__tokh__", F.transform(tokens, lambda t: F.xxhash64(t))
     )
@@ -164,6 +182,15 @@ def with_shingle_hashes(
                 ),
             )
         )
+    # NULL text → EMPTY shingle set, not [seed]: a NULL token array
+    # slips through greatest(NULL-n, 0)=0 into one all-null-args
+    # xxhash64 = the seed constant, which made every NULL-text doc
+    # share shingle set {42} and verify against each other at
+    # jaccard 1.0 (r8 review). An empty set has no banding buckets and
+    # no Jaccard with anything — NULL-text docs simply never pair.
+    arr = F.when(
+        F.col("__tokh__").isNull(), F.array().cast("array<bigint>")
+    ).otherwise(arr)
     return step.withColumn(out_col, arr).drop("__tokh__")
 
 
@@ -378,12 +405,33 @@ def _exact_precluster(
     corpus-sized either way and AQE won't coalesce it — the knob only
     matters where the corpus is small relative to the executor count.
     """
-    fp = docs.withColumn("__fp__", F.xxhash64(F.col(text_col)))
+    # NULL text gets a NULL fingerprint, never the hash seed: Spark's
+    # hash functions SKIP null inputs, so a bare xxhash64(text) collapses
+    # every NULL-text doc into one "exact duplicate" group and emits
+    # unverified jaccard=1.0 star edges between them (r8 review) —
+    # inconsistent with every other NULL-text path here (no tokens → no
+    # pairs). NULL-fp rows become their own representatives below.
+    fp = docs.withColumn(
+        "__fp__",
+        F.when(F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col))),
+    )
     if pin_width:
-        n = docs.sparkSession.sparkContext.defaultParallelism
-        fp = fp.repartition(n, F.col("__fp__"))
+        try:
+            n = docs.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            # Spark Connect exposes no sparkContext — same fallback as
+            # _ensure_parallel: keep the planner's width rather than
+            # crash the operator before it does any work
+            n = None
+        if n:
+            fp = fp.repartition(n, F.col("__fp__"))
     w = Window.partitionBy("__fp__")
-    tagged = fp.withColumn("__rep__", F.min(F.col(id_col)).over(w)).drop("__fp__")
+    tagged = fp.withColumn(
+        "__rep__",
+        F.when(
+            F.col("__fp__").isNotNull(), F.min(F.col(id_col)).over(w)
+        ).otherwise(F.col(id_col)),
+    ).drop("__fp__")
     star = tagged.filter(F.col(id_col) != F.col("__rep__")).select(
         F.col("__rep__").alias("doc_id_a"), F.col(id_col).alias("doc_id_b")
     )
@@ -464,7 +512,12 @@ def minhash_lsh_pairs(
     # the numeric combine is ~5× the string-shingle formulation
     # (with_shingle_hashes docstring has the measurements)
     base_df = with_shingle_hashes(docs, text_col, shingle_n)
-    sig = base_df.select(
+    # empty shingle sets (NULL text) never band: their signature would
+    # be the same constant for every such doc — one degenerate bucket —
+    # and the verify's 0/0 Jaccard is NaN, which Spark sorts ABOVE the
+    # threshold (NaN ≥ x is true), so unfiltered they'd all pair with
+    # jaccard NaN (r8 review)
+    sig = base_df.filter(F.size("__sh_arr__") > 0).select(
         F.col(id_col).alias("__id__"),
         minhash_signature_from_hashes(
             F.col("__sh_arr__"), num_hashes, seed
@@ -623,7 +676,7 @@ def simhash_signature_text(
     Expressed as one ``aggregate`` over the token array with an
     array<int> accumulator — stays in codegen, no UDF.
     """
-    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    tokens = F.array_distinct(_tokens(text_col))
     zero = F.array_repeat(F.lit(0), bits)
 
     # bit positions must be Python ints (shiftright takes no Column), so
@@ -740,7 +793,7 @@ def simhash_signature_text_pandas(
             out[lo + nonempty] = sigs.view(np.int64)  # exact bit reinterpret
         return pd.Series(out, dtype="int64")
 
-    tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    tokens = F.array_distinct(_tokens(text_col))
     if hash_family == "md5":
         hashes = F.transform(tokens, _md5_token_hash)
     else:
@@ -796,10 +849,19 @@ def simhash_pairs(
     star = None
     if precluster_exact:
         docs, star = _exact_precluster(docs, id_col, text_col)
-    sig = docs.select(
+    # NULL text never pairs (r8 review): its tokenless signature is the
+    # constant all-ones empty_sig, so every NULL-text doc would collide
+    # at hamming 0 with every other — an unverifiable "duplicate" claim
+    # about missing content. (Empty STRING text keeps its one real
+    # token hash and stays comparable.)
+    sig = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id__"),
         simhash_signature_text_pandas(text_col, bits, hash_family).alias("__sig__"),
     )
+    # 64-bit chunk (chunks=1): (1 << 64) - 1 exceeds Long.MaxValue and
+    # fails lit() conversion — the all-ones long is -1 in two's
+    # complement (r8 review; a legal exact-match configuration)
+    mask = -1 if chunk_bits == 64 else (1 << chunk_bits) - 1
     banded = sig.select(
         "__id__",
         "__sig__",
@@ -809,7 +871,7 @@ def simhash_pairs(
                     F.struct(
                         F.lit(i).alias("chunk"),
                         F.shiftrightunsigned("__sig__", i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for i in range(chunks)
@@ -1183,6 +1245,12 @@ def _lsh_bands_and_store(
             F.col("__sh_arr__"), num_hashes, seed
         ).alias("__sig__"),
     )
+    # materialize ONCE: the caller writes banded and store as two
+    # separate actions, and without this each write re-runs the whole
+    # shingle+minhash UDF pipeline — the dominant cost — doubling every
+    # index build and every ingest append (r8 review). Lazy checkpoint:
+    # computed on the first write, reused by the second.
+    sig = sig.localCheckpoint(eager=False)
     banded = (
         sig.select("doc_id", _band_explode("__sig__", bands, rows_per_band))
         .select(

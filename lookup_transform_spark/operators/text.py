@@ -56,10 +56,18 @@ def char_count(text_col: str | Column) -> Column:
 
 
 def punct_ratio(text_col: str | Column) -> Column:
-    """punctuation chars / total chars (0 for empty)."""
+    """punctuation chars / total chars — 0 for EMPTY text, NULL for NULL
+    text (r8 review: the bare otherwise(0.0) caught the NULL condition
+    too, so one row mixed NULL n_tokens with a definite-zero ratio for
+    the same missing input; missing text has an unknown ratio, like its
+    other stats). The DuckDB oracle mirrors the three-way CASE."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()-]", ""))
-    return F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("double"))
+        .when(F.length(c) > 0, punct / F.length(c))
+        .otherwise(F.lit(0.0))
+    )
 
 
 def stopword_hits(text_col: str | Column, lang: str = "en") -> Column:

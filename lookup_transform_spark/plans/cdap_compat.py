@@ -224,7 +224,17 @@ def run_pipeline(
                 )
             spec = spec_from_cdap_config(cfg)
             if macros:
-                spec = spec.resolve(macros)
+                try:
+                    spec = spec.resolve(macros)
+                except KeyError as exc:
+                    # a ${name} with no binding is a CONFIG error like
+                    # every other mistake in this module, not a raw
+                    # KeyError escaping from the substitution dict
+                    raise LookupConfigError(
+                        [ValidationFailure(
+                            f"Unresolved macro {exc.args[0]!r}.",
+                            "Pass a value for it via macros=.")]
+                    ) from None
             req = {
                 "lookupDataset": spec.lookup_dataset,
                 "inputKeyField": spec.input_key_field,

@@ -997,7 +997,8 @@ def q_dedup_distinct(spark, sf):
   SELECT doc_id, text,
          CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
          CAST(length(text) AS INTEGER) AS n_chr,
-         CASE WHEN length(text) > 0
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
               ELSE 0.0 END AS praw
   FROM documents)
@@ -2904,7 +2905,8 @@ def q_intersect_all(spark, sf):
     """WITH scored AS (
   SELECT doc_id, lang, n_chars,
          CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
-         CASE WHEN length(text) > 0
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0
               THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
               ELSE 0.0 END AS praw,
          1.0 - len(list_distinct(string_split_regex(lower(text), '\\s+')))::DOUBLE

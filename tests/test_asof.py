@@ -242,6 +242,30 @@ def test_null_timestamps_never_match(spark):
     assert _rows(near) == [(1, 50, 1.0), (1, None, None)]
 
 
+def test_null_join_keys_never_match(spark):
+    """r8 review: Window.partitionBy groups NULL keys into ONE
+    partition, so a NULL-key left row used to pick up carries from
+    NULL-key right rows — but the equi-join ON clause this operator
+    mirrors (DuckDB ASOF, pandas merge_asof) treats NULL = NULL as no
+    match. NULL-key right rows must be invisible and NULL-key left rows
+    keep the left-outer null shape, in every direction."""
+    left = spark.createDataFrame(
+        [(None, 50), (1, 50)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 10, 111.0), (1, 10, 1.0)], "k long, ts long, v double"
+    )
+    for direction, want_k1 in (("backward", 1.0), ("forward", None),
+                               ("nearest", 1.0)):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_fields=["v"], direction=direction,
+        )
+        got = sorted(((r["k"], r["ts"], r["v"]) for r in out.collect()),
+                     key=repr)
+        assert got == sorted([(None, 50, None), (1, 50, want_k1)], key=repr)
+
+
 def test_tolerance_and_nearest_work_on_integral_ts(spark):
     """r8 review: tolerance/nearest used to hard-require TIMESTAMP
     columns (unix_micros) while backward/forward accepted any orderable

@@ -303,3 +303,24 @@ def test_duplicate_input_stage_names_rejected(spark, fixture_tables):
     }
     with pytest.raises(LookupConfigError, match="distinct"):
         run_pipeline(spark, pipeline, tables=fixture_tables)
+
+
+def test_unresolved_macro_is_config_error(spark, fixture_tables):
+    """r8 review: a ${name} with no binding in macros= escaped as a raw
+    KeyError from the substitution dict — every config mistake in this
+    module must surface as LookupConfigError."""
+    pipeline = {
+        "stages": [
+            {"name": "customers", "type": "table-source"},
+            {"name": "phone_numbers", "type": "table-source"},
+            {"name": "lookup", "type": "Lookup",
+             "inputs": ["customers", "phone_numbers"],
+             "config": dict(DOCS_CONFIG, lookupValueField="${value.field}")},
+        ],
+        "sink": "lookup",
+    }
+    with pytest.raises(LookupConfigError, match="Unresolved macro"):
+        run_pipeline(
+            spark, pipeline, tables=fixture_tables,
+            macros={"other.name": "x"},
+        )

@@ -745,6 +745,66 @@ def test_dedup_exact_minby_fallback_tiebreak_in_key_cols(spark):
     assert set(df.columns) == set(got[0].asDict().keys())
 
 
+def test_null_text_docs_never_pair(spark):
+    """r8 review: xxhash64 SKIPS null inputs (returns the seed), so the
+    exact-dup precluster collapsed every NULL-text doc into one group
+    and emitted unverified jaccard=1.0 / hamming=0 star edges between
+    them. NULL-text docs must produce no pairs on any path, consistent
+    with the verify stage's null-Jaccard behavior."""
+    from lookup_transform_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a real document here"),
+         (4, "a real document here")],
+        "doc_id long, text string",
+    )
+    mh = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert sorted((r["doc_id_a"], r["doc_id_b"]) for r in mh) == [(3, 4)]
+    sh = simhash_pairs(docs, max_hamming=3).collect()
+    assert sorted((r["doc_id_a"], r["doc_id_b"]) for r in sh) == [(3, 4)]
+
+
+def test_dedup_exact_fallback_all_null_tiebreak_returns_real_row(spark):
+    """r8 review: min/min_by skip NULL ordering values, so the
+    non-orderable fallback fabricated a keys+all-NULL row for a group
+    whose tiebreak is entirely NULL. Some real row must win instead
+    (struct ordering key: the struct is non-null even when its fields
+    are)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (1, None, "y"), (2, 5, "z")],
+        "k long, tb long, s string",
+    ).withColumn("m", F.create_map(F.col("s"), F.lit(1)))
+    got = {r["k"]: r for r in dedup_exact(df, ["k"], "tb").collect()}
+    assert got[1]["s"] in ("x", "y")  # a REAL row, not fabricated NULLs
+    assert got[1]["m"] is not None
+    assert got[2]["s"] == "z" and got[2]["tb"] == 5
+
+
+def test_simhash_single_chunk_full_width(spark):
+    """r8 review: chunks=1 with bits=64 built the literal (1<<64)-1,
+    which exceeds Long.MaxValue and crashed lit() — yet it is a legal
+    exact-signature-match configuration (max_hamming=0 < chunks=1)."""
+    from lookup_transform_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "same text exactly"), (2, "same text exactly"),
+         (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    got = simhash_pairs(
+        docs, max_hamming=0, chunks=1, precluster_exact=False
+    ).collect()
+    assert sorted((r["doc_id_a"], r["doc_id_b"], r["hamming"]) for r in got) \
+        == [(1, 2, 0)]
+
+
 def test_lsh_banding_validated(spark):
     """r8 review: bands > num_hashes silently hashed an EMPTY element
     list per band (all docs in one bucket -> size cap drops everything

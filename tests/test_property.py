@@ -265,6 +265,13 @@ def test_text_metric_bounds_on_adversarial_strings(spark):
         assert 0.0 <= r["p"] <= 1.0
         assert r["lang"] in {"en", "es", "de", "fr", "und"}
         assert r["n"] >= 0
+    # NULL text: ratio is NULL like the other stats (r8 review — the
+    # old otherwise(0.0) caught the NULL condition and reported a
+    # definite-zero ratio for missing input); empty text stays 0.0
+    nulls = spark.createDataFrame([(None,), ("",)], "text string").select(
+        F.round(TX.punct_ratio("text"), 6).alias("p")
+    ).collect()
+    assert {r["p"] for r in nulls} == {None, 0.0}
 
 
 def test_hll_sketch_rollup_tolerance(spark):
