@@ -77,6 +77,31 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _ingest_resets(sf_dir: str):
+    """Per-query pre-repeat reset hooks for the checkpointed
+    continuous-ingest queries: their exactly-once checkpoint makes any
+    rerun a NO-OP that just re-reads the standing corpus, so min-of-N
+    over unreset repeats published the read-back floor (0.17 s) as the
+    cost of a multi-batch LSH ingest (r8 review; the scaling probe
+    excludes them for exactly this reason). Wiping the work dir before
+    EVERY timed repeat makes each sample a full from-scratch ingest —
+    the number the query name claims."""
+    import os as _os
+
+    from lookup_transform_spark.registry import SCRATCH
+    from lookup_transform_spark.streaming.ingest import reset_ingest_state
+
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    return {
+        "stream_ingest_dedup": lambda spark: reset_ingest_state(
+            spark, f"{SCRATCH}/stream_ingest_{base}"
+        ),
+        "stream_ingest_neardedup": lambda spark: reset_ingest_state(
+            spark, f"{SCRATCH}/stream_ingest_near_{base}"
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Ratio fairness (VERDICT r5 finding): two entries were structurally
 # unfair in the spark/duck ratio math and are handled explicitly.
@@ -154,12 +179,14 @@ def _oracle_timings(
     duck_timeout = float(
         os.environ.get("SPARK_GRAFT_BENCH_ORACLE_TIMEOUT", "180")
     )
+    from lookup_transform_spark.parity import register_views
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # the canonical fixture-table set + view DDL (parity.py) — a third
+    # hand-rolled copy here meant a new fixture table had to be
+    # remembered in three places or the bench died post-Spark-phase on
+    # an uncaught CatalogException (r8 review)
+    register_views(con, sf_dir)
     out: dict[str, float] = {}
     timeouts: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as tmp:
@@ -220,9 +247,15 @@ def _oracle_timings(
                     if timed_out:
                         break
                 if timed_out:
-                    timeouts[name] = duck_timeout
-                    samples = []
-                    break  # first timeout: don't burn repeats-1 more
+                    # stop burning repeats, but KEEP any under-budget
+                    # samples already in hand — "a query that ran, ran"
+                    # (probe_common's policy): a load spike on repeat 3
+                    # must not discard repeat 1's valid measurement and
+                    # flap a borderline oracle out of every comparable
+                    # aggregate (r8 review)
+                    if not samples:
+                        timeouts[name] = duck_timeout
+                    break
                 samples.append(time.perf_counter() - t0)
             if samples:
                 out[name] = round(min(samples), 4)
@@ -255,10 +288,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_shot: dict[str, float] = {}  # repeat #1 wall time (r3 protocol)
     spreads: dict[str, float] = {}  # max-min per query: load visibility
+    resets = _ingest_resets(sf_dir)
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         samples = []
-        for _ in range(repeats):
+        # reset queries re-run the FULL multi-batch ingest per repeat —
+        # min-of-2 fresh runs, not min-of-5: the estimator exists to
+        # shave scheduler noise off sub-second queries, and five
+        # from-scratch ingests would quintuple the honest cost of the
+        # slowest bench entries for a third decimal of noise reduction
+        reps = min(2, repeats) if name in resets else repeats
+        for _ in range(reps):
+            if name in resets:
+                resets[name](spark)  # outside the timed window
             t0 = time.perf_counter()
             _run(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
@@ -290,7 +332,10 @@ def main() -> None:
         "repeats": repeats,
         "estimator": "min",
         "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # loadavg_end is stamped AFTER the oracle phase below — sampling
+        # it here would leave the (up to ~9 min of DuckDB CPU) oracle
+        # runs invisible in the very artifact that promises load
+        # visibility (r8 review)
     }
     if with_oracle:
         oracle, oracle_timeouts = _oracle_timings(sf_dir, repeats)
@@ -327,6 +372,7 @@ def main() -> None:
         )
         detail["comparable_count"] = len(comparable)
 
+    detail["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

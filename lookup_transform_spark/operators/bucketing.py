@@ -9,7 +9,17 @@ pre-organized data; the write-side cost is paid once.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
+
+#: Sidecar naming the layout a bucketed directory was WRITTEN with.
+#: The catalog trusts whatever CLUSTERED BY spec an attach declares and
+#: silently joins bucket i against bucket i — a re-attach under a
+#: different bucket count/column drops matching rows with no error, so
+#: the written spec must be recorded where every later session can
+#: check it (r8 review).
+_SPEC_FILE = "_BUCKET_SPEC.json"
 
 
 def write_bucketed(
@@ -21,13 +31,45 @@ def write_bucketed(
     sort_by: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table. Bucketed
-    layout requires the table catalog (saveAsTable), not a bare path."""
+    layout requires the table catalog (saveAsTable), not a bare path.
+    Path-backed writes record a ``_BUCKET_SPEC.json`` sidecar so
+    re-attachment can validate its declared layout."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_by:
         w = w.sortBy(sort_by)
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+    if path:
+        spark = df.sparkSession
+        _write_spec(spark, path, bucket_col, n_buckets)
+
+
+def _write_spec(spark, path: str, bucket_col: str, n_buckets: int) -> None:
+    from lookup_transform_spark.hadoopfs import hadoop_fs
+
+    fs, jp = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
+    out = fs.create(jp, True)
+    out.write(bytearray(json.dumps(
+        {"bucket_col": bucket_col, "n_buckets": n_buckets}
+    ).encode()))
+    out.close()
+
+
+def _read_spec(spark, path: str) -> dict | None:
+    from lookup_transform_spark.hadoopfs import hadoop_fs
+
+    fs, jp = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(raw)
 
 
 def ensure_bucketed(
@@ -72,7 +114,28 @@ def attach_external_bucketed(
 ) -> None:
     """Register existing on-disk bucketed parquet as an external catalog
     table (bucket metadata lives in the catalog, so a bare
-    ``read.parquet`` would lose the no-shuffle join property)."""
+    ``read.parquet`` would lose the no-shuffle join property).
+
+    The declared layout is VALIDATED against the directory's
+    ``_BUCKET_SPEC.json`` (written by ``write_bucketed``): Spark trusts
+    the catalog's CLUSTERED BY metadata and skips the shuffle, so
+    attaching 16-bucket files as 8 buckets joins bucket i against
+    bucket i under two different hash specs — rows whose keys land in
+    different bucket ids under the two specs never meet, i.e. silent
+    row loss, not an error (r8 review). A legacy directory without the
+    sidecar is attached as declared (nothing to check against), same
+    as before."""
+    spec = _read_spec(spark, path)
+    if spec is not None and (
+        spec["n_buckets"] != n_buckets or spec["bucket_col"] != bucket_col
+    ):
+        raise ValueError(
+            f"attach_external_bucketed: {path} was written CLUSTERED BY "
+            f"({spec['bucket_col']}) INTO {spec['n_buckets']} BUCKETS, "
+            f"but the attach declares ({bucket_col}) INTO {n_buckets}; "
+            "a mismatched attach silently drops join rows — re-attach "
+            "with the written spec or rewrite the layout"
+        )
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in schema.fields)
     spark.sql(

@@ -17,7 +17,17 @@ from pyspark.sql import SparkSession
 def get_spark(
     app_name: str = "lookup_transform_spark",
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
+    """The ONE session builder: every harness (tests, bench, probes)
+    must measure under the same confs — UTC timezone, ANSI, AQE, arrow,
+    and the measured 8g driver heap — or its numbers aren't comparable
+    to the bench's (the r8 review caught a probe hand-building a
+    session with a 48g heap this module documents as 2.4x slower, and
+    without the UTC pin that keeps TIMESTAMP_NTZ comparisons
+    host-independent). ``extra_confs`` layers probe-specific settings
+    (e.g. event logging) ON TOP of the shared base instead of forking
+    the builder."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     builder = (
@@ -50,6 +60,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

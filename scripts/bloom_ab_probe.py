@@ -59,17 +59,20 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def fresh_session(app: str) -> SparkSession:
-    s = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName(app)
-        .config("spark.sql.shuffle.partitions", CPUS)
-        .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", f"file://{EVDIR}")
-        .config("spark.eventLog.compress", "false")
-        .getOrCreate()
-    )
+    """The shared session builder (session.get_spark) + event logging:
+    the A/B's wall numbers must be measured under the SAME confs the
+    bench uses — the previous hand-built session ran a 48g heap
+    (documented in session.py as 2.4x slower past the CompressedOops
+    boundary) and no UTC pin (shifting the NTZ date-window key sets
+    with the host timezone), making its numbers incomparable (r8
+    review)."""
+    from lookup_transform_spark.session import get_spark
+
+    s = get_spark(app, extra_confs={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{EVDIR}",
+        "spark.eventLog.compress": "false",
+    })
     s.sparkContext.setLogLevel("ERROR")
     return s
 

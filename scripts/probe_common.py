@@ -62,6 +62,18 @@ def time_spark(
         if th.is_alive():
             spark.sparkContext.cancelJobGroup(job_group)
             th.join(30)
+            # drain before the NEXT query is timed: a task in a
+            # non-interruptible section (file listing, parquet footer
+            # I/O) can outlive the cancel, and its tasks would occupy
+            # task slots inside the shared local JVM while the next
+            # query's repeats are measured — inflating that query's
+            # recorded min with no trace in the artifact (r8 review).
+            # The probes run queries serially, so ANY active job here
+            # is the zombie; wait for the tracker to empty (bounded).
+            tracker = spark.sparkContext.statusTracker()
+            deadline = time.monotonic() + 60
+            while tracker.getActiveJobsIds() and time.monotonic() < deadline:
+                time.sleep(0.5)
             if best is not None:
                 # a later repeat timed out after an earlier success: keep
                 # the measurement but flag the degraded protocol so the

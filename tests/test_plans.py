@@ -147,6 +147,38 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in join_part, plan
 
 
+def test_bucketed_reattach_validates_written_spec(spark, tmp_path):
+    """r8 review: the catalog trusts whatever CLUSTERED BY spec an
+    attach declares and skips the shuffle, so re-attaching a 16-bucket
+    layout as 8 buckets joins bucket i against bucket i under two
+    different hash specs — silent row loss, not an error. The written
+    spec sidecar must refuse a mismatched attach; a matching re-attach
+    still works."""
+    import pytest
+
+    from lookup_transform_spark.operators.bucketing import (
+        attach_external_bucketed,
+        ensure_bucketed,
+        write_bucketed,
+    )
+
+    df = spark.read.parquet(f"{SF}/nation.parquet")
+    path = str(tmp_path / "nat_b")
+    spark.sql("DROP TABLE IF EXISTS nat_spec_test")
+    write_bucketed(df, "nat_spec_test", "n_nationkey", 4, path=path)
+    spark.sql("DROP TABLE IF EXISTS nat_spec_test")
+    # mismatched bucket count and mismatched column both refuse
+    for col, n in (("n_nationkey", 8), ("n_regionkey", 4)):
+        with pytest.raises(ValueError, match="CLUSTERED BY"):
+            attach_external_bucketed(
+                spark, "nat_spec_test", path, col, n, df.schema
+            )
+    # the written spec re-attaches fine (and reads back correctly)
+    ensure_bucketed(spark, df, "nat_spec_test", "n_nationkey", 4, path)
+    assert spark.table("nat_spec_test").count() == df.count()
+    spark.sql("DROP TABLE IF EXISTS nat_spec_test")
+
+
 def test_incremental_probe_standing_side_not_reshuffled(spark, tmp_path):
     """The at-rest fingerprint index contract (B50 incremental, 100 TB
     story): per-ingest cost is O(batch). The probe's anti-join must read

@@ -462,6 +462,37 @@ def test_stream_ingest_invalidates_on_fixture_regeneration(
     assert os.path.getmtime(f"{work}/ckpt") > ckpt_before
 
 
+def test_reset_ingest_state_forces_full_replay(spark, sf_dir, tmp_path):
+    """r8 review: a checkpointed ingest rerun is an exactly-once no-op,
+    so timing unreset repeats published the read-back floor as the cost
+    of a full ingest. ``reset_ingest_state`` (the bench's pre-repeat
+    hook) must wipe the work dir AND the standing LSH catalog tables so
+    the next call replays every batch from scratch."""
+    import os
+
+    from lookup_transform_spark.streaming.ingest import (
+        _lsh_table_prefix,
+        reset_ingest_state,
+        stream_ingest_neardedup,
+    )
+
+    work = str(tmp_path / "reset_work")
+    first = stream_ingest_neardedup(spark, sf_dir, work, n_files=2)
+    got1 = {(r["f"], r["doc_id"]) for r in first.collect()}
+    prefix = _lsh_table_prefix(work)
+    assert spark.catalog.tableExists(f"{prefix}_bands")
+    ckpt_before = os.path.getmtime(f"{work}/ckpt")
+
+    reset_ingest_state(spark, work)
+    assert not os.path.exists(work)
+    assert not spark.catalog.tableExists(f"{prefix}_bands")
+    assert not spark.catalog.tableExists(f"{prefix}_docs")
+
+    second = stream_ingest_neardedup(spark, sf_dir, work, n_files=2)
+    assert {(r["f"], r["doc_id"]) for r in second.collect()} == got1
+    assert os.path.getmtime(f"{work}/ckpt") > ckpt_before  # real replay
+
+
 def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
     """Continuous NEAR-dup ingest (r7, VERDICT r6 #2): the corpus built
     by the foreachBatch stream equals a batch replay of the same
