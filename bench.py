@@ -86,18 +86,15 @@ def _ingest_resets(sf_dir: str):
     excludes them for exactly this reason). Wiping the work dir before
     EVERY timed repeat makes each sample a full from-scratch ingest —
     the number the query name claims."""
-    import os as _os
-
-    from lookup_transform_spark.registry import SCRATCH
+    from lookup_transform_spark.registry import scratch_path
     from lookup_transform_spark.streaming.ingest import reset_ingest_state
 
-    base = _os.path.basename(sf_dir.rstrip("/"))
     return {
         "stream_ingest_dedup": lambda spark: reset_ingest_state(
-            spark, f"{SCRATCH}/stream_ingest_{base}"
+            spark, scratch_path("stream_ingest", sf_dir)
         ),
         "stream_ingest_neardedup": lambda spark: reset_ingest_state(
-            spark, f"{SCRATCH}/stream_ingest_near_{base}"
+            spark, scratch_path("stream_ingest_near", sf_dir)
         ),
     }
 

@@ -472,6 +472,22 @@ def extract_features(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # NULL payload (e.g. NULL source text): the row
+                    # survives with NULL features, like every SQL stat
+                    # of a missing input — bytes(None) is a TypeError
+                    # that would kill the whole stage on one dirty row
+                    # (r8 review)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "payload_len": None,
+                            "mean_byte": None,
+                            "byte_entropy": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
                 # every emitted feature derives from the RAW bytes — no
                 # decode step here (a decode call whose result feeds
                 # nothing would waste a per-row conversion and, on

@@ -71,10 +71,25 @@ def _stale_guard(
 
 
 def _vtag(sf: str) -> str:
-    """Identifier-safe per-sf tag for session-global names (temp views):
-    fixed names are shared session state and race across concurrent
-    registry calls for different sf_dirs."""
-    return os.path.basename(sf).replace(".", "_").replace("-", "_")
+    """Identifier-safe per-sf tag for session-global names (temp views,
+    catalog tables) AND at-rest scratch paths. Keyed by basename PLUS a
+    short hash of the absolute path (r8 review): two distinct sf_dirs
+    with equal basenames (/fixtures/v1/sf0.01 vs /fixtures/v2/sf0.01),
+    or basenames the sanitizer folds together ('sf0.01' vs 'sf0-01'),
+    must never share a fingerprint index / bucketed table — the
+    staleness gates compare mtimes against whichever fixture built the
+    artifact and would silently serve the other's rows."""
+    import hashlib
+
+    norm = os.path.abspath(sf)
+    slug = os.path.basename(norm).replace(".", "_").replace("-", "_")
+    return f"{slug}_{hashlib.sha1(norm.encode()).hexdigest()[:6]}"
+
+
+def scratch_path(prefix: str, sf: str) -> str:
+    """At-rest artifact dir for (prefix, fixture dir) — the ONE place
+    the keying convention lives, shared with bench.py's ingest resets."""
+    return f"{SCRATCH}/{prefix}_{_vtag(sf)}"
 
 
 def _q(name: str, oracle: str | None = None):
@@ -1070,7 +1085,7 @@ def q_dedup_incremental_indexed(spark, sf):
     docs = _t(spark, sf, "documents")
     tag = _vtag(sf)
     table = f"fpidx_{tag}"
-    path = f"{SCRATCH}/fpidx_{os.path.basename(sf)}"
+    path = scratch_path("fpidx", sf)
     _stale_guard(
         spark, path, os.path.join(sf, "documents.parquet"), tables=(table,)
     )
@@ -1440,7 +1455,7 @@ def q_simsearch_ivf_pruned(spark, sf):
     # miss the cache, not silently probe an index built with the old
     # centroid count/refinement (the mtime gate only catches fixture
     # regeneration)
-    path = f"{SCRATCH}/ivf_layout_{os.path.basename(sf)}_c32i5"
+    path = scratch_path("ivf_layout", sf) + "_c32i5"
     # an IVF layout is write-once / probe-many: build only when absent
     # so repeated runs measure the steady-state probe, not the indexing.
     # Staleness gate: a regenerated fixture must invalidate the cached
@@ -1462,12 +1477,16 @@ def q_simsearch_ivf_pruned(spark, sf):
 @_q(
     "multimodal_payload",
     """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_len,
-       md5(text) AS payload_md5, source
+       md5(text) AS payload_md5, lang AS meta_lang,
+       CAST(n_chars AS INTEGER) AS meta_n_chars, source
 FROM documents""",
 )
 def q_multimodal_payload(spark, sf):
     """B54: opaque binary payload + typed metadata travel through the
-    plan untouched; integrity checked by md5 over the bytes."""
+    plan untouched; integrity checked by md5 over the bytes, and the
+    metadata struct is READ BACK on the far side of the binary stage
+    (r8 review: the struct used to be projected away unread, so the
+    'metadata travels with the payload' claim was never exercised)."""
     d = _t(spark, sf, "documents").select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
@@ -1478,6 +1497,8 @@ def q_multimodal_payload(spark, sf):
         "doc_id",
         F.length("payload").alias("payload_len"),
         F.md5("payload").alias("payload_md5"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_n_chars"),
         "source",
     )
 
@@ -1490,7 +1511,7 @@ def q_scan_csv_roundtrip(spark, sf):
     """B2: CSV sink+scan with explicit schema (no inference)."""
     from lookup_transform_spark.sources import read_csv, write_csv
 
-    path = f"{SCRATCH}/nation_csv_{os.path.basename(sf)}"
+    path = scratch_path("nation_csv", sf)
     write_csv(_t(spark, sf, "nation"), path)
     return read_csv(spark, path, "n_nationkey int, n_name string, n_regionkey int")
 
@@ -1503,7 +1524,7 @@ def q_scan_json_roundtrip(spark, sf):
     """B2: JSON-lines sink+scan with explicit schema."""
     from lookup_transform_spark.sources import read_json, write_json
 
-    path = f"{SCRATCH}/supplier_json_{os.path.basename(sf)}"
+    path = scratch_path("supplier_json", sf)
     write_json(_t(spark, sf, "supplier"), path)
     return read_json(
         spark, path, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
@@ -1519,7 +1540,7 @@ def q_scan_orc_roundtrip(spark, sf):
     pushdown/pruning reach the reader exactly as with parquet."""
     from lookup_transform_spark.sources import read_orc, write_orc
 
-    path = f"{SCRATCH}/part_orc_{os.path.basename(sf)}"
+    path = scratch_path("part_orc", sf)
     write_orc(
         _t(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice"),
         path,
@@ -1569,7 +1590,7 @@ def q_sink_partitioned(spark, sf):
     """
     from lookup_transform_spark.sources import write_parquet_partitioned
 
-    path = f"{SCRATCH}/orders_part_{os.path.basename(sf)}"
+    path = scratch_path("orders_part", sf)
     if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
         write_parquet_partitioned(
             _t(spark, sf, "orders"), path, partition_by=["o_orderstatus"]
@@ -1612,7 +1633,7 @@ def q_sink_upsert(spark, sf):
 
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     src = _t(spark, sf, "orders").select(*cols)
-    path = f"{SCRATCH}/orders_upsert_{os.path.basename(sf)}"
+    path = scratch_path("orders_upsert", sf)
     if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
         write_parquet_partitioned(src, path, partition_by=["o_orderstatus"])
 
@@ -1796,9 +1817,14 @@ def q_multimodal_decode(spark, sf):
         encode_wav,
     )
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("raw")
-    )
+    # NULL text encodes to a NULL payload, and bytes(None) is a
+    # TypeError that kills the whole stage on one dirty row (r8
+    # review); there is nothing to pack into a container for a missing
+    # document, so such rows are excluded — same contract as the
+    # near-dup tier
+    docs = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", F.encode("text", "UTF-8").alias("raw"))
 
     def _pack(batches):
         import numpy as np_  # noqa: PLC0415
@@ -1844,9 +1870,9 @@ def q_multimodal_resize(spark, sf):
         resize_image,
     )
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("raw")
-    )
+    docs = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()  # bytes(None) kills the stage (r8)
+    ).select("doc_id", F.encode("text", "UTF-8").alias("raw"))
     sampled = frame_sample(docs, every_nth=10)  # filter BEFORE decode
 
     def _pipeline(batches):
@@ -1889,7 +1915,7 @@ def q_stream_lookup(spark, sf):
     ev = read_events_stream(spark, sf).select("event_id", "user_id")
     spec = LookupSpec("customer", "user_id", "c_custkey", "c_mktsegment", "segment")
     out = stream_static_lookup(ev, _t(spark, sf, "customer"), spec)
-    return run_to_memory(out, "mem_stream_lookup")
+    return run_to_memory(out, f"mem_stream_lookup_{_vtag(sf)}")
 
 
 @_q("stream_tumbling")
@@ -1904,7 +1930,7 @@ def q_stream_tumbling(spark, sf):
 
     ev = read_events_stream(spark, sf)
     return run_to_memory(
-        stream_tumbling_window(ev), "mem_stream_tumbling", output_mode="complete"
+        stream_tumbling_window(ev), f"mem_stream_tumbling_{_vtag(sf)}", output_mode="complete"
     )
 
 
@@ -1919,7 +1945,7 @@ def q_stream_session(spark, sf):
 
     ev = read_events_stream(spark, sf)
     return run_to_memory(
-        stream_session_window(ev), "mem_stream_session", output_mode="complete"
+        stream_session_window(ev), f"mem_stream_session_{_vtag(sf)}", output_mode="complete"
     )
 
 
@@ -1934,7 +1960,7 @@ def q_stream_dedup(spark, sf):
 
     ev = read_events_stream(spark, sf).select("event_id", "user_id", "ts")
     out = stream_dedup_within_watermark(ev, ["user_id"])
-    return run_to_memory(out, "mem_stream_dedup").select("event_id", "user_id")
+    return run_to_memory(out, f"mem_stream_dedup_{_vtag(sf)}").select("event_id", "user_id")
 
 
 @_q(
@@ -2139,7 +2165,7 @@ def q_dedup_incremental_minhash(spark, sf):
     docs = _t(spark, sf, "documents")
     tag = _vtag(sf)
     table = f"lshidx_{tag}"
-    path = f"{SCRATCH}/lshidx_{os.path.basename(sf)}"
+    path = scratch_path("lshidx", sf)
     _stale_guard(
         spark, path, os.path.join(sf, "documents.parquet"),
         success=f"{path}/bands/_SUCCESS",
@@ -2170,7 +2196,7 @@ def q_stream_ingest_neardedup(spark, sf):
         stream_ingest_neardedup,
     )
 
-    work = f"{SCRATCH}/stream_ingest_near_{os.path.basename(sf)}"
+    work = scratch_path("stream_ingest_near", sf)
     out = stream_ingest_neardedup(spark, sf, work)
     return out.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2195,7 +2221,7 @@ def q_stream_ingest_dedup(spark, sf):
     pinned in tests/test_streaming.py."""
     from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
 
-    work = f"{SCRATCH}/stream_ingest_{os.path.basename(sf)}"
+    work = scratch_path("stream_ingest", sf)
     out = stream_ingest_dedup(spark, sf, work)
     return out.groupBy().agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2805,7 +2831,7 @@ def q_stream_sessionize_stateful(spark, sf):
         "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
     return run_to_memory(
-        stream_sessionize_stateful(ev, gap_seconds=1800), "mem_state_sess"
+        stream_sessionize_stateful(ev, gap_seconds=1800), f"mem_state_sess_{_vtag(sf)}"
     )
 
 
@@ -2821,7 +2847,7 @@ def q_stream_lifetime_stats(spark, sf):
     from lookup_transform_spark.streaming.stateful import stream_lifetime_stats
 
     ev = read_events_stream(spark, sf).select("user_id", "value")
-    return run_to_memory(stream_lifetime_stats(ev), "mem_lifetime")
+    return run_to_memory(stream_lifetime_stats(ev), f"mem_lifetime_{_vtag(sf)}")
 
 
 @_q(
@@ -3052,7 +3078,7 @@ def q_stream_stream_join(spark, sf):
         purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
         lookback="1 hour",
     ).select("p_id", "c_id")
-    return run_to_memory(joined, "mem_stream_stream")
+    return run_to_memory(joined, f"mem_stream_stream_{_vtag(sf)}")
 
 
 @_q(
@@ -4457,7 +4483,7 @@ def q_scan_binary_files(spark, sf):
         write_binary_files,
     )
 
-    path = f"{SCRATCH}/bin_assets_{os.path.basename(sf)}"
+    path = scratch_path("bin_assets", sf)
     if _stale_guard(spark, path, os.path.join(sf, "documents.parquet")):
         docs = (
             _t(spark, sf, "documents")
@@ -4482,9 +4508,9 @@ def q_scan_binary_files(spark, sf):
 def q_kmeans_embeddings(spark, sf):
     """Extension tier (iterative algorithms, with dedup_clusters):
     distributed Lloyd's k-means over the embedding corpus — per-cluster
-    size and mean within-cluster distance. Rows-only (no SQL-engine
-    oracle for an iterative algorithm); assignments pinned exact vs a
-    pure-numpy Lloyd's replica in tests/test_clustering.py."""
+    sizes. Rows-only (no SQL-engine oracle for an iterative algorithm);
+    assignments pinned exact vs a pure-numpy Lloyd's replica in
+    tests/test_clustering.py."""
     from lookup_transform_spark.operators.clustering import kmeans_assign
 
     emb = _t(spark, sf, "embeddings")

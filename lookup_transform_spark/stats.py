@@ -51,14 +51,23 @@ import re
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-# tables worth cataloguing: the relational tier the CBO acts on.
-# documents/embeddings deliberately excluded — their queries are
-# single-table scans (text/ANN operators) where stats change nothing
-# and ANALYZE would re-scan megabytes of text/vector payload.
+# tables worth cataloguing: the relational tier the CBO acts on, plus
+# documents/embeddings at TABLE level only (rowCount + sizeInBytes, no
+# per-column histograms): their queries are single-table text/ANN
+# scans where column stats change no plan, but the exact rowCount
+# feeds work-sizing decisions (embedding_near_dup's tile count,
+# semantic dedup's k) that otherwise pay a count() scan per
+# invocation — the r8 review found that fast path permanently dead
+# because these tables were never catalogued at all.
 STATS_TABLES = (
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events",
+    "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+# column-level ANALYZE skipped for these (their payload columns are
+# megabytes of text / vectors; scanning them for min/max/histograms
+# buys nothing a single-table scan plan would use)
+_TABLE_LEVEL_ONLY = ("documents", "embeddings")
 
 # column types ANALYZE ... FOR COLUMNS supports AND FilterEstimation
 # handles; TimestampNTZType is excluded (MatchError, see module doc)
@@ -140,7 +149,7 @@ def register_stats_tables(
             f.name for f in spark.table(f"{db}.{t}").schema.fields
             if isinstance(f.dataType, _STATS_TYPES)
             and not isinstance(f.dataType, T.TimestampNTZType)
-        ]
+        ] if t not in _TABLE_LEVEL_ONLY else []
         if cols:
             spark.sql(
                 f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR COLUMNS "

@@ -189,7 +189,7 @@ def test_ivf_pruned_cache_invalidates_on_newer_fixture(spark, tmp_path):
     )
     try:
         registry.QUERIES["simsearch_ivf_pruned"](spark, sf).collect()
-        layout = f"{registry.SCRATCH}/ivf_layout_{os.path.basename(sf)}_c32i5"
+        layout = registry.scratch_path("ivf_layout", sf) + "_c32i5"
         first_build = os.path.getmtime(f"{layout}/data/_SUCCESS")
         # unchanged fixture → cached layout reused
         registry.QUERIES["simsearch_ivf_pruned"](spark, sf).collect()
@@ -201,7 +201,7 @@ def test_ivf_pruned_cache_invalidates_on_newer_fixture(spark, tmp_path):
         assert os.path.getmtime(f"{layout}/data/_SUCCESS") > first_build
     finally:
         shutil.rmtree(
-            f"{registry.SCRATCH}/ivf_layout_{os.path.basename(sf)}_c32i5",
+            registry.scratch_path("ivf_layout", sf) + "_c32i5",
             ignore_errors=True,
         )
 
