@@ -42,7 +42,26 @@ def compact_parquet_to_size(
             "compact_parquet(target_files=...)"
         )
     n_files = max(1, round(total / (target_mb * 1024 * 1024)))
-    return compact_parquet(spark, src, dst, target_files=n_files, partition_by=partition_by)
+    max_records = None
+    if partition_by:
+        # Partitioned rewrites put each partition VALUE wholly in one
+        # task, so target_files alone bounds only shuffle width — a
+        # 10 GB partition value would still come out as one 10 GB file
+        # (r8 review: the '~target_mb files' policy the function's name
+        # promises was silently ignored). Derive records-per-file from
+        # the measured on-disk bytes/row so the writer re-splits
+        # oversized values; a parquet count() is footer-metadata only,
+        # not a data scan.
+        rows = spark.read.parquet(
+            *( [src] if isinstance(src, str) else list(src) )
+        ).count()
+        if rows:
+            avg_row = max(1, total // rows)
+            max_records = max(1, (target_mb * 1024 * 1024) // avg_row)
+    return compact_parquet(
+        spark, src, dst, target_files=n_files,
+        max_records_per_file=max_records, partition_by=partition_by,
+    )
 
 
 def compact_parquet(
@@ -72,6 +91,14 @@ def compact_parquet(
         out = df.repartition(target_files, *partition_by)
     elif target_files:
         out = df.coalesce(target_files)
+    elif partition_by:
+        # no explicit file count, but partitioned: keeping the source's
+        # task layout would make EVERY input task write a file into
+        # every partition directory it holds rows for (N × |values|
+        # files — the multiplication this function exists to undo, r8
+        # review); cluster by the partition columns so each value lands
+        # wholly in one task ≈ one file per directory
+        out = df.repartition(*partition_by)
     else:
         out = df
     w = out.write.mode("overwrite")

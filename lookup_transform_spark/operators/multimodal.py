@@ -130,6 +130,16 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes) lays out 16-bit w/h and bpp at
+        # DIFFERENT offsets — parsing it with the INFOHEADER offsets
+        # below reads garbage fields, which usually trips the bpp check
+        # with a misleading message and in the unlucky (24, 0) case
+        # silently decodes wrong pixels (r8 review). Fail honestly.
+        raise NotImplementedError(
+            f"built-in BMP decoder handles BITMAPINFOHEADER (>=40 bytes) "
+            f"only, got header size {hdr_size}"
+        )
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
@@ -535,12 +545,26 @@ def decode_stats(
     Audio reports (1, n_samples); images report (height, width).
     """
 
+    def _null_stats(i, m):
+        # NULL payload / unknown modality: the row survives with NULL
+        # stats (the extract_features contract) — bytes(None) is a
+        # TypeError and a misdispatched decoder a misleading codec
+        # error, either of which would kill the whole stage on one
+        # dirty row (r8 review)
+        return {
+            "doc_id": i, "modality": m, "height": None, "width": None,
+            "n_samples": None, "mean_value": None,
+        }
+
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, p, m in zip(
                 pdf[id_col], pdf[payload_col], pdf[modality_col]
             ):
+                if p is None or m not in ("image", "audio"):
+                    rows.append(_null_stats(i, m))
+                    continue
                 b = bytes(p)
                 if m == "image":
                     img = decode_image(b)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -49,7 +50,10 @@ _COMPAT_GROUPS: tuple[tuple[type, ...], ...] = (
     (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
      T.DoubleType, T.DecimalType),
     (T.StringType,),
-    (T.DateType, T.TimestampType),
+    # NTZ coerces against DATE/TIMESTAMP in Spark's equi-join analysis
+    # the same way DATE does against TIMESTAMP; leaving it out rejected
+    # a plain NTZ = NTZ key join as "incompatible" (r8 review)
+    (T.DateType, T.TimestampType, T.TimestampNTZType),
     (T.BooleanType,),
     (T.BinaryType,),
 )
@@ -82,25 +86,32 @@ _FIELD_WIDTH: dict[type, int] = {
 _DECOMPRESSION_FACTOR = 3
 
 
-_stats_warned = False
+_stats_warned: set[str] = set()
+_stats_warned_lock = threading.Lock()
 
 
 def _warn_stats_unavailable_once(exc: Exception) -> None:
     """A TOTAL plan-statistics outage (not a per-plan miss) downgrades
     every stats-gated decision to its conservative fallback. That is
     safe but slow — make it visible once instead of silent (ADVICE r7),
-    without spamming per-call."""
-    global _stats_warned
-    if not _stats_warned:
-        _stats_warned = True
-        import warnings
+    without spamming per-call. Keyed per FAILURE CLASS, not a single
+    global bool (r8 review): one exotic plan whose stats() throws must
+    not permanently mute the warning for a genuinely different later
+    outage (e.g. a Spark Connect session created afterwards). The lock
+    keeps the threaded probe harness from double-warning."""
+    key = type(exc).__name__
+    with _stats_warned_lock:
+        if key in _stats_warned:
+            return
+        _stats_warned.add(key)
+    import warnings
 
-        warnings.warn(
-            f"plan statistics unavailable ({type(exc).__name__}: {exc}); "
-            "size-gated routing will use conservative fallbacks",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    warnings.warn(
+        f"plan statistics unavailable ({key}: {exc}); "
+        "size-gated routing will use conservative fallbacks",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _estimated_rows(df: DataFrame) -> int | None:
@@ -460,6 +471,7 @@ class LookupSpec:
         # (withOutputSchemaField, Lookup.java:249-252), keeping the
         # config_property for the non-CDAP-UI consumer
         if "output_field" not in macros and "lookup_value_field" not in macros:
+            seen: set[str] = set()
             for out in self.output_fields:
                 if out in in_names:
                     fc.add(
@@ -469,6 +481,19 @@ class LookupSpec:
                         "output_field",
                         output_schema_field=out,
                     )
+                if out in seen:
+                    # pairwise-distinct check (r8 review): duplicate
+                    # output names used to pass validation and die later
+                    # in the projection with an opaque
+                    # AMBIGUOUS_REFERENCE AnalysisException — and would
+                    # declare an output schema with two same-named fields
+                    fc.add(
+                        f"Output field '{out}' is used more than once.",
+                        "Give every output field a distinct name.",
+                        "output_field",
+                        output_schema_field=out,
+                    )
+                seen.add(out)
         fc.raise_if_any()
 
         if macros:

@@ -122,6 +122,41 @@ def test_collision_rejected(customers, phones):
         spec.apply(customers, phones)
 
 
+def test_duplicate_output_names_rejected(customers, phones):
+    """r8 review: duplicate output_field entries passed validation and
+    died later in the projection with an opaque AMBIGUOUS_REFERENCE —
+    every config mistake must surface through the taxonomy."""
+    spec = replace(
+        SPEC,
+        lookup_value_field=["phone_number", "customer_id"],
+        output_field=["x", "x"],
+    )
+    with pytest.raises(LookupConfigError, match="more than once"):
+        spec.apply(customers, phones)
+
+
+def test_ntz_key_join_is_type_compatible(spark):
+    """r8 review: TIMESTAMP_NTZ was missing from the compatibility
+    groups, so a plain NTZ = NTZ key join was rejected as incompatible
+    even though Spark joins it fine."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, k string"
+    ).withColumn("k", F.col("k").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "hit")], "k string, v string"
+    ).withColumn("k", F.col("k").cast("timestamp_ntz"))
+    spec = LookupSpec(
+        lookup_dataset="lkp",
+        input_key_field="k",
+        lookup_key_field="k",
+        lookup_value_field="v",
+    )
+    out = spec.apply(left, right)
+    assert [r["v"] for r in out.collect()] == ["hit"]
+
+
 def test_validation_taxonomy():
     inputs = {"customer": CUSTOMER_SCHEMA, "phone_numbers": PHONE_SCHEMA}
     # missing required field (Lookup.java:411-428)

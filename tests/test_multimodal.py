@@ -244,6 +244,33 @@ def test_decode_stats_spark_stage(spark):
     assert got[1]["mean_value"] == pytest.approx(float(pcm.mean()), abs=1e-3)
 
 
+def test_decode_stats_dirty_rows_survive_with_null_stats(spark):
+    """r8 review: a NULL payload hit bytes(None) (TypeError killed the
+    stage) and an unknown/NULL modality was dispatched to the AUDIO
+    decoder, dying with a misleading codec error. Dirty rows must
+    survive with NULL stats; clean rows must decode unchanged."""
+    from lookup_transform_spark.operators.multimodal import (
+        decode_stats,
+        encode_ppm,
+    )
+
+    rgb = (np.arange(4 * 4 * 3, dtype=np.uint8)).reshape(4, 4, 3)
+    rows = [
+        (0, bytearray(encode_ppm(rgb)), "image"),
+        (1, None, "image"),                       # NULL payload
+        (2, bytearray(b"notacontainer"), "video"),  # unknown modality
+        (3, bytearray(b"x"), None),               # NULL modality
+    ]
+    frame = spark.createDataFrame(
+        rows, "doc_id long, payload binary, modality string"
+    )
+    got = {r["doc_id"]: r for r in decode_stats(frame).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["height"] == 4 and got[0]["width"] == 4
+    for i in (1, 2, 3):
+        assert got[i]["height"] is None and got[i]["mean_value"] is None
+
+
 def test_codec_roundtrips_property():
     """Property pin for the built-in codecs: encode→decode is the
     identity (PPM/BMP byte-exact; WAV within subtype quantization) over

@@ -391,6 +391,53 @@ def test_compact_partitioned_bounds_files_per_directory(spark, tmp_path):
         assert len(files) == 1, d
 
 
+def test_compact_partitioned_no_target_clusters_by_partition(spark, tmp_path):
+    """r8 review: partition_by WITHOUT target_files kept the source's
+    fragmented task layout, multiplying files (N tasks x |values| dirs)
+    from a function whose purpose is to bound them; it must cluster by
+    the partition columns instead."""
+    import glob as _glob
+
+    from lookup_transform_spark.operators.compaction import compact_parquet
+
+    src = str(tmp_path / "src_nt")
+    spark.range(5_000).selectExpr("id", "id % 5 AS dt").repartition(
+        16
+    ).write.parquet(src)
+    dst = str(tmp_path / "dst_nt")
+    out = compact_parquet(spark, src, dst, partition_by=["dt"])
+    assert out.count() == 5_000
+    for d in _glob.glob(f"{dst}/dt=*"):
+        assert len(_glob.glob(f"{d}/part-*.parquet")) == 1, d
+
+
+def test_compact_to_size_partitioned_resplits_oversized_values(spark, tmp_path):
+    """r8 review: the size-targeted wrapper never passed
+    max_records_per_file for partitioned rewrites, so one huge partition
+    value came out as one huge file regardless of target_mb; the
+    bytes/row-derived records cap must re-split it."""
+    import glob as _glob
+
+    from lookup_transform_spark.operators.compaction import (
+        compact_parquet_to_size,
+    )
+
+    src = str(tmp_path / "src_big")
+    # one dominant partition value, ~2MB of INCOMPRESSIBLE data (md5
+    # hex defeats dictionary/RLE; a constant pad compresses to nothing
+    # and the bytes/row-derived cap would rightly not split it)
+    spark.range(60_000).selectExpr(
+        "id", "0 AS dt", "md5(cast(id AS string)) AS pad"
+    ).repartition(4).write.parquet(src)
+    dst = str(tmp_path / "dst_big")
+    out = compact_parquet_to_size(
+        spark, src, dst, target_mb=1, partition_by=["dt"]
+    )
+    assert out.count() == 60_000
+    files = _glob.glob(f"{dst}/dt=0/part-*.parquet")
+    assert len(files) > 1, "oversized partition value must be re-split"
+
+
 def test_zorder_write_preserves_user_z_column(spark, tmp_path):
     from pyspark.sql import functions as F
 
