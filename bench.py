@@ -186,6 +186,7 @@ def _oracle_timings(
     register_views(con, sf_dir)
     out: dict[str, float] = {}
     timeouts: dict[str, float] = {}
+    degraded: list[str] = []
     with tempfile.TemporaryDirectory() as tmp:
         for name, sql in sorted(registry.ORACLES.items()):
             stmts = [
@@ -252,12 +253,19 @@ def _oracle_timings(
                     # aggregate (r8 review)
                     if not samples:
                         timeouts[name] = duck_timeout
+                    else:
+                        # a load spike truncated sampling AFTER valid
+                        # samples landed — the min is still honest, but
+                        # the degraded protocol must be visible in the
+                        # artifact, matching probe_common's treatment of
+                        # the analogous case (ADVICE r8)
+                        degraded.append(name)
                     break
                 samples.append(time.perf_counter() - t0)
             if samples:
                 out[name] = round(min(samples), 4)
     con.close()
-    return out, timeouts
+    return out, timeouts, degraded
 
 
 def main() -> None:
@@ -335,12 +343,17 @@ def main() -> None:
         # visibility (r8 review)
     }
     if with_oracle:
-        oracle, oracle_timeouts = _oracle_timings(sf_dir, repeats)
+        oracle, oracle_timeouts, oracle_degraded = _oracle_timings(
+            sf_dir, repeats
+        )
         detail["oracle_duckdb_sec"] = oracle
         # oracles whose brute-force SQL exceeded the per-repeat timeout
         # at this sf (excluded from every comparable aggregate below —
         # same treatment as a query with no oracle)
         detail["oracle_timeout_sec"] = oracle_timeouts
+        # oracles that kept their min-of-earlier-samples but lost later
+        # repeats to a timeout: valid numbers, degraded protocol
+        detail["oracle_degraded"] = oracle_degraded
         detail["oracle_total_sec"] = round(sum(oracle.values()), 4)
         # Engine total restricted to the queries that HAVE an oracle —
         # the apples-to-apples numerator for oracle_total_sec. `value`

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 
 #: Sidecar naming the layout a bucketed directory was WRITTEN with.
@@ -46,14 +47,21 @@ def write_bucketed(
 
 
 def _write_spec(spark, path: str, bucket_col: str, n_buckets: int) -> None:
+    # atomic publish (ADVICE r8): create under a dotted temp name and
+    # rename into place, so a crash mid-write can never leave a
+    # truncated sidecar that turns every later attach into a JSON error
     from lookup_transform_spark.hadoopfs import hadoop_fs
 
-    fs, jp = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
+    fs, jp = hadoop_fs(spark, f"{path}/.{_SPEC_FILE}.tmp")
     out = fs.create(jp, True)
     out.write(bytearray(json.dumps(
         {"bucket_col": bucket_col, "n_buckets": n_buckets}
     ).encode()))
     out.close()
+    _, jfinal = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
+    if fs.exists(jfinal):
+        fs.delete(jfinal, False)
+    fs.rename(jp, jfinal)
 
 
 def _read_spec(spark, path: str) -> dict | None:
@@ -62,14 +70,30 @@ def _read_spec(spark, path: str) -> dict | None:
     fs, jp = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
     if not fs.exists(jp):
         return None
-    stream = fs.open(jp)
     try:
-        raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
+        stream = fs.open(jp)
+        try:
+            raw = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        spec = json.loads(raw)
+        return {"bucket_col": spec["bucket_col"],
+                "n_buckets": spec["n_buckets"]}
+    except (json.JSONDecodeError, KeyError, TypeError, Py4JJavaError):
+        # a corrupt/partial sidecar (pre-atomic-write crash) must not
+        # hard-fail every future attach — truncation shows up as a
+        # JSON error OR a filesystem-level read error (e.g. the local
+        # FS's ChecksumException); either way, fall back to the legacy
+        # no-sidecar path with a warning (ADVICE r8)
+        import warnings
+
+        warnings.warn(
+            f"unreadable {_SPEC_FILE} under {path}; treating the "
+            "directory as a legacy layout without a recorded spec"
         )
-    finally:
-        stream.close()
-    return json.loads(raw)
+        return None
 
 
 def ensure_bucketed(
@@ -97,10 +121,20 @@ def ensure_bucketed(
     if spark.catalog.tableExists(table):
         return
     if fs_exists(spark, path + "/_SUCCESS"):
-        attach_external_bucketed(
-            spark, table, path, bucket_col, n_buckets, df.schema
-        )
-        return
+        # ensure's contract is "make THIS layout exist": a deliberate
+        # re-tune (different bucket count/column than the on-disk spec)
+        # falls through to a rewrite instead of dead-ending; the hard
+        # mismatch error stays on direct attach_external_bucketed calls,
+        # where the caller asserts the layout already matches (ADVICE r8)
+        spec = _read_spec(spark, path)
+        if spec is None or (
+            spec["n_buckets"] == n_buckets
+            and spec["bucket_col"] == bucket_col
+        ):
+            attach_external_bucketed(
+                spark, table, path, bucket_col, n_buckets, df.schema
+            )
+            return
     write_bucketed(df, table, bucket_col, n_buckets, path=path)
 
 

@@ -24,11 +24,14 @@ Everything is built-in expressions (groupBy/map/explode/window) — no
 Python workers; the sketch build is one partial-aggregated shuffle of
 (group, bucket) pairs, the rollup touches only sketch rows.
 
-Registered as rows-only (`sketch_quantile_rollup`): the bucketing uses
-``log``, whose last-ulp differences across engines' libm could flip a
-boundary value into the neighboring bucket, so no cross-engine exact
-oracle — accuracy is pinned in tests against Spark's own exact
-``F.percentile`` instead.
+Oracle-exact since r9 (`sketch_quantile_rollup` — VERDICT r8 #5): the
+libm exposure turned out narrower than the old rows-only rationale
+claimed. The ``log(base)`` divisor is a Python literal baked into the
+plan (the oracle embeds the same 17-digit float instead of calling
+``ln``), and the emitted midpoints are 6-dp rounded on both sides,
+absorbing ``pow``'s last-ulp freedom — see
+``operators/sketches_oracle.py``. Accuracy vs Spark's exact
+``F.percentile`` stays pinned in tests.
 """
 
 from __future__ import annotations

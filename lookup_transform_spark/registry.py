@@ -1548,7 +1548,10 @@ def q_scan_orc_roundtrip(spark, sf):
     return read_orc(spark, path)
 
 
-from lookup_transform_spark.sources.synthetic import generator_oracle_sql
+# oracle SQL only — pure-stdlib module, so importing the registry does
+# NOT hard-depend on pyspark.sql.datasource/numpy/pyarrow (ADVICE r8);
+# the DataSource itself is imported lazily inside the query
+from lookup_transform_spark.sources.synthetic_oracle import generator_oracle_sql
 
 
 @_q("scan_generator_source", generator_oracle_sql(n=2000, seed=42))
@@ -4504,13 +4507,23 @@ def q_scan_binary_files(spark, sf):
     )
 
 
-@_q("kmeans_embeddings")
+from lookup_transform_spark.operators.clustering_oracle import (
+    kmeans_oracle_sql,
+    semantic_dedup_oracle_sql,
+)
+
+
+@_q("kmeans_embeddings", kmeans_oracle_sql(k=8, iters=5, dim=64))
 def q_kmeans_embeddings(spark, sf):
     """Extension tier (iterative algorithms, with dedup_clusters):
     distributed Lloyd's k-means over the embedding corpus — per-cluster
-    sizes. Rows-only (no SQL-engine oracle for an iterative algorithm);
-    assignments pinned exact vs a pure-numpy Lloyd's replica in
-    tests/test_clustering.py."""
+    sizes. Oracle-exact since r9 (VERDICT r8 #5): the fixed iteration
+    budget + deterministic init + integer-exact dp=7 centroid sums that
+    made the operator order-independent also make it independently
+    recomputable — Lloyd's unrolled into chained DuckDB CTEs
+    (operators/clustering_oracle.py; a recursive CTE can't hold the
+    per-round mean aggregate). Assignments additionally pinned vs a
+    pure-numpy replica in tests/test_clustering.py."""
     from lookup_transform_spark.operators.clustering import kmeans_assign
 
     emb = _t(spark, sf, "embeddings")
@@ -4522,13 +4535,17 @@ def q_kmeans_embeddings(spark, sf):
     )
 
 
-@_q("dedup_semantic")
+@_q("dedup_semantic", semantic_dedup_oracle_sql(iters=3, threshold=0.4, dim=64))
 def q_dedup_semantic(spark, sf):
     """B51 extension: SemDeDup — semantic near-dup removal by k-means
-    clustering + within-cluster cosine (Abbas et al. 2023). Rows-only
-    (iterative clustering has no SQL oracle); pinned exact vs a numpy
-    replica of cluster-then-compare in tests/test_clustering.py, and
-    its recall vs the exact all-pairs ground truth is pinned there too."""
+    clustering + within-cluster cosine (Abbas et al. 2023).
+    Oracle-exact since r9 (VERDICT r8 #5): the unrolled-Lloyd's CTE
+    chain (shared with kmeans_embeddings, data-dependent k inlined as
+    a scalar subquery) plus within-cluster cosine in plain SQL — the
+    operator already rounds sims to 6 dp before thresholding
+    (clustering.py:cluster_dups), which is what makes the float column
+    cross-engine comparable. Also pinned vs a numpy replica and an
+    exact all-pairs recall floor in tests/test_clustering.py."""
     from lookup_transform_spark.operators.clustering import (
         semantic_dedup_pairs,
     )
@@ -4624,7 +4641,13 @@ def q_join_bloom_semi(spark, sf):
     )
 
 
-@_q("sketch_quantile_rollup")
+from lookup_transform_spark.operators.sketches_oracle import qsketch_oracle_sql
+
+
+@_q(
+    "sketch_quantile_rollup",
+    qsketch_oracle_sql("events", "event_type", "value", [0.5, 0.95, 0.99]),
+)
 def q_sketch_quantile_rollup(spark, sf):
     """B32 extension: MERGEABLE quantile rollup, the percentile twin of
     ``sketch_hll_rollup``. Exact percentiles are selection-based —
@@ -4637,8 +4660,10 @@ def q_sketch_quantile_rollup(spark, sf):
     order-independent and lossless (sketch(A∪B) == merge of sketches,
     pinned in tests/test_sketches.py). p50/p95/p99 read from geometric
     bucket midpoints, within sqrt(1.04) ≈ ±2% of the exact quantile
-    (also pinned). Rows-only: the log() bucket boundary can differ by
-    an ulp across engines' libm, so no cross-engine exact oracle."""
+    (also pinned). Oracle-exact since r9 (VERDICT r8 #5): the log(base)
+    divisor is a plan literal the oracle embeds verbatim, and the
+    emitted midpoints are 6-dp rounded on both sides — see
+    operators/sketches_oracle.py for the full libm-exposure argument."""
     from lookup_transform_spark.operators.sketches import (
         qsketch,
         qsketch_merge,
@@ -4650,6 +4675,12 @@ def q_sketch_quantile_rollup(spark, sf):
     )
     leaf = qsketch(ev, ["event_type", "shard"], "value")
     rolled = qsketch_merge(leaf, ["event_type"])
-    return qsketch_quantiles(
-        rolled, ["event_type"], [0.5, 0.95, 0.99]
+    q = qsketch_quantiles(rolled, ["event_type"], [0.5, 0.95, 0.99])
+    # 6-dp rounding on the emitted midpoints (mirrored in the oracle):
+    # absorbs pow()'s last-ulp cross-engine freedom, nine orders of
+    # magnitude inside the sketch's own ±2% error bound
+    return q.select(
+        "event_type",
+        "n_rows",
+        *[F.round(c, 6).alias(c) for c in ("p50", "p95", "p99")],
     ).orderBy("event_type")

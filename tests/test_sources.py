@@ -119,15 +119,14 @@ def test_generator_oracle_sql_matches_scalar_spec():
     value-exact oracle for a zero-I/O source."""
     import duckdb
 
-    from lookup_transform_spark.sources.synthetic import (
-        _mix,
+    from lookup_transform_spark.sources.synthetic import _mix, make_doc
+    from lookup_transform_spark.sources.synthetic_oracle import (
+        _sql_mix,
         generator_oracle_sql,
-        make_doc,
     )
 
     # the mix primitive itself, over edge-case inputs
     vals = [0, 1, (1 << 64) - 1, 42 * 1_000_003 + 1999, 0x9E3779B97F4A7C15]
-    from lookup_transform_spark.sources.synthetic import _sql_mix
 
     got = duckdb.sql(
         f"SELECT v, {_sql_mix('v::HUGEINT')} AS m "

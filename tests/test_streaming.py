@@ -911,3 +911,85 @@ def test_stream_stage_not_keyed_by_basename(spark, tmp_path):
     n1 = run_to_memory(read_events_stream(spark, str(d1))).count()
     n2 = run_to_memory(read_events_stream(spark, str(d2))).count()
     assert n2 == 100 and n1 > n2  # same-basename dirs stream their OWN data
+
+
+def test_lsh_table_prefix_no_suffix_collision(tmp_path):
+    """VERDICT r8 #3: the old last-48-chars sanitization mapped two
+    deep work dirs sharing a 48-char suffix to the SAME catalog
+    tables, cross-wiring their standing LSH indexes. The path-hash
+    scheme keys each absolute path uniquely."""
+    from lookup_transform_spark.streaming.ingest import _lsh_table_prefix
+
+    deep = "x" * 60  # shared leaf far longer than the old 48-char window
+    a = str(tmp_path / "rootA" / deep)
+    b = str(tmp_path / "rootB" / deep)
+    assert _lsh_table_prefix(a) != _lsh_table_prefix(b)
+    # stable for the same path, and a valid SQL identifier
+    p = _lsh_table_prefix(a)
+    assert p == _lsh_table_prefix(a)
+    assert p.replace("_", "").isalnum()
+
+
+def test_ingest_batch_compute_not_serialized(spark):
+    """VERDICT r8 #1: the per-batch dedup output used to be
+    ``coalesce(1).localCheckpoint()`` — a narrow dependency that
+    collapsed the WHOLE upstream anti-join of the micro-batch into one
+    task. ``_materialize_batch`` must checkpoint at full parallelism
+    (partition count preserved for a multi-partition batch) and only
+    size the WRITE fan-in: one file at fixture scale, many for a batch
+    past the rows-per-file target."""
+    from lookup_transform_spark.streaming.ingest import (
+        _ROWS_PER_OUTPUT_FILE,
+        _materialize_batch,
+    )
+
+    df = spark.range(10_000).repartition(8).selectExpr(
+        "id as doc_id", "cast(id as string) as f"
+    )
+    out, files = _materialize_batch(df)
+    assert out.rdd.getNumPartitions() == 8  # compute ran on all 8 tasks
+    assert files == 1  # small batch keeps the single-file layout
+    assert out.count() == 10_000
+    # a batch past the per-file target fans its write out
+    big = spark.range(2 * _ROWS_PER_OUTPUT_FILE).repartition(8).selectExpr(
+        "id as doc_id", "cast(id as string) as f"
+    )
+    _, big_files = _materialize_batch(big)
+    assert big_files > 1
+
+
+def test_bucket_spec_corrupt_sidecar_falls_back(spark, tmp_path):
+    """ADVICE r8: a truncated _BUCKET_SPEC.json (pre-atomic-write
+    crash) must degrade to the legacy no-sidecar path with a warning,
+    not crash every future attach with a JSON error; and
+    ensure_bucketed treats a DIFFERENT declared spec as a re-tune —
+    rebuilding the layout rather than dead-ending."""
+    import warnings
+
+    from lookup_transform_spark.operators.bucketing import (
+        _SPEC_FILE,
+        _read_spec,
+        ensure_bucketed,
+        write_bucketed,
+    )
+
+    path = str(tmp_path / "bucketed")
+    df = spark.range(100).selectExpr("id as k", "id * 2 as v")
+    write_bucketed(df, "t_spec_corrupt", "k", n_buckets=4, path=path)
+    spec = _read_spec(spark, path)
+    assert spec == {"bucket_col": "k", "n_buckets": 4}
+    # corrupt the sidecar in place
+    with open(f"{path}/{_SPEC_FILE}", "w") as fh:
+        fh.write('{"bucket_col": "k", "n_bu')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _read_spec(spark, path) is None
+        assert any("legacy layout" in str(x.message) for x in w)
+    spark.sql("DROP TABLE IF EXISTS t_spec_corrupt")
+    # re-tune: ensure under a different bucket count rebuilds the layout
+    write_bucketed(df, "t_spec_retune", "k", n_buckets=4, path=path)
+    spark.sql("DROP TABLE IF EXISTS t_spec_retune")
+    ensure_bucketed(spark, df, "t_spec_retune", "k", n_buckets=8, path=path)
+    assert _read_spec(spark, path) == {"bucket_col": "k", "n_buckets": 8}
+    assert spark.table("t_spec_retune").count() == 100
+    spark.sql("DROP TABLE IF EXISTS t_spec_retune")
