@@ -2182,7 +2182,93 @@ def q_dedup_incremental_minhash(spark, sf):
     return incremental_minhash_probe(spark, new, table)
 
 
-@_q("stream_ingest_neardedup")
+def _ingest_neardedup_oracle(
+    n_files: int = 4, dup: int = 10, near: int = 10, threshold: float = 0.5
+) -> str:
+    """DuckDB oracle for the BOTH-tier continuous ingest (r9, VERDICT
+    r8 #5 extended): the batches unroll like the kmeans iterations.
+    Staged arrivals are a pure function of the fixture
+    (``stage_document_batches``: batch b = doc_id % n_files; batches
+    1+ re-send the ``dup`` smallest batch-0 docs verbatim at
+    id + 10M·b and ranks dup+1..dup+near with a ``' tailb'`` suffix at
+    id + 100M·b). Per batch, in the engine's order: (1) exact tier —
+    min-id per fingerprint, minus fingerprints already ACCEPTED;
+    (2) near tier — drop a doc iff a verified (6-dp-rounded 3-shingle
+    Jaccard ≥ t) smaller-id doc exists in the same batch's exact-tier
+    survivors, or ANY accepted doc from earlier batches is similar.
+    The two per-doc predicates commute, and the LSH candidate stage is
+    recall-1.0 at these parameters (the dedup_minhash promotion's
+    argument, re-proved end-to-end here every round). The lossless
+    length band (J ≥ 0.5 ⇒ |larger| ≤ 2·|smaller|, +1 slack for the
+    rounding boundary) keeps the correlated NOT EXISTS from scanning
+    every pair."""
+    jac = (
+        "ROUND(len(list_intersect({x}.shg, {y}.shg))::DOUBLE"
+        " / len(list_distinct(list_concat({x}.shg, {y}.shg))), 6)"
+        f" >= {threshold}"
+    )
+    band = (
+        "len({y}.shg) <= 2 * len({x}.shg) + 1"
+        " AND len({x}.shg) <= 2 * len({y}.shg) + 1"
+    )
+    split = "string_split_regex(lower(text), '\\s+')"
+    parts = [f"""dup_base AS MATERIALIZED (
+  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+  FROM documents WHERE doc_id % {n_files} = 0
+)""", f"""staged AS MATERIALIZED (
+  SELECT (doc_id % {n_files})::BIGINT AS b, doc_id, text FROM documents
+  UNION ALL
+  SELECT i.range, d.doc_id + 10000000 * i.range, d.text
+  FROM dup_base d, range(1, {n_files}) i WHERE d.rk <= {dup}
+  UNION ALL
+  SELECT i.range, d.doc_id + 100000000 * i.range,
+         d.text || ' tail' || i.range
+  FROM dup_base d, range(1, {n_files}) i
+  WHERE d.rk BETWEEN {dup + 1} AND {dup + near}
+)""", f"""sh AS MATERIALIZED (
+  SELECT b, doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+         list_distinct(list_transform(
+           range(1, greatest(len({split}) - 2, 1) + 1),
+           i -> concat_ws(' ', {split}[i], {split}[i+1], {split}[i+2])
+         )) AS shg
+  FROM staged
+)"""]
+    for b in range(n_files):
+        anti = (
+            f"\n      AND f NOT IN (SELECT f FROM acc{b - 1})" if b else ""
+        )
+        parts.append(f"""l{b} AS MATERIALIZED (
+  SELECT f, doc_id, shg FROM (
+    SELECT f, doc_id, shg,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+    FROM sh WHERE b = {b}{anti}
+  ) WHERE rn = 1
+)""")
+        cross = "" if b == 0 else f"""
+    AND NOT EXISTS (
+      SELECT 1 FROM acc{b - 1} z
+      WHERE {band.format(x='x', y='z')} AND {jac.format(x='x', y='z')})"""
+        parts.append(f"""a{b} AS MATERIALIZED (
+  SELECT x.f, x.doc_id, x.shg FROM l{b} x
+  WHERE NOT EXISTS (
+      SELECT 1 FROM l{b} y
+      WHERE y.doc_id < x.doc_id
+        AND {band.format(x='x', y='y')} AND {jac.format(x='x', y='y')}){cross}
+)""")
+        parts.append(
+            f"acc{b} AS MATERIALIZED (SELECT * FROM a{b})" if b == 0 else
+            f"acc{b} AS MATERIALIZED "
+            f"(SELECT * FROM acc{b - 1} UNION ALL SELECT * FROM a{b})"
+        )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT f)::BIGINT AS n_distinct,
+       SUM(doc_id)::BIGINT AS id_sum
+FROM acc{n_files - 1}"""
+
+
+@_q("stream_ingest_neardedup", _ingest_neardedup_oracle())
 def q_stream_ingest_neardedup(spark, sf):
     """B63/B51 extension (r7, VERDICT r6 #2): continuous ingest with
     BOTH dedup tiers. Each micro-batch is (1) exact-deduped within
@@ -2208,7 +2294,44 @@ def q_stream_ingest_neardedup(spark, sf):
     )
 
 
-@_q("stream_ingest_dedup")
+@_q(
+    "stream_ingest_dedup",
+    # Oracle-exact since r9 (VERDICT r8 #5, extended): the multi-batch
+    # side effect has a deterministic closed form. The staged arrivals
+    # are a pure function of the fixture (batch b = doc_id % 4; batches
+    # 1-3 re-send the 20 smallest batch-0 docs verbatim under
+    # id + 10M·b), and the ingest's survivor rule is FIRST-ACCEPTED:
+    # earliest batch containing the fingerprint wins, min doc_id within
+    # that batch — i.e. ROW_NUMBER over (batch, doc_id) per
+    # fingerprint. (NOT plain global min-id: a duplicate text whose
+    # smaller id arrives in a LATER batch loses to the standing index —
+    # the oracle models the actual rule, so the monotonic-id
+    # precondition the module docstring discusses is not assumed here.)
+    """WITH dup_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  ORDER BY doc_id LIMIT 20
+),
+staged AS (
+  SELECT (doc_id % 4)::BIGINT AS b, doc_id, text FROM documents
+  UNION ALL
+  SELECT i.range AS b, d.doc_id + 10000000 * i.range AS doc_id, d.text
+  FROM dup_src d, range(1, 4) i
+),
+fp AS (
+  SELECT b, doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM staged
+),
+surv AS (
+  SELECT f, doc_id FROM (
+    SELECT f, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY b, doc_id) AS rn
+    FROM fp) WHERE rn = 1
+)
+SELECT COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT f)::BIGINT AS n_distinct,
+       SUM(doc_id)::BIGINT AS id_sum
+FROM surv""",
+)
 def q_stream_ingest_dedup(spark, sf):
     """B63 extension: continuous-ingest dedup — the foreachBatch shape a
     training-data pipeline runs. Documents arrive in 4 staged batches
@@ -2219,9 +2342,10 @@ def q_stream_ingest_dedup(spark, sf):
     cost O(batch) — the dedup state lives in the parquet index, not a
     state store, so the corpus can grow without bounding executor
     memory (contrast: streaming dropDuplicates state is resident
-    forever). Rows-only (multi-batch side effects aren't one SQL
-    query); stream-ingest ≡ batch replay ≡ global min-id dedup is
-    pinned in tests/test_streaming.py."""
+    forever). Oracle-exact since r9: the staged arrivals and the
+    first-accepted survivor rule are both deterministic SQL (see the
+    decorator comment); stream-ingest ≡ batch replay stays pinned in
+    tests/test_streaming.py."""
     from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
 
     work = scratch_path("stream_ingest", sf)
