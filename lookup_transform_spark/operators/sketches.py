@@ -230,3 +230,136 @@ def qsketch_quantiles_at_rest(
     return qsketch_quantiles(
         qsketch_merge(leaves, group_cols), group_cols, probs, base, lo
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable top-k (heavy hitters) — the frequent-items member of the
+# sketch family (HLL = distinct counts, qsketch = quantiles, this =
+# heavy keys), r9.
+#
+# Design goal, same as the other two: a bounded-size per-shard summary
+# a 100 TB pipeline maintains at ingest time, mergeable WITHOUT
+# rescanning raw data, with a deterministic, provable error bound.
+# Classic SpaceSaving/Misra-Gries summaries are ARRIVAL-ORDER
+# dependent (the decrement steps see rows in partition order), so two
+# runs over the same data can disagree — unacceptable under this
+# repo's determinism rule and impossible to oracle. This variant is
+# order-free: shards are a PURE FUNCTION of a row attribute (e.g.
+# user_id % 16, a stable ingest partitioning), each shard keeps its
+# EXACT top-m keys by (count desc, key asc) plus the count of its
+# largest dropped key; a merged key's true total then lies in
+# [lower, lower + Σ drop_max over shards whose summary omits it] —
+# every quantity integer-exact, reproducible bit-for-bit by an ANSI
+# SQL oracle. Summary size: m entries + 2 longs per (group, shard),
+# regardless of input rows.
+# ---------------------------------------------------------------------------
+
+
+def topk_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    shard_col: str | Column,
+    m: int = 200,
+) -> DataFrame:
+    """One summary row per (group, shard): ``entries map<key,long>``
+    (the shard's exact top-``m`` keys, ties broken by key), ``drop_max``
+    (count of the largest key the truncation dropped — the undercount
+    bound any absent key carries), and ``n_rows``. NULL keys contribute
+    nothing but leave the group alive, the qsketch null contract."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    counts = (
+        df.select(*group_cols, shard.alias("__shard__"), F.col(key_col))
+        .groupBy(*group_cols, "__shard__", key_col)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w = Window.partitionBy(*group_cols, "__shard__").orderBy(
+        F.col("__c__").desc(), F.col(key_col).asc()
+    )
+    ranked = counts.withColumn("__rn__", F.row_number().over(w))
+    return ranked.groupBy(*group_cols, "__shard__").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("__rn__") <= m) & F.col(key_col).isNotNull(),
+                        F.struct(F.col(key_col), F.col("__c__")),
+                    )
+                )
+            )
+        ).alias("entries"),
+        F.coalesce(
+            F.max(F.when(F.col("__rn__") == m + 1, F.col("__c__"))),
+            F.lit(0).cast("long"),
+        ).alias("drop_max"),
+        F.coalesce(
+            F.sum(F.when(F.col(key_col).isNotNull(), F.col("__c__"))),
+            F.lit(0).cast("long"),
+        ).alias("n_rows"),
+    )
+
+
+def topk_merge(leaves: DataFrame, group_cols: list[str], k: int = 10) -> DataFrame:
+    """Roll shard summaries up to the final per-group top-``k`` —
+    touches ONLY summary rows. Per key: ``cnt_lo`` = sum of the counts
+    the summaries kept (a guaranteed undercount), ``cnt_hi`` = cnt_lo +
+    Σ ``drop_max`` over the shards whose summary omits the key
+    (computed as group-total drop_max minus the drop_max of the shards
+    where the key IS present — no per-absent-shard join). Final
+    ranking by (cnt_lo desc, key asc), top-``k`` per group. A key
+    whose cnt_lo exceeds every other key's cnt_hi is PROVABLY the
+    heavy hitter; the [lo, hi] columns make that check a query."""
+    exploded = leaves.select(
+        *group_cols, "__shard__", "drop_max",
+        F.explode_outer("entries").alias("__k__", "__c__"),
+    )
+    totals = leaves.groupBy(*group_cols).agg(
+        F.sum("drop_max").alias("__all_drop__")
+    )
+    per_key = (
+        exploded.filter(F.col("__k__").isNotNull())
+        .groupBy(*group_cols, "__k__")
+        .agg(
+            F.sum("__c__").alias("cnt_lo"),
+            F.sum("drop_max").alias("__present_drop__"),
+        )
+    )
+    bounded = per_key.join(totals, group_cols).select(
+        *group_cols,
+        F.col("__k__").alias("key"),
+        "cnt_lo",
+        (
+            F.col("cnt_lo") + F.col("__all_drop__") - F.col("__present_drop__")
+        ).alias("cnt_hi"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("cnt_lo").desc(), F.col("key").asc()
+    )
+    return (
+        bounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def write_topk_leaves(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    shard_col: str | Column,
+    path: str,
+    m: int = 200,
+) -> None:
+    """Materialize shard summaries at rest (the qsketch leaf pattern):
+    per ingest partition this is an append of O(groups·m) rows; every
+    later heavy-hitter query reads ONLY this table."""
+    topk_sketch(df, group_cols, key_col, shard_col, m).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def topk_at_rest(
+    spark, path: str, group_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Heavy hitters from the at-rest summary table — the raw corpus is
+    never rescanned."""
+    return topk_merge(spark.read.parquet(path), group_cols, k)

