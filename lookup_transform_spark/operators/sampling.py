@@ -81,3 +81,52 @@ def stratified_sample(
         .filter(F.col("__rn__") <= n_per_stratum)
         .drop("__rn__")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT-size weighted sample without replacement (r9) —
+    Efraimidis–Spirakis A-ES: each row draws a deterministic uniform
+    ``u`` from md5(key, seed) and the k smallest ``-ln(u)/w`` scores
+    win, which selects each row with probability proportional to its
+    weight among the survivors. Complements ``weighted_sample``
+    (per-stratum Bernoulli RATES, approximate output size): a curation
+    pass that needs "exactly k docs, longer docs favored" uses this.
+
+    Deterministic and cross-engine reproducible: ``u`` is the first 52
+    md5 bits (+1, so u ∈ (0, 2⁵²] maps into (0, 1]) — the same
+    md5-derived arithmetic an ANSI SQL oracle computes bit-for-bit;
+    the only float divergence is ``ln``'s last ulp, which can flip the
+    k-th/k+1-th boundary only on a measure-zero score tie (same
+    exposure class as the promoted quantile sketch, fixture-checked).
+    Rows with NULL or non-positive weight are excluded — they have no
+    well-defined inclusion probability.
+
+    Scale shape: the score is a codegen'd scan-stage expression and
+    the selection is a global ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, i.e. per-partition top-k then a k-row
+    driver merge, never a full sort (pinned in tests/test_plans.py)."""
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    u52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (u52 + F.lit(1.0)) / F.lit(float(1 << 52))
+    score = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__score__", score)
+        .orderBy(F.col("__score__").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__score__")
+    )

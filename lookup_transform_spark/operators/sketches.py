@@ -308,7 +308,17 @@ def topk_merge(leaves: DataFrame, group_cols: list[str], k: int = 10) -> DataFra
     where the key IS present — no per-absent-shard join). Final
     ranking by (cnt_lo desc, key asc), top-``k`` per group. A key
     whose cnt_lo exceeds every other key's cnt_hi is PROVABLY the
-    heavy hitter; the [lo, hi] columns make that check a query."""
+    heavy hitter; the [lo, hi] columns make that check a query.
+
+    The summary is ``localCheckpoint``-ed first: the merge consumes it
+    on two branches (per-key sums and the group drop totals), and
+    Spark re-evaluates an un-materialized lineage once PER consumer —
+    without this, the direct pipeline scans the raw corpus twice
+    (measured; no ReusedExchange forms). Summary rows are
+    O(groups·shards·m) by construction, so the checkpoint is
+    bounded-size at any input scale — the same argument that makes
+    the at-rest leaf table tiny."""
+    leaves = leaves.localCheckpoint()
     exploded = leaves.select(
         *group_cols, "__shard__", "drop_max",
         F.explode_outer("entries").alias("__k__", "__c__"),

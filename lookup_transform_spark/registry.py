@@ -1906,7 +1906,15 @@ def q_multimodal_resize(spark, sf):
     )
 
 
-@_q("stream_lookup")
+@_q(
+    "stream_lookup",
+    # Oracle-exact since r9: a stream-static left-outer lookup is
+    # STATELESS — each row maps independently of micro-batch
+    # decomposition, so the final memory-sink table equals the batch
+    # join on any trigger schedule (not just the fixture's).
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+)
 def q_stream_lookup(spark, sf):
     """B60: stream-static lookup, executed availableNow → memory sink."""
     from lookup_transform_spark.streaming import (
@@ -1921,7 +1929,18 @@ def q_stream_lookup(spark, sf):
     return run_to_memory(out, f"mem_stream_lookup_{_vtag(sf)}")
 
 
-@_q("stream_tumbling")
+@_q(
+    "stream_tumbling",
+    # Oracle-exact since r9: COMPLETE output mode never evicts window
+    # state and never drops late input, so the final memory-sink table
+    # is the full aggregation regardless of how availableNow slices
+    # the files into triggers — i.e. the batch twin's SQL, minus its
+    # sum_value column.
+    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
+         AS w_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2""",
+)
 def q_stream_tumbling(spark, sf):
     """B61/B62: streaming tumbling window + watermark (batch twin:
     window_tumbling)."""
@@ -1937,7 +1956,35 @@ def q_stream_tumbling(spark, sf):
     )
 
 
-@_q("stream_session")
+@_q(
+    "stream_session",
+    # Oracle-exact since r9 (complete mode — same decomposition-
+    # independence argument as stream_tumbling). Spark's session_window
+    # semantics replicated relationally: a new session starts when the
+    # gap to the previous event is >= 30 min (the window is
+    # [start, last_ts + gap), so an event AT the boundary opens a new
+    # one); session_end = last event + gap; the emitted longs are
+    # floor-epoch-seconds casts.
+    """WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+         AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+)
 def q_stream_session(spark, sf):
     """B61: native streaming session windows."""
     from lookup_transform_spark.streaming import (
@@ -1954,7 +2001,12 @@ def q_stream_session(spark, sf):
 
 @_q("stream_dedup")
 def q_stream_dedup(spark, sf):
-    """B63: stateful streaming dedup within the watermark horizon."""
+    """B63: stateful streaming dedup within the watermark horizon.
+    Rows-only BY SEMANTICS (not oversight — r9 promoted every
+    decomposition-independent streaming query): within-watermark dedup
+    keeps a duplicate that arrives after its twin's state expired, so
+    the output is a function of the trigger decomposition, which no
+    single SQL statement models."""
     from lookup_transform_spark.streaming import (
         read_events_stream,
         run_to_memory,
@@ -2947,7 +2999,13 @@ def q_q18_volume(spark, sf):
 @_q("stream_sessionize_stateful")
 def q_stream_sessionize_stateful(spark, sf):
     """B63 extension: custom stateful operator (applyInPandasWithState)
-    — per-user session state machine emitting closed sessions."""
+    — per-user session state machine emitting closed sessions.
+    Rows-only BY SEMANTICS: which sessions CLOSE (vs remain open in
+    state at stream end) depends on the trigger decomposition and
+    timeout processing, so no single SQL statement models the output;
+    stream ≡ batch-sessionize equality on closed sessions is pinned in
+    tests/test_streaming.py instead (the r9 streaming promotions took
+    only decomposition-independent queries)."""
     from lookup_transform_spark.streaming import read_events_stream
     from lookup_transform_spark.streaming.lookup_stream import run_to_memory
     from lookup_transform_spark.streaming.stateful import (
@@ -2968,7 +3026,11 @@ def q_stream_lifetime_stats(spark, sf):
     impl='auto' uses transformWithStateInPandas (Spark 4 arbitrary
     state) where the protobuf runtime exists, else the equivalent
     applyInPandasWithState degraded path — equality of the two forms is
-    pinned in tests/test_streaming.py. Rows-only (streaming)."""
+    pinned in tests/test_streaming.py. Rows-only BY SEMANTICS: the
+    operator emits one row per (key, batch-with-data) — the output
+    cardinality is a function of the trigger decomposition (the r9
+    streaming promotions took only decomposition-INDEPENDENT queries),
+    and stream ≡ batch equality is pinned instead."""
     from lookup_transform_spark.streaming import read_events_stream
     from lookup_transform_spark.streaming.lookup_stream import run_to_memory
     from lookup_transform_spark.streaming.stateful import stream_lifetime_stats
@@ -3181,7 +3243,19 @@ def q_q7_volume_shipping(spark, sf):
     )
 
 
-@_q("stream_stream_join")
+@_q(
+    "stream_stream_join",
+    # Oracle-exact since r9: an INNER interval join's match set is a
+    # pure function of the two inputs (closed range
+    # [p_ts - 1h, p_ts]); the watermark exists to bound state, and the
+    # stream ≡ batch equality pin in tests/test_streaming.py is the
+    # evidence every match flushes under the availableNow run.
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+)
 def q_stream_stream_join(spark, sf):
     """Streaming extension: stream-stream interval join (purchases x
     preceding clicks within 1h per user), state bounded by watermarks
@@ -3498,6 +3572,36 @@ def q_dataset_split(spark, sf):
 
     d = _t(spark, sf, "documents").select("doc_id")
     return dataset_split(d, "doc_id", train=0.8, val=0.1)
+
+
+@_q(
+    "sample_weighted_topk",
+    """WITH scored AS (
+  SELECT doc_id, length(text)::BIGINT AS w,
+         -ln((('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 13))::BIGINT
+              + 1.0) / 4503599627370496.0) / length(text)::DOUBLE AS s
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, w FROM scored ORDER BY s ASC, doc_id ASC LIMIT 200""",
+)
+def q_sample_weighted_topk(spark, sf):
+    """Training-pipeline (r9): EXACT-size weighted sample without
+    replacement — Efraimidis–Spirakis A-ES over md5-derived uniforms
+    (operators/sampling.py:weighted_topk_sample), here 200 documents
+    favored by text length. Deterministic, reproducible across
+    engines/runs (the property that keeps a curated subset stable under
+    reprocessing), and oracle-exact: the same md5 bits + exponential
+    race replay in ANSI SQL. Complements dataset_split / corpus_mix
+    (rate-based Bernoulli) with exact-cardinality selection; the plan
+    is scan + TakeOrderedAndProject — never a full sort."""
+    from lookup_transform_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("w")
+    )
+    return weighted_topk_sample(d, "doc_id", "w", k=200)
 
 
 @_q(

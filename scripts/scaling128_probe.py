@@ -72,6 +72,7 @@ HEAVY = [
     "simsearch_ivf_pruned",
     "dedup_incremental_indexed",
     "dedup_incremental_minhash",
+    "sketch_topk_rollup",  # r9: heavy-hitter rollup over documents
 ]
 
 # the heavy tier reads ONLY documents/embeddings; dims are copied so

@@ -612,3 +612,44 @@ def test_missing_jvm_class_path_is_javapackage_not_error(spark):
         jcls = spark._jvm.org.apache.spark.sql.SparkSession
     assert isinstance(jcls, JavaClass)
     assert jcls.getActiveSession() is not None
+
+
+def test_topk_sketch_leaf_single_scan_partial_counts(spark):
+    """r9 heavy-hitter sketch: the leaf build reads the raw corpus
+    exactly once with a map-side partial count before its exchange.
+    (The MERGE stage is pinned structurally instead: topk_merge
+    localCheckpoints the summary because its two consumer branches
+    would otherwise re-evaluate the whole leaf lineage — re-scanning
+    the corpus twice, measured in r9 — so the registered query's final
+    plan reads the bounded summary RDD, not the file.)"""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark import registry
+    from lookup_transform_spark.operators.sketches import topk_sketch
+
+    d = registry._t(spark, SF, "documents")
+    toks = d.select(
+        "lang", "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    leaves = topk_sketch(toks, ["lang"], "tok", F.col("doc_id") % 16, m=200)
+    plan = explain_str(leaves)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_count" in plan
+    # text never reaches the summary row — only lang/doc_id/text are
+    # read, and the exploded token is the only wide thing in flight
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
+def test_weighted_topk_sample_no_full_sort(spark):
+    """r9 A-ES sampler: global orderBy().limit(k) must lower to
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge),
+    never a full Sort + Exchange rangepartitioning."""
+    from lookup_transform_spark import registry
+
+    df = registry.QUERIES["sample_weighted_topk"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

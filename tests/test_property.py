@@ -305,3 +305,39 @@ def test_hll_sketch_rollup_tolerance(spark):
             got[s].approx_docs,
             nd,
         )
+
+
+def test_weighted_topk_sample_contracts(spark):
+    """r9 A-ES sampler: exact size, weight bias, partitioning
+    invariance, and the NULL/non-positive-weight exclusion rule."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, 1.0).otherwise(100.0).alias("w"),
+    )
+    got = weighted_topk_sample(df, "k", "w", k=50)
+    rows = got.collect()
+    assert len(rows) == 50  # exact size
+    # the 100 heavy rows (10% of ids, ~92% of mass) dominate the sample
+    heavy = sum(1 for r in rows if r["k"] >= 900)
+    assert heavy > 25
+    # deterministic under repartitioning (scores are pure row functions,
+    # TakeOrdered is order-stable with the key tiebreak)
+    again = weighted_topk_sample(df.repartition(13), "k", "w", k=50)
+    assert sorted(r["k"] for r in rows) == sorted(
+        r["k"] for r in again.collect()
+    )
+    # NULL / zero / negative weights are excluded, never sampled
+    dirty = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -5.0), (4, 2.0), (5, 1.0)],
+        "k long, w double",
+    )
+    kept = sorted(
+        r["k"] for r in weighted_topk_sample(dirty, "k", "w", k=10).collect()
+    )
+    assert kept == [4, 5]
