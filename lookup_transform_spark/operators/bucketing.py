@@ -61,7 +61,25 @@ def _write_spec(spark, path: str, bucket_col: str, n_buckets: int) -> None:
     _, jfinal = hadoop_fs(spark, f"{path}/{_SPEC_FILE}")
     if fs.exists(jfinal):
         fs.delete(jfinal, False)
-    fs.rename(jp, jfinal)
+    # Hadoop rename signals failure by RETURNING false, not raising —
+    # swallowing it would publish no sidecar at all and silently leave
+    # the directory on the unvalidated legacy path (r9 self-review)
+    if not fs.rename(jp, jfinal):
+        raise IOError(
+            f"failed to publish {_SPEC_FILE} under {path}: rename "
+            "returned false; the bucketed layout would be attachable "
+            "without spec validation"
+        )
+
+
+def _warn_legacy(path: str, e: Exception) -> None:
+    import warnings
+
+    warnings.warn(
+        f"unreadable {_SPEC_FILE} under {path} ({type(e).__name__}); "
+        "treating the directory as a legacy layout without a recorded "
+        "spec"
+    )
 
 
 def _read_spec(spark, path: str) -> dict | None:
@@ -81,19 +99,22 @@ def _read_spec(spark, path: str) -> dict | None:
         spec = json.loads(raw)
         return {"bucket_col": spec["bucket_col"],
                 "n_buckets": spec["n_buckets"]}
-    except (json.JSONDecodeError, KeyError, TypeError, Py4JJavaError):
-        # a corrupt/partial sidecar (pre-atomic-write crash) must not
-        # hard-fail every future attach — truncation shows up as a
-        # JSON error OR a filesystem-level read error (e.g. the local
-        # FS's ChecksumException); either way, fall back to the legacy
-        # no-sidecar path with a warning (ADVICE r8)
-        import warnings
-
-        warnings.warn(
-            f"unreadable {_SPEC_FILE} under {path}; treating the "
-            "directory as a legacy layout without a recorded spec"
-        )
+    except (json.JSONDecodeError, KeyError, TypeError) as e:
+        _warn_legacy(path, e)
         return None
+    except Py4JJavaError as e:
+        # Only CORRUPTION-class filesystem errors fall back (a
+        # truncated sidecar surfaces as ChecksumException/EOFException
+        # on checksumming filesystems). A transient read error
+        # (throttling, network blip on s3a/hdfs) must RAISE: degrading
+        # it to "legacy layout" would skip spec validation and re-open
+        # the mismatched-attach silent row loss the sidecar exists to
+        # prevent (r9 self-review).
+        msg = str(e)
+        if "ChecksumException" in msg or "EOFException" in msg:
+            _warn_legacy(path, e)
+            return None
+        raise
 
 
 def ensure_bucketed(

@@ -149,8 +149,14 @@ def semantic_dedup_oracle_sql(
     that chosen pair's value. The operator's ``max_cluster_size`` guard
     is a no-op at every fixture scale this oracle runs at (largest
     cluster ≪ 20k), so it has no SQL counterpart here."""
+    # k mirrors the ENGINE's rule exactly: registry computes
+    # k = max(8, min(256, emb.count() // 2000)) over the RAW table,
+    # BEFORE kmeans_assign's dirty-vector filter — counting the clean
+    # pts here instead would silently diverge on any fixture where a
+    # dirty vector makes the two counts straddle a multiple of 2000
+    # (latent r9 self-review finding; current fixtures are clean)
     k_expr = (
-        "(SELECT greatest(8, least(256, COUNT(*) // 2000)) FROM pts)"
+        f"(SELECT greatest(8, least(256, COUNT(*) // 2000)) FROM {table})"
     )
     return f"""
 WITH {_clean_points(table, id_col, vec_col)},

@@ -273,8 +273,19 @@ def topk_sketch(
         .groupBy(*group_cols, "__shard__", key_col)
         .agg(F.count(F.lit(1)).alias("__c__"))
     )
+    # NULL keys sort LAST in the ranking (Spark's default asc is
+    # nulls-first, which would let a heavy NULL group occupy a top-m
+    # rank slot, displacing a real key from the summary and — at rank
+    # m+1 — poisoning drop_max with the NULL count, violating the
+    # documented "NULL keys contribute nothing" contract; r9
+    # self-review). With NULLs last, real keys hold contiguous ranks
+    # 1..vocab, so the <= m / == m+1 conditions read pure key ranks;
+    # the extra isNotNull guard on drop_max covers the
+    # vocab <= m < vocab+nulls case.
     w = Window.partitionBy(*group_cols, "__shard__").orderBy(
-        F.col("__c__").desc(), F.col(key_col).asc()
+        F.col(key_col).isNull().asc(),
+        F.col("__c__").desc(),
+        F.col(key_col).asc(),
     )
     ranked = counts.withColumn("__rn__", F.row_number().over(w))
     return ranked.groupBy(*group_cols, "__shard__").agg(
@@ -289,7 +300,12 @@ def topk_sketch(
             )
         ).alias("entries"),
         F.coalesce(
-            F.max(F.when(F.col("__rn__") == m + 1, F.col("__c__"))),
+            F.max(
+                F.when(
+                    (F.col("__rn__") == m + 1) & F.col(key_col).isNotNull(),
+                    F.col("__c__"),
+                )
+            ),
             F.lit(0).cast("long"),
         ).alias("drop_max"),
         F.coalesce(

@@ -2330,9 +2330,11 @@ def q_stream_ingest_neardedup(spark, sf):
     accepted docs are appended to the corpus and BOTH indexes
     (append_to_lsh_index) — so batch N+1 near-dups against batch N
     without re-banding the corpus. Per-batch cost O(batch + collisions).
-    Rows-only (hash-seeded LSH + multi-batch side effects); stream ≡
-    batch replay over the shared ingest step is pinned in
-    tests/test_streaming.py."""
+    Oracle-exact since r9 (see ``_ingest_neardedup_oracle``: the
+    hash-seeded LSH stage is candidate generation only — the exact
+    Jaccard verify makes the accepted set deterministic, and the
+    batches unroll into SQL); stream ≡ batch replay over the shared
+    ingest step stays pinned in tests/test_streaming.py."""
     from lookup_transform_spark.streaming.ingest import (
         stream_ingest_neardedup,
     )

@@ -84,13 +84,23 @@ class _ManifestWriter(DataSourceWriter):
             # phantom shards never inflate total_rows (ADVICE r8).
             try:
                 prior = read_manifest(self.path)["shards"]
+                if not isinstance(prior, list):
+                    prior = []
             except (FileNotFoundError, json.JSONDecodeError, KeyError,
                     TypeError):
                 prior = []
+            # every field is validated, not just presence of the dict:
+            # an entry with an empty/absent 'shard' joins os.path.join
+            # into the directory itself (which exists), and an absent
+            # 'rows' crashes total_rows later — either way a malformed
+            # prior entry must drop here, not crash the commit or
+            # persist as a phantom (r9 self-review)
             shards.extend(
                 s for s in prior
                 if isinstance(s, dict)
-                and os.path.exists(os.path.join(self.path, s.get("shard", "")))
+                and isinstance(s.get("shard"), str) and s["shard"]
+                and isinstance(s.get("rows"), int)
+                and os.path.isfile(os.path.join(self.path, s["shard"]))
             )
         for m in messages:
             if m is None:

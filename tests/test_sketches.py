@@ -327,3 +327,30 @@ def test_topk_at_rest_equals_direct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, at_rest.collect())
     )
+
+
+def test_topk_sketch_null_keys_never_displace_real_keys(spark):
+    """r9 self-review: a heavy NULL key used to occupy a top-m rank
+    slot (Spark's asc default is nulls-FIRST), displacing a real key
+    from the summary — and at rank m+1 it poisoned drop_max with the
+    NULL count. NULLs now rank last and drop_max ignores them."""
+    from lookup_transform_spark.operators.sketches import (
+        topk_merge,
+        topk_sketch,
+    )
+
+    rows = (
+        [("h", 0, "a")] * 5 + [("h", 0, "b")] * 3 + [("h", 0, None)] * 50
+    )
+    df = spark.createDataFrame(rows, "g string, shard int, key string")
+    leaf = topk_sketch(df, ["g"], "key", "shard", m=2).collect()[0]
+    assert dict(leaf["entries"]) == {"a": 5, "b": 3}  # both real keys kept
+    assert leaf["drop_max"] == 0  # the NULL group is not "dropped mass"
+    assert leaf["n_rows"] == 8
+    got = topk_merge(
+        topk_sketch(df, ["g"], "key", "shard", m=2), ["g"], k=2
+    ).collect()
+    assert [(r["key"], r["cnt_lo"], r["cnt_hi"]) for r in
+            sorted(got, key=lambda r: r["rank"])] == [
+        ("a", 5, 5), ("b", 3, 3)
+    ]
