@@ -389,3 +389,259 @@ def topk_at_rest(
     """Heavy hitters from the at-rest summary table — the raw corpus is
     never rescanned."""
     return topk_merge(spark.read.parquet(path), group_cols, k)
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL (r9): the distinct-count member of the sketch family in
+# an ORACLE-EXACT form. Spark's built-in hll_sketch_agg is the
+# production fast path (sketch_hll_rollup) but its binary sketch and
+# xxhash-family hashing are engine-specific — rows-only forever. This
+# variant derives registers from md5 (the repo's portable hash family):
+# bucket = first 12 md5 bits, rank = leading zeros of the next 52 bits
+# + 1 — every register value integer-exact and reproducible by an ANSI
+# SQL oracle; the only float steps (the harmonic mean and the
+# linear-counting ln) are rounded to 3 dp on both sides, absorbing
+# summation-order and libm last-ulp freedom exactly like the quantile
+# sketch's midpoints. m = 4096 registers → ~1.6% standard error,
+# ~16 KB per sketch row, merge = per-bucket MAX (associative and
+# lossless: merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit,
+# pinned).
+# ---------------------------------------------------------------------------
+
+# parameters owned by the dependency-free oracle module so engine and
+# oracle can never drift (the synthetic.py convention)
+from lookup_transform_spark.operators.sketches_oracle import (  # noqa: E402
+    HLL_ALPHA as _HLL_ALPHA,
+    HLL_M as _HLL_M,
+    HLL_P as _HLL_P,
+    HLL_WBITS as _HLL_WBITS,
+)
+
+
+def _hll_bucket_rank(key: Column) -> tuple[Column, Column]:
+    """(bucket, rank) from md5: first 3 hex chars = 12-bit bucket, next
+    13 hex chars = 52-bit w, rank = 52 − bitlen(w) + 1 (w=0 → 53).
+    bitlen via base-2 string length — integer-exact in both engines
+    (Spark ``conv(w,10,2)``, DuckDB ``to_base(w,2)``), no float log."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 4, 13), 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)).cast("int")
+    )
+    return bucket, rank
+
+
+def hll_portable_sketch(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """One sketch row per group: ``sketch map<int,int>`` (bucket → max
+    rank over the group's keys) + ``n_rows``. NULL keys reach no
+    register and don't count, but the group survives (the family's
+    shared null contract)."""
+    bucket, rank = _hll_bucket_rank(F.col(key_col))
+    per_bucket = (
+        df.select(
+            *group_cols,
+            F.when(F.col(key_col).isNotNull(), bucket).alias("__b__"),
+            F.when(F.col(key_col).isNotNull(), rank).alias("__r__"),
+            F.col(key_col).isNotNull().alias("__k__"),
+        )
+        .groupBy(*group_cols, "__b__")
+        .agg(
+            F.max("__r__").alias("__r__"),
+            F.sum(F.col("__k__").cast("long")).alias("__n__"),
+        )
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__b__").isNotNull(),
+                        F.struct("__b__", "__r__"),
+                    )
+                )
+            )
+        ).alias("sketch"),
+        F.sum("__n__").alias("n_rows"),
+    )
+
+
+def hll_portable_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll leaf sketches up by per-bucket MAX — sketch rows only, and
+    exactly what ``hll_portable_sketch`` would emit on the raw union
+    (max is associative; pinned in tests).
+
+    Leaves are ``localCheckpoint``-ed first — the same two-consumer
+    shape as ``topk_merge`` (register rollup + n_rows totals), which
+    would otherwise re-evaluate the whole leaf lineage twice; summary
+    rows are O(groups·m) bounded at any input scale."""
+    df = df.localCheckpoint()
+    exploded = df.select(
+        *group_cols, "n_rows",
+        F.explode_outer("sketch").alias("__b__", "__r__"),
+    )
+    # n_rows repeats once per exploded entry of its leaf row — divide
+    # back out by each leaf's entry count? No: aggregate n_rows from
+    # the LEAF rows (one per leaf) separately to stay exact.
+    totals = df.groupBy(*group_cols).agg(F.sum("n_rows").alias("n_rows"))
+    per_bucket = (
+        exploded.filter(F.col("__b__").isNotNull())
+        .groupBy(*group_cols, "__b__")
+        .agg(F.max("__r__").alias("__r__"))
+    )
+    rebuilt = per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("__b__", "__r__")))
+        ).alias("sketch")
+    )
+    # right join keeps all-empty-sketch groups alive with an empty map
+    return totals.join(rebuilt, group_cols, "left").select(
+        *group_cols,
+        F.coalesce(
+            "sketch", F.map_from_entries(F.array().cast("array<struct<__b__:int,__r__:int>>"))
+        ).alias("sketch"),
+        "n_rows",
+    )
+
+
+def hll_portable_estimate(
+    df: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Distinct-count estimate per sketch row: classic HLL harmonic
+    mean with the linear-counting small-range correction, 3-dp rounded
+    (the cross-engine comparability trick — see module section
+    comment). An EMPTY sketch estimates 0.0 via linear counting
+    (V0 = m → m·ln(1) = 0)."""
+    m = float(_HLL_M)
+    s_present = F.aggregate(
+        F.map_values("sketch"),
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(0.5), r.cast("double")),
+    )
+    present = F.size("sketch")
+    s = s_present + (F.lit(m) - present.cast("double"))
+    e_raw = F.lit(_HLL_ALPHA * m * m) / s
+    v0 = (F.lit(_HLL_M) - present).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v0 > 0),
+        F.lit(m) * F.log(F.lit(m) / v0),
+    ).otherwise(e_raw)
+    return df.select(
+        *group_cols,
+        F.round(est, 3).alias("approx_distinct"),
+        "n_rows",
+    )
+
+
+def hll_portable_estimate_from_leaves(
+    leaves: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Fused merge + estimate: the estimate consumes per-bucket
+    registers directly, so rebuilding the intermediate map column
+    (a whole extra aggregation stage) is pure presentation — this path
+    explodes the leaves once, MAXes per (group, bucket), and reads the
+    harmonic mean off those rows. Equal to
+    ``hll_portable_estimate(hll_portable_merge(...))`` by construction
+    (pinned in tests); use the layered pair when the MERGED sketch
+    itself must persist."""
+    from lookup_transform_spark.operators.sketches_oracle import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    leaves = leaves.localCheckpoint()  # two consumers, bounded rows
+    totals = leaves.groupBy(*group_cols).agg(F.sum("n_rows").alias("n_rows"))
+    regs = (
+        leaves.select(
+            *group_cols, F.explode_outer("sketch").alias("__b__", "__r__")
+        )
+        .filter(F.col("__b__").isNotNull())
+        .groupBy(*group_cols, "__b__")
+        .agg(F.max("__r__").alias("__r__"))
+    )
+    m = float(HLL_M)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("__r__").cast("double"))).alias("__s__"),
+        F.count(F.lit(1)).cast("double").alias("__p__"),
+    )
+    joined = totals.join(agg, group_cols, "left").select(
+        *group_cols,
+        F.coalesce("__s__", F.lit(0.0)).alias("__s__"),
+        F.coalesce("__p__", F.lit(0.0)).alias("__p__"),
+        "n_rows",
+    )
+    e_raw = F.lit(HLL_ALPHA * m * m) / (
+        F.col("__s__") + (F.lit(m) - F.col("__p__"))
+    )
+    v0 = F.lit(m) - F.col("__p__")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v0 > 0),
+        F.lit(m) * F.log(F.lit(m) / v0),
+    ).otherwise(e_raw)
+    return joined.select(
+        *group_cols,
+        F.round(est, 3).alias("approx_distinct"),
+        "n_rows",
+    )
+
+
+def hll_portable_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Single-query distinct-count read: register build and estimate in
+    TWO partial-aggregated shuffles, no map packaging, no checkpoint.
+    Inside one query the leaf→merge layering is physically meaningless
+    (per-bucket MAX collapses across grains), so the registered query
+    uses this; the layered sketch/merge/estimate API is the AT-REST
+    surface — persist ``hll_portable_sketch`` rows per ingest
+    partition, read them back through
+    ``hll_portable_estimate_from_leaves`` — and layered ≡ direct is
+    pinned in tests."""
+    from lookup_transform_spark.operators.sketches_oracle import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    bucket, rank = _hll_bucket_rank(F.col(key_col))
+    notnull = F.col(key_col).isNotNull()
+    regs = (
+        df.select(
+            *group_cols,
+            F.when(notnull, bucket).alias("__b__"),
+            F.when(notnull, rank).alias("__r__"),
+            notnull.cast("long").alias("__k__"),
+        )
+        .groupBy(*group_cols, "__b__")
+        .agg(F.max("__r__").alias("__r__"), F.sum("__k__").alias("__n__"))
+    )
+    m = float(HLL_M)
+    agg = regs.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__b__").isNotNull(),
+                    F.pow(F.lit(0.5), F.col("__r__").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("__s__"),
+        F.count(F.when(F.col("__b__").isNotNull(), F.lit(1)))
+        .cast("double")
+        .alias("__p__"),
+        F.sum("__n__").alias("n_rows"),
+    )
+    e_raw = F.lit(HLL_ALPHA * m * m) / (
+        F.col("__s__") + (F.lit(m) - F.col("__p__"))
+    )
+    v0 = F.lit(m) - F.col("__p__")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v0 > 0),
+        F.lit(m) * F.log(F.lit(m) / v0),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 3).alias("approx_distinct"),
+        "n_rows",
+    )

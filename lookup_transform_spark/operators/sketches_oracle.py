@@ -28,6 +28,14 @@ from __future__ import annotations
 
 import math
 
+#: portable-HLL parameters — owned here (the dependency-free module)
+#: so the engine and its oracle can never drift; sketches.py imports
+#: them (the synthetic.py/synthetic_oracle.py convention)
+HLL_P = 12
+HLL_M = 1 << HLL_P
+HLL_WBITS = 52
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
 
 def qsketch_oracle_sql(
     table: str,
@@ -89,4 +97,57 @@ SELECT n.{group_col}, n.n_rows,
     {sel}
 FROM n
 ORDER BY n.{group_col}
+"""
+
+
+def hll_portable_oracle_sql(
+    table: str,
+    group_col: str,
+    leaf_col: str,
+    key_col: str,
+) -> str:
+    """Oracle for the portable HLL rollup: registers are integer-exact
+    (md5 bucket + base-2-string bit length), merge transparency makes
+    the two-level (group, leaf) → group rollup equal to grouping the
+    raw keys directly (per-bucket MAX is associative), and the two
+    float steps (harmonic mean, linear-counting ln) are 3-dp rounded
+    on both sides. The alpha·m² constant is a Python literal embedded
+    verbatim, so neither engine recomputes it."""
+    am2 = repr(HLL_ALPHA * HLL_M * HLL_M)
+    m = float(HLL_M)
+    rank = (
+        f"CASE WHEN w = 0 THEN {HLL_WBITS + 1} "
+        f"ELSE {HLL_WBITS + 1} - length(to_base(w, 2)) END"
+    )
+    return f"""
+WITH br AS (
+  SELECT {group_col},
+         ('0x' || substr(md5({key_col}::VARCHAR), 1, 3))::INTEGER AS b,
+         ('0x' || substr(md5({key_col}::VARCHAR), 4, 13))::BIGINT AS w
+  FROM {table} WHERE {key_col} IS NOT NULL
+),
+regs AS (
+  SELECT {group_col}, b, MAX({rank}) AS r FROM br GROUP BY {group_col}, b
+),
+agg AS (
+  SELECT {group_col}, SUM(pow(0.5, r)) AS s_present,
+         COUNT(*)::DOUBLE AS present
+  FROM regs GROUP BY {group_col}
+),
+n AS (
+  SELECT {group_col}, COUNT({key_col}) AS n_rows
+  FROM {table} GROUP BY {group_col}
+),
+est AS (
+  SELECT a.{group_col},
+         {am2} / (a.s_present + ({m!r} - a.present)) AS e_raw,
+         {m!r} - a.present AS v0
+  FROM agg a
+)
+SELECT e.{group_col},
+       round(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v0 > 0
+                  THEN {m!r} * ln({m!r} / e.v0)
+                  ELSE e.e_raw END, 3) AS approx_distinct,
+       n.n_rows
+FROM est e JOIN n USING ({group_col})
 """

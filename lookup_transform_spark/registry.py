@@ -4873,6 +4873,41 @@ def q_sketch_topk_rollup(spark, sf):
     return topk_merge(leaves, ["lang"], k=10)
 
 
+from lookup_transform_spark.operators.sketches_oracle import (
+    hll_portable_oracle_sql,
+)
+
+
+@_q(
+    "sketch_hll_portable",
+    hll_portable_oracle_sql("documents", "source", "lang", "doc_id"),
+)
+def q_sketch_hll_portable(spark, sf):
+    """B32 extension (r9): the distinct-count sketch in an ORACLE-EXACT
+    form — md5-derived HLL registers (integer-exact: hex-slice bucket +
+    base-2-string bit length, no float log in the register path),
+    per-(source, lang) leaves rolled up to per-source by per-bucket
+    MAX, estimates 3-dp rounded on both sides. Complements
+    ``sketch_hll_rollup`` (Spark's binary hll_sketch_agg — the faster
+    production path, engine-specific by nature and rows-only forever);
+    this one proves the distributed rollup's VALUES against an
+    independent engine, completing the oracle-exact sketch family
+    (quantiles r9, heavy hitters r9, distinct counts here). Merge
+    transparency (per-bucket MAX is associative) is what lets the
+    oracle group the raw keys directly; merge ≡ rebuild and the ~1.6%
+    accuracy bound are pinned in tests/test_sketches.py."""
+    from lookup_transform_spark.operators.sketches import (
+        hll_portable_distinct,
+    )
+
+    d = _t(spark, sf, "documents")
+    # two partial-aggregated shuffles, no map packaging: inside ONE
+    # query the leaf->merge layering is physically meaningless (MAX
+    # collapses across grains); the layered sketch/merge/estimate API
+    # is the at-rest surface, and layered == direct is pinned in tests
+    return hll_portable_distinct(d, ["source"], "doc_id").orderBy("source")
+
+
 @_q("sketch_hll_rollup")
 def q_sketch_hll_rollup(spark, sf):
     """B32 extension: MERGEABLE sketch rollup — the 100 TB

@@ -354,3 +354,93 @@ def test_topk_sketch_null_keys_never_displace_real_keys(spark):
             sorted(got, key=lambda r: r["rank"])] == [
         ("a", 5, 5), ("b", 3, 3)
     ]
+
+
+def test_hll_portable_merge_equals_rebuild(spark, sf_dir):
+    """r9 portable HLL: merging per-(source, lang) leaves by per-bucket
+    MAX must equal sketching the raw union directly — the mergeability
+    contract that makes the at-rest leaf table usable."""
+    from lookup_transform_spark.operators.sketches import (
+        hll_portable_merge,
+        hll_portable_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    leaves = hll_portable_sketch(d, ["source", "lang"], "doc_id")
+    merged = hll_portable_merge(leaves, ["source"])
+    direct = hll_portable_sketch(d, ["source"], "doc_id")
+    a = {r["source"]: (dict(r["sketch"]), r["n_rows"]) for r in merged.collect()}
+    b = {r["source"]: (dict(r["sketch"]), r["n_rows"]) for r in direct.collect()}
+    assert a == b
+
+
+def test_hll_portable_accuracy_and_nulls(spark, sf_dir):
+    """Estimates within 5% of exact distinct on the fixture (m=4096,
+    linear-counting regime), and the family's null contract: NULL keys
+    reach no register / don't count, but the group survives."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = {
+        r["source"]: r["approx_distinct"]
+        for r in hll_portable_estimate(
+            hll_portable_sketch(d, ["source"], "doc_id"), ["source"]
+        ).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for s, e in est.items():
+        assert abs(e - exact[s]) / exact[s] < 0.05, (s, e, exact[s])
+    # null keys: no registers, n_rows 0, group alive, estimate 0.0
+    nd = spark.createDataFrame(
+        [("g", None), ("g", None)], "grp string, k string"
+    )
+    row = hll_portable_estimate(
+        hll_portable_sketch(nd, ["grp"], "k"), ["grp"]
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["n_rows"] == 0 and row[0]["approx_distinct"] == 0.0
+
+
+def test_hll_portable_layered_equals_direct(spark, sf_dir):
+    """The layered at-rest path (sketch leaves → fused estimate) and
+    the single-query direct path must produce identical estimates —
+    per-bucket MAX collapses across grains."""
+    from lookup_transform_spark.operators.sketches import (
+        hll_portable_distinct,
+        hll_portable_estimate,
+        hll_portable_estimate_from_leaves,
+        hll_portable_merge,
+        hll_portable_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = sorted(
+        map(tuple, hll_portable_distinct(d, ["source"], "doc_id").collect())
+    )
+    leaves = hll_portable_sketch(d, ["source", "lang"], "doc_id")
+    fused = sorted(
+        map(
+            tuple,
+            hll_portable_estimate_from_leaves(leaves, ["source"]).collect(),
+        )
+    )
+    layered = sorted(
+        map(
+            tuple,
+            hll_portable_estimate(
+                hll_portable_merge(leaves, ["source"]), ["source"]
+            ).collect(),
+        )
+    )
+    assert direct == fused == layered
