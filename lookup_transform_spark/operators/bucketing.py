@@ -109,9 +109,27 @@ def _read_spec(spark, path: str) -> dict | None:
         # (throttling, network blip on s3a/hdfs) must RAISE: degrading
         # it to "legacy layout" would skip spec validation and re-open
         # the mismatched-attach silent row loss the sidecar exists to
-        # prevent (r9 self-review).
+        # prevent (r9 self-review). Corruption is detected by walking
+        # the JVM cause chain's CLASS names, not just the flattened
+        # message — a wrapper exception whose toString omits the inner
+        # class (RemoteException re-throws, custom FS shims) would
+        # otherwise misclassify genuine corruption as transient
+        # (r10, ADVICE).
+        corrupt = {"ChecksumException", "EOFException"}
+        names: list[str] = []
+        cause = getattr(e, "java_exception", None)
+        depth = 0
+        while cause is not None and depth < 16:
+            try:
+                names.append(cause.getClass().getSimpleName())
+                cause = cause.getCause()
+            except Exception:
+                break
+            depth += 1
         msg = str(e)
-        if "ChecksumException" in msg or "EOFException" in msg:
+        if any(n in corrupt for n in names) or any(
+            c in msg for c in corrupt
+        ):
             _warn_legacy(path, e)
             return None
         raise

@@ -402,7 +402,14 @@ def topk_at_rest(
 # SQL oracle; the only float steps (the harmonic mean and the
 # linear-counting ln) are rounded to 3 dp on both sides, absorbing
 # summation-order and libm last-ulp freedom exactly like the quantile
-# sketch's midpoints. m = 4096 registers → ~1.6% standard error,
+# sketch's midpoints. Scale bound on that guarantee: the rounding slack
+# is ABSOLUTE (5e-4) while the cross-engine float divergence is
+# RELATIVE (~1e-12 of the estimate over the 4096-term harmonic sum), so
+# exact 3-dp equality is guaranteed only while est ≲ 5e8; beyond ~1e8-1e9
+# distinct values per group the third decimal may legitimately flip
+# between engines (the estimate itself is ±1.6% anyway — any consumer
+# comparing sketches at that cardinality should compare to relative
+# precision, not fixed decimals). m = 4096 registers → ~1.6% standard error,
 # ~16 KB per sketch row, merge = per-bucket MAX (associative and
 # lossless: merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit,
 # pinned).
@@ -496,7 +503,8 @@ def hll_portable_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("__b__", "__r__")))
         ).alias("sketch")
     )
-    # right join keeps all-empty-sketch groups alive with an empty map
+    # left join FROM totals (which holds every group) keeps
+    # all-empty-sketch groups alive with an empty map
     return totals.join(rebuilt, group_cols, "left").select(
         *group_cols,
         F.coalesce(

@@ -144,10 +144,10 @@ est AS (
          {m!r} - a.present AS v0
   FROM agg a
 )
-SELECT e.{group_col},
-       round(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v0 > 0
+SELECT n.{group_col},
+       COALESCE(round(CASE WHEN e.e_raw <= {2.5 * m!r} AND e.v0 > 0
                   THEN {m!r} * ln({m!r} / e.v0)
-                  ELSE e.e_raw END, 3) AS approx_distinct,
+                  ELSE e.e_raw END, 3), 0.0) AS approx_distinct,
        n.n_rows
-FROM est e JOIN n USING ({group_col})
+FROM n LEFT JOIN est e USING ({group_col})
 """

@@ -77,6 +77,11 @@ def main() -> None:
             if "sec" in r:
                 samples[name].append(r["sec"])
     for name, ss in samples.items():
+        if not ss:
+            # every repeat timed out — record the marker instead of
+            # raising on min([]) and losing the other variant's data
+            out[name] = {"min_sec": None, "samples": [], "all_timed_out": True}
+            continue
         out[name] = {"min_sec": round(min(ss), 3), "samples": [round(s, 3) for s in ss]}
     print(json.dumps(out, indent=1))
 
