@@ -53,7 +53,7 @@ SLICE = [
     "tpch_q3_shipping",
     "substring_dup_rate",
     "knn_classify",
-    "window_running_sum",
+    "window_running",
     "lookup",
 ]
 

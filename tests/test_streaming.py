@@ -537,8 +537,7 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
     lsh_table = "lsh_replay_near_test"
     spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
     spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
-    for d in ("corpus", "fp_index"):
-        os.makedirs(os.path.join(replay, d), exist_ok=True)
+    os.makedirs(os.path.join(replay, "corpus"), exist_ok=True)
     batch_dirs = sorted(
         p for p in os.listdir(f"{work}/arrivals") if p.startswith("batch_")
     )
@@ -548,7 +547,6 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
                 spark.read.parquet(f"{work}/arrivals/{b}"),
                 bid,
                 os.path.join(replay, "corpus"),
-                os.path.join(replay, "fp_index"),
                 lsh_table,
                 os.path.join(replay, "lsh_index"),
             )
@@ -579,13 +577,11 @@ def test_stream_ingest_neardedup_matches_batch_replay(spark, sf_dir, tmp_path):
             ingest_batch_neardedup(
                 spark.read.parquet(f"{work}/arrivals/{b}"), bid,
                 os.path.join(replay, "corpus2"),
-                os.path.join(replay, "fp_index2"),
                 lsh_table, os.path.join(replay, "lsh_index2"),
             )
         ingest_batch_neardedup(  # redelivery of the final batch
             spark.read.parquet(f"{work}/arrivals/{batch_dirs[last]}"), last,
             os.path.join(replay, "corpus2"),
-            os.path.join(replay, "fp_index2"),
             lsh_table, os.path.join(replay, "lsh_index2"),
         )
         retried = {
@@ -623,14 +619,17 @@ def test_ingest_state_compaction_bounds_reads(spark, sf_dir, tmp_path):
     )
     got = {(r["f"], r["doc_id"]) for r in corpus.collect()}
 
-    for state in ("corpus", "fp_index"):
-        dirs = _state_dirs(os.path.join(work, state))
-        names = sorted(os.path.basename(d) for d in dirs)
-        # O(log batches + compact_every): 20 batches / compact_every=4
-        # collapse to one seg_00000_00016 (binary-counter merges at 8
-        # and 16) + 4 live batch dirs
-        assert len(dirs) <= 6, names
-        assert any(n.startswith(("seg_", "base_")) for n in names), names
+    # the corpus is the ONLY state table since the r10 write fusion
+    # (the fingerprint index is a column-pruned read of it) — pin both
+    # the read bound and the absence of the old fp_index tree
+    dirs = _state_dirs(os.path.join(work, "corpus"))
+    names = sorted(os.path.basename(d) for d in dirs)
+    # O(log batches + compact_every): 20 batches / compact_every=4
+    # collapse to one seg_00000_00016 (binary-counter merges at 8
+    # and 16) + 4 live batch dirs
+    assert len(dirs) <= 6, names
+    assert any(n.startswith(("seg_", "base_")) for n in names), names
+    assert not os.path.isdir(os.path.join(work, "fp_index"))
 
     arrivals = spark.read.parquet(f"{work}/arrivals/batch_*")
     want_df = (
@@ -667,22 +666,20 @@ def test_ingest_retry_after_compaction_idempotent(spark, sf_dir, tmp_path):
 
     def run(root, lsh_table, redeliver_last):
         corpus = os.path.join(root, "corpus")
-        index = os.path.join(root, "fp_index")
         lsh_path = os.path.join(root, "lsh_index")
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {lsh_table}_docs")
         os.makedirs(corpus, exist_ok=True)
-        os.makedirs(index, exist_ok=True)
         for bid, b in enumerate(batch_dirs):
             ingest_batch_neardedup(
                 spark.read.parquet(os.path.join(stage, b)), bid,
-                corpus, index, lsh_table, lsh_path, compact_every=3,
+                corpus, lsh_table, lsh_path, compact_every=3,
             )
         if redeliver_last:
             last = len(batch_dirs) - 1
             ingest_batch_neardedup(
                 spark.read.parquet(os.path.join(stage, batch_dirs[last])),
-                last, corpus, index, lsh_table, lsh_path, compact_every=3,
+                last, corpus, lsh_table, lsh_path, compact_every=3,
             )
         from lookup_transform_spark.streaming.ingest import _read_batches
 
