@@ -59,6 +59,26 @@ def test_artifact_has_no_failures(artifact):
     assert not bad, f"PARITY.json records failures: {bad}"
 
 
+def test_rows_only_entries_carry_green_bound_checks(artifact):
+    """VERDICT r9 #4: every rows-only query records a quantitative
+    bound verdict (parity_bounds.BOUND_CHECKS) and that verdict passed
+    — a new rows-only query without a registered check fails here, as
+    does a bound regression recorded by the last regeneration."""
+    from lookup_transform_spark import parity_bounds
+
+    for name, rec in artifact["queries"].items():
+        if rec["status"] != "rows_only":
+            continue
+        assert name in parity_bounds.BOUND_CHECKS, (
+            f"{name} is rows-only but has no bound check registered"
+        )
+        bc = rec.get("bound_check")
+        assert bc is not None, (
+            f"{name}: PARITY.json predates bound checks — regenerate"
+        )
+        assert bc["passed"] is True, f"{name}: bound check failed: {bc}"
+
+
 def test_artifact_summary_consistent(artifact):
     s = artifact["summary"]
     q = artifact["queries"]
