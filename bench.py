@@ -96,6 +96,9 @@ def _ingest_resets(sf_dir: str):
         "stream_ingest_neardedup": lambda spark: reset_ingest_state(
             spark, scratch_path("stream_ingest_near", sf_dir)
         ),
+        "stream_sketch_rollup": lambda spark: reset_ingest_state(
+            spark, scratch_path("stream_sketch", sf_dir)
+        ),
     }
 
 

@@ -145,6 +145,17 @@ def _estimated_rows(df: DataFrame) -> int | None:
     except Exception as exc:  # pragma: no cover - environment-specific
         _warn_stats_unavailable_once(exc)
         return None
+    # Spark reports sources it cannot size (ExistingRDD/LocalRelation
+    # behind createDataFrame, some V2 sources) as
+    # ``spark.sql.defaultSizeInBytes`` = Long.MaxValue — a sentinel,
+    # not a measurement. Propagating it as "~1e18 rows" would make the
+    # r10 default broadcast gate silently un-hint every local lookup
+    # frame; UNKNOWN is the truthful answer and the gate trusts the
+    # author's declared ``broadcast=True`` on unknown (it gates on
+    # EVIDENCE of oversize — parquet scans, the 100 TB case, always
+    # carry real file-size stats).
+    if size >= (1 << 60):
+        return None
     width = sum(
         _FIELD_WIDTH.get(type(f.dataType), 8) for f in df.schema.fields
     )
@@ -264,7 +275,16 @@ class LookupSpec:
     how: str = "left"                  # B16: "inner" = required-lookup
     null_safe: bool = False            # B17: <=> instead of =
     broadcast: bool = True             # B18: False → shuffle join fallback
-    broadcast_threshold_rows: int | None = None  # B18: size gate
+    # B18 size gate, ON BY DEFAULT since r10: the reference broadcasts
+    # unconditionally (Lookup.java:208) — wrong at 100 TB, where a
+    # quietly-grown dimension OOMs every executor. 4M rows ≈ low
+    # hundreds of MB hashed: comfortably broadcastable, well past any
+    # test fixture, and a dim past it flips to the shuffled join AQE
+    # can still promote back at runtime if the pruned side turns out
+    # tiny (the estimate deliberately over-counts — plans/lookup.py
+    # _FIELD_WIDTH — so the gate errs toward not broadcasting).
+    # None = no gate (the pre-r10 behavior, force-broadcast).
+    broadcast_threshold_rows: int | None = 4_000_000  # B18: size gate
     first_match: bool = False          # B15: dedup lookup side per key
     first_match_order: str | list[str] | None = None  # deterministic tiebreak
 
@@ -678,10 +698,14 @@ class LookupSpec:
             # B18 size gate from Catalyst plan statistics — zero jobs, no
             # extra scan (the old pruned.count() was a full action over
             # the lookup side per lookup, an extra 100 TB-scale scan).
-            # Unknown estimate → don't hint; AQE still converts to
-            # broadcast at runtime if the side turns out tiny.
+            # Gate on EVIDENCE of oversize (r10, now that the gate is
+            # the default): a measured estimate over the threshold
+            # drops the hint; an UNKNOWN estimate (unsizable source —
+            # see _estimated_rows' sentinel note) keeps the author's
+            # declared broadcast, and a mis-declared big side still
+            # has the shuffled-join safety net only when measurable.
             est = _estimated_rows(pruned)
-            if est is None or est > self.broadcast_threshold_rows:
+            if est is not None and est > self.broadcast_threshold_rows:
                 use_broadcast = False
         right = F.broadcast(pruned) if use_broadcast else pruned
 

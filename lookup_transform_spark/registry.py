@@ -4908,6 +4908,34 @@ def q_sketch_hll_portable(spark, sf):
     return hll_portable_distinct(d, ["source"], "doc_id").orderBy("source")
 
 
+@_q(
+    "stream_sketch_rollup",
+    hll_portable_oracle_sql("documents", "lang", "batch", "doc_id"),
+)
+def q_stream_sketch_rollup(spark, sf):
+    """B61/B32 crossover (r10): STREAMING sketch maintenance — the
+    shape a 100 TB ingest actually runs. Documents arrive in 4 staged
+    batches; each micro-batch writes ONE tiny portable-HLL leaf row per
+    lang (4096 integer registers) to an at-rest summary, and the
+    distinct-count read merges the standing leaves (per-bucket MAX)
+    without ever rescanning the corpus. Oracle-EXACT despite being a
+    multi-batch streaming side effect: registers are integer-exact and
+    MAX is associative + commutative, so the merged estimate is a pure
+    function of the arrived key SET — independent of trigger
+    decomposition, batch order, and retries (per-batch-dir overwrite;
+    a double-delivered leaf is absorbed by MAX and n_rows reads the
+    dir set, never appends). Decomposition independence and
+    stream ≡ direct-batch equality pinned in tests/test_streaming.py;
+    the leaf/merge algebra itself in tests/test_sketches.py."""
+    from lookup_transform_spark.streaming.sketch_rollup import (
+        stream_sketch_rollup,
+    )
+
+    work = scratch_path("stream_sketch", sf)
+    out = stream_sketch_rollup(spark, sf, work, group_col="lang")
+    return out.orderBy("lang")
+
+
 @_q("sketch_hll_rollup")
 def q_sketch_hll_rollup(spark, sf):
     """B32 extension: MERGEABLE sketch rollup — the 100 TB

@@ -28,6 +28,18 @@ def get_spark(
     host-independent). ``extra_confs`` layers probe-specific settings
     (e.g. event logging) ON TOP of the shared base instead of forking
     the builder."""
+    # Python WORKERS resolve this package via PYTHONPATH/CWD, not the
+    # driver's sys.path — a harness launched from any other directory
+    # hit ModuleNotFoundError inside every pandas-UDF stage (r10: a
+    # parity run from .scratch/ failed 7 queries this way). Export the
+    # repo root before the JVM (and its worker daemons) start; no-op
+    # when already importable from the environment.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo + (os.pathsep + pp if pp else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     builder = (

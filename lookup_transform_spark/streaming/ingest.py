@@ -321,6 +321,7 @@ def stage_document_batches(
     n_files: int = 4,
     dup_per_file: int = 20,
     near_per_file: int = 0,
+    extra_cols: tuple[str, ...] = (),
 ) -> None:
     """Split the documents fixture into ``n_files`` arrival batches, and
     inject cross-batch duplicates: every batch after the first re-sends
@@ -338,7 +339,7 @@ def stage_document_batches(
         return
     os.makedirs(stage_dir, exist_ok=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "text", *extra_cols
     )
     first = docs.filter(F.col("doc_id") % n_files == 0)
     for i in range(n_files):

@@ -49,15 +49,16 @@ REPEATS = int(os.environ.get("ULTRA_REPEATS", "2"))
 SHIFT = 1_000_000_000
 
 
-def build(spark, out: str, n_copies: int, tables: tuple[str, ...]) -> None:
-    """out = n_copies key-shifted copies of scale32. Join keys shift
-    together (o_custkey with c_custkey, l_orderkey with o_orderkey) so
-    every copy preserves the 32x join relations exactly while the
-    GLOBAL key cardinality — and the dim's row count — scales."""
-    if os.path.exists(f"{out}/_done"):
-        return
+def build(spark, out: str, copies: dict[str, int]) -> None:
+    """out = key-shifted copies of scale32, per-table copy counts.
+    Join keys shift together (o_custkey with c_custkey, l_orderkey with
+    o_orderkey) so every orders copy i joins customer copy i exactly as
+    at 32x. ``customer`` gets the FULL copy count (scale32 keeps dims at
+    1x — the r10 probe must actually GROW the dim for the broadcast
+    gate to have anything to measure; customer copies beyond the orders
+    range are simply unmatched dim rows, the realistic shape of a dim
+    table much wider than the fact slice touching it)."""
     os.makedirs(out, exist_ok=True)
-    srcs = {t: spark.read.parquet(f"{BASE32}/{t}.parquet") for t in tables}
 
     def shifted(df, i: int, table: str):
         off = F.lit(i * SHIFT)
@@ -73,7 +74,11 @@ def build(spark, out: str, n_copies: int, tables: tuple[str, ...]) -> None:
         raise ValueError(table)
 
     files = {"customer": 4, "orders": 16, "lineitem": 32}
-    for table, df in srcs.items():
+    for table, n_copies in copies.items():
+        marker = f"{out}/_done_{table}_{n_copies}"
+        if os.path.exists(marker):
+            continue
+        df = spark.read.parquet(f"{BASE32}/{table}.parquet")
         big = shifted(df, 0, table)
         for i in range(1, n_copies):
             big = big.unionByName(shifted(df, i, table))
@@ -81,8 +86,8 @@ def build(spark, out: str, n_copies: int, tables: tuple[str, ...]) -> None:
         big.repartition(n_out).write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
+        open(marker, "w").write("ok")
         print(f"built {table} x32x{n_copies}", flush=True)
-    open(f"{out}/_done", "w").write("ok")
 
 
 def _run(df) -> None:
@@ -112,20 +117,30 @@ def time_query(spark, name: str, sf_dir: str) -> dict:
 
 
 def skew_probe(spark, sf_dir: str) -> dict:
-    """The UNSALTED 3-value hot-key join, executed through collect so
-    the final AQE plan (isFinalPlan=true) is readable — the skew=true
-    marker is the evidence that AQE skew splitting engaged."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", (F.col("o_custkey") % 3).alias("hot_key")
+    """AQE skew-join engagement on a genuinely skewed shuffle: a
+    fact-fact sort-merge join where ONE side funnels 90% of its rows
+    into a single key (the other side keeps unique keys, so no row
+    explosion). At 512x the hot shuffle partition is ~GB-scale — past
+    AQE's 256 MB default skew threshold, which fixture scales never
+    reach. Executed through a 1-row collect so the FINAL plan
+    (isFinalPlan=true) is readable; ``skew=true`` on the join node is
+    the engagement evidence. (A 3-value hot key against a tiny dim —
+    the first cut — gets BROADCAST and never shuffles at all; AQE skew
+    handling only exists for shuffled joins.)"""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # carry a realistic row payload: a bare 8-byte key column would
+    # keep even a 69M-row hot partition under AQE's 256 MB compressed
+    # skew threshold — real fact rows are wider
+    left = o.select(
+        F.when(F.col("o_orderkey") % 100 < 90, F.lit(0))
+        .otherwise(F.col("o_orderkey")).alias("sk"),
+        F.col("o_totalprice").alias("l_price"),
+        "o_orderdate", "o_orderpriority", "o_orderstatus",
     )
-    c = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
-        .groupBy((F.col("c_custkey") % 3).alias("k"))
-        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
-    )
-    joined = o.join(c, o["hot_key"] == c["k"], "left")
-    agg = joined.groupBy("hot_key").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_in_bucket").alias("s")
+    right = o.select(F.col("o_orderkey").alias("rk"), "o_totalprice")
+    joined = left.join(right, left["sk"] == right["rk"], "left")
+    agg = joined.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_price").alias("s")
     )
     t0 = time.perf_counter()
     rows = agg.collect()
@@ -133,7 +148,7 @@ def skew_probe(spark, sf_dir: str) -> dict:
     final = agg._jdf.queryExecution().executedPlan().toString()
     return {
         "sec": round(sec, 2),
-        "n_groups": len(rows),
+        "n_rows_joined": int(rows[0]["n"]),
         "is_final_plan": "isFinalPlan=true" in final,
         "aqe_skew_engaged": "skew=true" in final,
     }
@@ -142,8 +157,9 @@ def skew_probe(spark, sf_dir: str) -> dict:
 def main() -> None:
     spark = get_spark("ultra-scale-probe")
     if "--skip-build" not in sys.argv:
-        build(spark, OUT512, 16, ("customer", "orders", "lineitem"))
-        build(spark, OUT1024, 32, ("customer", "orders"))
+        build(spark, OUT512,
+              {"customer": 512, "orders": 16, "lineitem": 16})
+        build(spark, OUT1024, {"customer": 1024, "orders": 32})
 
     out = {
         "fixture": {"512x": OUT512, "1024x": OUT1024},

@@ -994,3 +994,58 @@ def test_bucket_spec_corrupt_sidecar_falls_back(spark, tmp_path):
     assert _read_spec(spark, path) == {"bucket_col": "k", "n_buckets": 8}
     assert spark.table("t_spec_retune").count() == 100
     spark.sql("DROP TABLE IF EXISTS t_spec_retune")
+
+
+def test_stream_sketch_rollup_decomposition_independent(
+    spark, sf_dir, tmp_path
+):
+    """r10: the streaming sketch rollup's oracle-exactness rests on
+    trigger-decomposition independence (per-bucket MAX is associative
+    and commutative over integer-exact registers). Pin all of it:
+    (a) 2-batch and 4-batch ingests produce IDENTICAL (group, estimate,
+    n_rows) rows, (b) both equal the direct single-pass batch sketch of
+    the fixture, (c) a full redelivery (checkpoint wiped, leaves kept)
+    overwrites every batch dir and still returns the same answer — the
+    per-batch-dir overwrite retry contract."""
+    import os
+    import shutil
+
+    from lookup_transform_spark.operators.sketches import (
+        hll_portable_distinct,
+    )
+    from lookup_transform_spark.streaming.sketch_rollup import (
+        stream_sketch_rollup,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["lang"], r["approx_distinct"], r["n_rows"])
+            for r in df.collect()
+        )
+
+    got4 = rows(stream_sketch_rollup(
+        spark, sf_dir, str(tmp_path / "w4"), n_files=4
+    ))
+    got2 = rows(stream_sketch_rollup(
+        spark, sf_dir, str(tmp_path / "w2"), n_files=2
+    ))
+    assert got4 == got2 and got4
+
+    direct = rows(hll_portable_distinct(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["lang"], "doc_id",
+    ))
+    assert got4 == direct
+
+    # redelivery: wipe ONLY the checkpoint — the stream replays every
+    # batch and overwrites the existing leaf dirs in place
+    shutil.rmtree(str(tmp_path / "w4" / "ckpt"))
+    again = rows(stream_sketch_rollup(
+        spark, sf_dir, str(tmp_path / "w4"), n_files=4
+    ))
+    assert again == got4
+    leaf_dirs = [
+        d for d in os.listdir(str(tmp_path / "w4" / "leaves"))
+        if d.startswith("batch_")
+    ]
+    assert len(leaf_dirs) == 4
