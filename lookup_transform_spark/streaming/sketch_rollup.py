@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lookup_transform_spark.streaming.ingest import (
     _read_batches,
     _reset_if_fixture_newer,
+    compact_ingest_state,
     stage_document_batches,
 )
 
@@ -48,6 +49,7 @@ def stream_sketch_rollup(
     work_dir: str,
     group_col: str = "lang",
     n_files: int = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Run the staged arrival batches through a foreachBatch sketch
     maintenance loop, then answer per-``group_col`` approximate
@@ -73,6 +75,13 @@ def stream_sketch_rollup(
     schema = f"doc_id long, text string, {group_col} string"
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            # leaf rows are ROW-PRESERVING under the fold (merge
+            # happens at read via per-bucket MAX), so the ingest
+            # corpus's leveled compaction applies verbatim: a state
+            # read opens O(log batches + compact_every) dirs over an
+            # unbounded stream instead of one per trigger
+            compact_ingest_state(batch.sparkSession, state, batch_id)
         leaf = hll_portable_sketch(batch, [group_col], "doc_id")
         # tiny frame (one row per group): single-file overwrite keyed
         # by batch id — the ingest corpus retry contract

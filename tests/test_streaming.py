@@ -1049,3 +1049,34 @@ def test_stream_sketch_rollup_decomposition_independent(
         if d.startswith("batch_")
     ]
     assert len(leaf_dirs) == 4
+
+
+def test_stream_sketch_rollup_compaction_invisible(spark, sf_dir, tmp_path):
+    """r10: the sketch leaves fold on the ingest corpus's leveled
+    schedule — a 20-trigger stream opens a BOUNDED number of state
+    dirs and the folded answer equals the unfolded 4-batch run."""
+    import os
+
+    from lookup_transform_spark.streaming.ingest import _state_dirs
+    from lookup_transform_spark.streaming.sketch_rollup import (
+        stream_sketch_rollup,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["lang"], r["approx_distinct"], r["n_rows"])
+            for r in df.collect()
+        )
+
+    got20 = rows(stream_sketch_rollup(
+        spark, sf_dir, str(tmp_path / "w20"), n_files=20, compact_every=4
+    ))
+    got4 = rows(stream_sketch_rollup(
+        spark, sf_dir, str(tmp_path / "wplain"), n_files=4
+    ))
+    assert got20 == got4 and got20
+
+    dirs = _state_dirs(os.path.join(str(tmp_path / "w20"), "leaves"))
+    names = sorted(os.path.basename(d) for d in dirs)
+    assert len(dirs) <= 6, names
+    assert any(n.startswith(("seg_", "base_")) for n in names), names
