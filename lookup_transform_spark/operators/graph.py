@@ -24,6 +24,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge count under which the component computation runs as a driver
+#: union-find instead of the iterative join loop. Same reasoning as a
+#: broadcast-join threshold: 2M (a, b) long pairs ≈ 32 MB on the
+#: driver — a graph this small is a BROADCAST-class problem, and the
+#: iterative path's 3 scheduled waves per round (propagate checkpoint,
+#: pointer-doubling checkpoint, fixpoint probe) are pure constant
+#: against it. Past the gate the small-star/large-star loop is the
+#: only formulation that scales (no driver ever holds 100 TB of
+#: edges). Outputs are identical by construction — min-label
+#: components either way — pinned by the union-find equality test and
+#: the recursive-CTE oracle; every structural test runs BOTH paths
+#: (tests/test_graph.py forces the iterative loop by zeroing this).
+#: Honest sizing of the win (r10 min-of-5 at sf0.1): dedup_clusters
+#: 3.06 → 2.91 s — the upstream LSH pair generation dominates that
+#: query, so the gate's value is the ~3-wave-per-round floor it
+#: removes for callers whose pair set is already materialized, not a
+#: headline cut.
+_DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(sym_rows: list) -> list[tuple[int, int]]:
+    """Min-label union-find over collected symmetric edges; returns
+    sorted (node, component) pairs."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym_rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root — the component label contract
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -43,6 +90,18 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+
+    # r10 gate: the checkpoint already materialized the edges, so this
+    # count is a cached-block scan, not a recomputation
+    n_edges = sym.count()
+    if n_edges <= _DRIVER_UNION_FIND_MAX_EDGES:
+        labels = _driver_union_find(sym.collect())
+        spark = sym.sparkSession
+        if not labels:
+            return sym.select(
+                F.col("a").alias("node"), F.col("a").alias("component")
+            )
+        return spark.createDataFrame(labels, "node long, component long")
 
     # node set with initial label = own id (sym is symmetric, so one side
     # covers every endpoint)

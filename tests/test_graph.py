@@ -1,10 +1,27 @@
-"""Connected components vs a pure-Python union-find oracle."""
+"""Connected components vs a pure-Python union-find oracle.
+
+Every structural test runs BOTH execution paths (r10): the gated
+driver union-find (the fixture-scale fast path) and the iterative
+small-star loop (the at-scale path, forced by zeroing the gate) — the
+gate must never be the only thing standing between a broken iteration
+and a green suite.
+"""
 
 from __future__ import annotations
 
 import random
 
+import pytest
+
+from lookup_transform_spark.operators import graph
 from lookup_transform_spark.operators.graph import connected_components, dedup_clusters
+
+
+@pytest.fixture(params=["driver_uf", "iterative"])
+def cc_path(request, monkeypatch):
+    if request.param == "iterative":
+        monkeypatch.setattr(graph, "_DRIVER_UNION_FIND_MAX_EDGES", -1)
+    return request.param
 
 
 def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -28,7 +45,7 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def test_components_match_union_find(spark):
+def test_components_match_union_find(spark, cc_path):
     rng = random.Random(7)
     edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
     edges = [(a, b) for a, b in edges if a != b]
@@ -45,7 +62,7 @@ def test_components_match_union_find(spark):
     assert normalize(got) == normalize(want)
 
 
-def test_components_chain_converges(spark):
+def test_components_chain_converges(spark, cc_path):
     # worst-case diameter: a path graph needs label propagation across
     # the whole chain — exercises the iteration/fixpoint logic
     n = 40
@@ -55,7 +72,7 @@ def test_components_chain_converges(spark):
     assert len(got) == n + 1
 
 
-def test_components_empty_edges_short_circuit(spark):
+def test_components_empty_edges_short_circuit(spark, cc_path):
     """r8 review: an empty edge set summed to NULL every iteration and
     `None == None` never tripped the fixpoint probe — 20 no-op rounds of
     checkpoints + collects for an input whose answer is known at round
@@ -64,7 +81,7 @@ def test_components_empty_edges_short_circuit(spark):
     assert connected_components(df).count() == 0
 
 
-def test_dedup_clusters_canonical(spark):
+def test_dedup_clusters_canonical(spark, cc_path):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
     )
