@@ -99,6 +99,9 @@ def _ingest_resets(sf_dir: str):
         "stream_sketch_rollup": lambda spark: reset_ingest_state(
             spark, scratch_path("stream_sketch", sf_dir)
         ),
+        "stream_quantile_rollup": lambda spark: reset_ingest_state(
+            spark, scratch_path("stream_qsketch", sf_dir)
+        ),
     }
 
 

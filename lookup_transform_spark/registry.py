@@ -4936,6 +4936,39 @@ def q_stream_sketch_rollup(spark, sf):
     return out.orderBy("lang")
 
 
+from lookup_transform_spark.operators.sketches_oracle import (  # noqa: E402
+    qsketch_oracle_sql as _qsketch_oracle_sql,
+)
+
+
+@_q(
+    "stream_quantile_rollup",
+    _qsketch_oracle_sql(
+        "documents", "lang", "(n_chars::DOUBLE)", [0.5, 0.95, 0.99]
+    ),
+)
+def q_stream_quantile_rollup(spark, sf):
+    """B61/B32 crossover (r10): the quantile member's STREAMING
+    maintenance form, completing the pair with `stream_sketch_rollup` —
+    every mergeable sketch in the family now has both an at-rest batch
+    rollup and a continuous-ingest form. Each micro-batch writes one
+    log-bucketed histogram leaf per lang; per-lang p50/p95/p99 read
+    from the merged buckets without rescanning the corpus. Oracle-EXACT
+    by the same argument as the HLL form: integer bucket counts under
+    an associative+commutative SUM are trigger-decomposition- and
+    retry-independent (per-batch-dir overwrite). The double cast on
+    n_chars is mirrored verbatim in the oracle's value expression
+    (log_bucket's isnan guard needs a floating type). Decomposition
+    independence and stream ≡ direct pinned in tests/test_streaming.py."""
+    from lookup_transform_spark.streaming.sketch_rollup import (
+        stream_quantile_rollup,
+    )
+
+    work = scratch_path("stream_qsketch", sf)
+    out = stream_quantile_rollup(spark, sf, work)
+    return out.orderBy("lang")
+
+
 @_q("sketch_hll_rollup")
 def q_sketch_hll_rollup(spark, sf):
     """B32 extension: MERGEABLE sketch rollup — the 100 TB

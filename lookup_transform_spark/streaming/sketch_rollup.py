@@ -102,3 +102,75 @@ def stream_sketch_rollup(
     leaves = _read_batches(spark, state)
     assert leaves is not None, "sketch rollup produced no committed leaves"
     return hll_portable_estimate_from_leaves(leaves, [group_col])
+
+
+def stream_quantile_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    n_files: int = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """The quantile member's streaming maintenance form: per-trigger
+    log-bucketed histogram leaves into the at-rest summary, percentiles
+    read from the merged buckets. Oracle-exact for the same reason as
+    the HLL form — bucket counts are integers and SUM is associative +
+    commutative, so the merged sketch (and the 6-dp-rounded midpoints)
+    are a pure function of the arrived value multiset, independent of
+    trigger decomposition and retries (per-batch-dir overwrite; n_rows
+    reads the dir set). Returns (group, n_rows, p50, p95, p99)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        qsketch,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    stage = os.path.join(work_dir, "arrivals")
+    state = os.path.join(work_dir, "leaves")
+    ckpt = os.path.join(work_dir, "ckpt")
+    _reset_if_fixture_newer(spark, work_dir, stage, sf_dir)
+    os.makedirs(state, exist_ok=True)
+    stage_document_batches(
+        spark, sf_dir, stage, n_files, dup_per_file=0,
+        extra_cols=(group_col, value_col),
+    )
+
+    schema = f"doc_id long, text string, {group_col} string, {value_col} long"
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_ingest_state(batch.sparkSession, state, batch_id)
+        # log_bucket needs a double (isnan); the cast is mirrored in
+        # the oracle's value expression
+        leaf = qsketch(
+            batch.withColumn(value_col, F.col(value_col).cast("double")),
+            [group_col], value_col,
+        )
+        leaf.coalesce(1).write.mode("overwrite").parquet(
+            f"{state}/batch_{batch_id:05d}"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "batch_*"))
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    leaves = _read_batches(spark, state)
+    assert leaves is not None, "quantile rollup produced no committed leaves"
+    rolled = qsketch_merge(leaves, [group_col])
+    out = qsketch_quantiles(rolled, [group_col], list(probs))
+    qcols = [c for c in out.columns if c.startswith("p")]
+    return out.select(
+        group_col, "n_rows",
+        *[F.round(c, 6).alias(c) for c in qcols],
+    )

@@ -1080,3 +1080,46 @@ def test_stream_sketch_rollup_compaction_invisible(spark, sf_dir, tmp_path):
     names = sorted(os.path.basename(d) for d in dirs)
     assert len(dirs) <= 6, names
     assert any(n.startswith(("seg_", "base_")) for n in names), names
+
+
+def test_stream_quantile_rollup_decomposition_independent(
+    spark, sf_dir, tmp_path
+):
+    """r10: the quantile twin of the streaming-sketch independence pin —
+    integer bucket counts under an associative+commutative SUM make the
+    merged percentiles a pure function of the arrived value multiset:
+    2-batch ≡ 4-batch ≡ direct single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        qsketch,
+        qsketch_quantiles,
+    )
+    from lookup_transform_spark.streaming.sketch_rollup import (
+        stream_quantile_rollup,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["lang"], r["n_rows"], r["p50"], r["p95"], r["p99"])
+            for r in df.collect()
+        )
+
+    got4 = rows(stream_quantile_rollup(
+        spark, sf_dir, str(tmp_path / "q4"), n_files=4
+    ))
+    got2 = rows(stream_quantile_rollup(
+        spark, sf_dir, str(tmp_path / "q2"), n_files=2
+    ))
+    assert got4 == got2 and got4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_chars", F.col("n_chars").cast("double")
+    )
+    direct = qsketch_quantiles(
+        qsketch(docs, ["lang"], "n_chars"), ["lang"], [0.5, 0.95, 0.99]
+    ).select(
+        "lang", "n_rows",
+        *[F.round(c, 6).alias(c) for c in ("p50", "p95", "p99")],
+    )
+    assert got4 == rows(direct)
