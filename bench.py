@@ -96,11 +96,14 @@ def _ingest_resets(sf_dir: str):
         "stream_ingest_neardedup": lambda spark: reset_ingest_state(
             spark, scratch_path("stream_ingest_near", sf_dir)
         ),
-        "stream_sketch_rollup": lambda spark: reset_ingest_state(
-            spark, scratch_path("stream_sketch", sf_dir)
-        ),
+        # the fused sketch pair (r11) maintains ONE shared state via a
+        # single foreachBatch loop: reset before the pair's FIRST query
+        # in bench order (quantile sorts before sketch) so that query
+        # bills the full from-scratch maintenance, and let the second
+        # measure what it actually costs in steady state — a marker
+        # check + read over the standing leaves the same loop wrote
         "stream_quantile_rollup": lambda spark: reset_ingest_state(
-            spark, scratch_path("stream_qsketch", sf_dir)
+            spark, scratch_path("stream_sketchpair", sf_dir)
         ),
     }
 
@@ -378,18 +381,14 @@ def main() -> None:
         detail["engine_comparable_total_sec"] = round(
             sum(v for k, v in timings.items() if k in oracle), 4
         )
-        # The ORACLE's total over that same comparable set — under
-        # truthful names the pair is engine_comparable_total_sec vs
-        # oracle_comparable_duckdb_sec (r10 rename: the old
-        # `oracle_comparable_total_sec` key held the ENGINE total and
-        # read like a DuckDB number; it is kept one more round as a
-        # deprecated alias of the engine total, then dropped).
+        # The ORACLE's total over that same comparable set — the pair is
+        # engine_comparable_total_sec vs oracle_comparable_duckdb_sec
+        # (r10 rename; the old `oracle_comparable_total_sec` alias that
+        # republished the ENGINE total under an oracle-named key was
+        # dropped in r11 per VERDICT r10 #7).
         detail["oracle_comparable_duckdb_sec"] = round(
             sum(v for k, v in oracle.items() if k in timings), 4
         )
-        detail["oracle_comparable_total_sec"] = detail[
-            "engine_comparable_total_sec"
-        ]
         # per-query 2x tail, tracked as a headline (VERDICT r5 #5):
         # of the comparable queries (oracle-timed, ratio exclusions
         # out), how many run within 2x of the DuckDB single-node
@@ -430,10 +429,6 @@ def main() -> None:
         compact["oracle_total_sec"] = detail["oracle_total_sec"]
         compact["oracle_comparable_duckdb_sec"] = detail[
             "oracle_comparable_duckdb_sec"
-        ]
-        # deprecated alias of the ENGINE total (r10 rename, one round)
-        compact["oracle_comparable_total_sec"] = detail[
-            "oracle_comparable_total_sec"
         ]
         compact["engine_comparable_total_sec"] = detail[
             "engine_comparable_total_sec"

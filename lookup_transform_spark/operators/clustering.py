@@ -39,6 +39,51 @@ from pyspark.sql import functions as F
 # kmeans_assign; matches the fp_sum convention in functions/fixedpoint.py)
 _FP_SCALE = float(10**7)
 
+#: Element count (rows × dim) under which the Lloyd ITERATIONS run on
+#: the driver over one collected copy of the cleaned points — the same
+#: broadcast-class gate as graph.py's union-find: 2M float64 elements
+#: ≈ 16 MB, and below it the distributed loop's per-iteration scheduled
+#: wave (a full mapInPandas pass + a collect) is pure constant
+#: (~0.15 s/wave × iters at bench scale — the r10 kmeans bench was
+#: ~10 sequential waves of which the data cost was microseconds). The
+#: driver update replicates the distributed math EXACTLY — same dp=7
+#: half-away-from-zero rounding, same exact int64 sums (order-free by
+#: integer associativity), same empty-cluster rule — so assignments are
+#: bit-identical across the gate (pinned in tests/test_clustering.py).
+#: The gate opens only on a catalog-EXACT row count (plan statistics);
+#: unknown size = distributed loop, the safe polarity. The final
+#: assignment stays a distributed mapInPandas pass either way.
+_DRIVER_LLOYD_MAX_ELEMS = 2_000_000
+
+
+def _lloyd_driver(
+    ids: np.ndarray, vecs: np.ndarray, k: int, iters: int
+) -> np.ndarray:
+    """Driver-side Lloyd iterations with the distributed path's exact
+    fixed-point update rule; returns the final centroids."""
+    order = np.argsort(ids)
+    cent = vecs[order[:k]].astype(np.float64)
+    v = vecs.astype(np.float64)
+    k = cent.shape[0]
+    dim = v.shape[1]
+    scaled = np.trunc(v * _FP_SCALE + np.copysign(0.5, v)).astype(np.int64)
+    for _ in range(iters):
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (v @ cent.T)
+        lab = np.argmin(d2, axis=1)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        order2 = np.argsort(lab, kind="stable")
+        sl = lab[order2]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        sums[sl[starts]] += np.add.reduceat(scaled[order2], starts, axis=0)
+        counts = np.bincount(lab, minlength=k)
+        nxt = cent.copy()  # empty cluster keeps its previous centroid
+        nonempty = counts > 0
+        nxt[nonempty] = (
+            sums[nonempty] / counts[nonempty, None] / _FP_SCALE
+        )
+        cent = nxt
+    return cent
+
 
 def _partials_udf(cent: np.ndarray, vec_col: str, dim: int):
     """Fused assign + centroid-partial-sum mapInPandas stage: per Arrow
@@ -194,6 +239,28 @@ def kmeans_assign(
     # Arrow silently downcast double-typed embeddings on the carry path
     vec_type = df.schema[vec_col].dataType.simpleString()
     carry_schema = f"{out_schema}, {vec_col} {vec_type}"
+    # broadcast-class gate (see _DRIVER_LLOYD_MAX_ELEMS): with a
+    # catalog-exact row count small enough, collect the cleaned points
+    # once and run every Lloyd iteration driver-side — identical
+    # centroids by construction, ~2 scheduled waves instead of
+    # 1 + iters. The raw (pre-filter) count over-counts the cleaned
+    # set, which only ever keeps the gate CLOSED — the safe direction.
+    from lookup_transform_spark.plans.lookup import _exact_rows_if_known
+
+    n_known = _exact_rows_if_known(df)
+    if (
+        iters > 0
+        and n_known is not None
+        and n_known * dim <= _DRIVER_LLOYD_MAX_ELEMS
+    ):
+        tbl = src.select(id_col, vec_col).toArrow()
+        ids_np = np.asarray(tbl.column(0).to_pylist(), dtype=np.int64)
+        vecs_np = np.asarray(tbl.column(1).to_pylist(), dtype=np.float64)
+        cent = _lloyd_driver(ids_np, vecs_np, k, iters)
+        return src.mapInPandas(
+            _assign_udf(cent, id_col, vec_col, carry_vec=with_vectors),
+            carry_schema if with_vectors else out_schema,
+        )
     for _ in range(iters):
         # One fused assign+partial-sum pass per iteration: each Arrow
         # batch is assigned (matmul) and immediately reduced to k×(d+1)

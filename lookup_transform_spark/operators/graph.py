@@ -44,7 +44,16 @@ from pyspark.sql import functions as F
 _DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
 
 
-def _driver_union_find(sym_rows: list) -> list[tuple[int, int]]:
+def _collect_edge_pairs(sym: DataFrame) -> "zip":
+    """Collect the 2-column edge frame as an iterator of (a, b) tuples
+    via Arrow — ``collect()`` materializes PySpark Row objects at
+    ~10-20× the raw pair size in Python heap (ADVICE r10), which at the
+    2M-edge gate ceiling is the difference between ~32 MB and ~500 MB."""
+    tbl = sym.toArrow()
+    return zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
+
+
+def _driver_union_find(sym_rows) -> list[tuple]:
     """Min-label union-find over collected symmetric edges; returns
     sorted (node, component) pairs."""
     parent: dict = {}
@@ -57,8 +66,7 @@ def _driver_union_find(sym_rows: list) -> list[tuple[int, int]]:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym_rows:
-        a, b = row[0], row[1]
+    for a, b in sym_rows:
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -95,13 +103,25 @@ def connected_components(
     # count is a cached-block scan, not a recomputation
     n_edges = sym.count()
     if n_edges <= _DRIVER_UNION_FIND_MAX_EDGES:
-        labels = _driver_union_find(sym.collect())
+        labels = _driver_union_find(_collect_edge_pairs(sym))
         spark = sym.sparkSession
         if not labels:
             return sym.select(
                 F.col("a").alias("node"), F.col("a").alias("component")
             )
-        return spark.createDataFrame(labels, "node long, component long")
+        # output dtype follows the INPUT id column (ADVICE r10: the
+        # hardcoded long schema made the two gate paths disagree for
+        # non-long ids — the iterative path below preserves the type)
+        from pyspark.sql import types as T
+
+        id_dt = edges.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", id_dt, False),
+                T.StructField("component", id_dt, False),
+            ]
+        )
+        return spark.createDataFrame(labels, schema)
 
     # node set with initial label = own id (sym is symmetric, so one side
     # covers every endpoint)

@@ -153,6 +153,15 @@ def qsketch_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
     return _sketch_rebuild(per_bucket, group_cols)
 
 
+def quantile_col_name(p: float) -> str:
+    """Identifier-safe output column for quantile ``p``: p50/p95/p99,
+    p=1.0 -> p100 (not 'p1.0' — an unquoted dot parses as struct-field
+    access downstream), fractional percentiles use '_' (0.999 -> p99_9).
+    THE naming formula — shared by every quantile reader (ADVICE r10:
+    a reader prefix-matching columns on 'p' grabbed group columns)."""
+    return "p" + ("%g" % (p * 100)).replace(".", "_").replace("-", "m")
+
+
 def qsketch_quantiles(
     df: DataFrame,
     group_cols: list[str],
@@ -188,10 +197,7 @@ def qsketch_quantiles(
         hit = F.when(
             F.col("__cum__") >= target, F.col("__b__")
         )
-        # identifier-safe name: p50/p95/p99 as before, but p=1.0 -> p100
-        # (not 'p1.0' — an unquoted dot parses as struct-field access
-        # downstream) and fractional percentiles use '_' (0.999 -> p99_9)
-        name = "p" + ("%g" % (p * 100)).replace(".", "_").replace("-", "m")
+        name = quantile_col_name(p)
         aggs.append(bucket_value(F.min(hit), base, lo).alias(name))
     return cum.groupBy(*group_cols, "n_rows").agg(*aggs)
 
@@ -472,6 +478,86 @@ def hll_portable_sketch(
             )
         ).alias("sketch"),
         F.sum("__n__").alias("n_rows"),
+    )
+
+
+def fused_hll_qsketch_leaves(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str | Column,
+    base: float = 1.04,
+    lo: float = 0.01,
+) -> DataFrame:
+    """BOTH families' leaf rows from ONE pass over ``df``: per (group,
+    family) one sketch row, family ``'hll'`` = ``hll_portable_sketch``
+    of ``key_col``, family ``'q'`` = ``qsketch`` of ``value_col`` —
+    value-identical to running the two builders separately (pinned in
+    tests/test_sketches.py), with the HLL register map widened to the
+    histogram's ``map<int,bigint>`` (registers ≤ 53, so narrowing back
+    is lossless).
+
+    Why it exists (r11, VERDICT r10 #4): the streaming maintenance
+    loop's per-trigger cost is stage-scheduling, not data — two
+    independent leaf builds are ~6 stages per micro-batch where this
+    fused build is 3 (one scan+explode, one per-bucket exchange, one
+    map-build exchange). Each input row explodes to one candidate
+    entry per family; the per-bucket aggregate computes each family's
+    statistic (max rank / row count) and the map build picks the right
+    one per family tag — the same ``_sketch_rebuild`` null contract:
+    a null bucket feeds no map entry and no n_rows, but keeps the
+    (group, family) row alive."""
+    bucket, rank = _hll_bucket_rank(F.col(key_col))
+    key_nn = F.col(key_col).isNotNull()
+    e = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hll").alias("family"),
+                    F.when(key_nn, bucket).alias("b"),
+                    F.when(key_nn, rank).alias("r"),
+                    key_nn.alias("k"),
+                ),
+                F.struct(
+                    F.lit("q").alias("family"),
+                    log_bucket(value_col, base, lo).alias("b"),
+                    F.lit(None).cast("int").alias("r"),
+                    F.lit(False).alias("k"),
+                ),
+            )
+        ).alias("e"),
+    ).select(*group_cols, "e.family", "e.b", "e.r", "e.k")
+    per_bucket = e.groupBy(*group_cols, "family", "b").agg(
+        F.max("r").alias("__maxr__"),
+        F.sum(F.col("k").cast("long")).alias("__nk__"),
+        F.count(F.lit(1)).alias("__cnt__"),
+    )
+    is_hll = F.col("family") == "hll"
+    val = F.when(is_hll, F.col("__maxr__").cast("long")).otherwise(
+        F.col("__cnt__")
+    )
+    return per_bucket.groupBy(*group_cols, "family").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("b").isNotNull(),
+                        F.struct(
+                            F.col("b").alias("__b__"), val.alias("__c__")
+                        ),
+                    )
+                )
+            )
+        ).alias("sketch"),
+        F.when(is_hll, F.coalesce(F.sum("__nk__"), F.lit(0).cast("long")))
+        .otherwise(
+            F.coalesce(
+                F.sum(F.when(F.col("b").isNotNull(), F.col("__cnt__"))),
+                F.lit(0).cast("long"),
+            )
+        )
+        .alias("n_rows"),
     )
 
 

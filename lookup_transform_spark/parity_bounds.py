@@ -108,7 +108,9 @@ def _recall(spark, sf_dir, query_name, floor):
     from lookup_transform_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # the SAME sampling helper the simsearch_* queries use — the bound
+    # must never compare a drifted query set against stale ground truth
+    queries = registry.ann_query_set(emb)
     truth = set(_rows(cosine_topk(emb, queries, k=10),
                       ["query_id", "neighbor_id"]))
     got = set(_rows(registry.QUERIES[query_name](spark, sf_dir),

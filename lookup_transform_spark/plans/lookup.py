@@ -114,6 +114,27 @@ def _warn_stats_unavailable_once(exc: Exception) -> None:
     )
 
 
+_unsized_bcast_warned: set[str] = set()
+
+
+def _warn_unsizable_broadcast_once(dataset: str) -> None:
+    """One warning per lookup dataset when the size gate must trust the
+    (defaulted) ``broadcast=True`` on a side Catalyst cannot size."""
+    if dataset in _unsized_bcast_warned:
+        return
+    _unsized_bcast_warned.add(dataset)
+    import warnings
+
+    warnings.warn(
+        f"lookup side {dataset!r} has no size statistics; keeping the "
+        "broadcast hint on an UNSIZABLE source — set broadcast=False "
+        "(or materialize the side as parquet so it carries stats) if "
+        "it may exceed executor memory",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _estimated_rows(df: DataFrame) -> int | None:
     """Row estimate from Catalyst plan statistics — zero jobs, zero scans.
 
@@ -707,6 +728,15 @@ class LookupSpec:
             est = _estimated_rows(pruned)
             if est is not None and est > self.broadcast_threshold_rows:
                 use_broadcast = False
+            elif est is None:
+                # ADVICE r10: broadcast=True is the FIELD DEFAULT, so an
+                # unsizable side (ExistingRDD / V2 source without stats)
+                # inherits a forced broadcast hint the gate exists to
+                # prevent — surface that once per process so a pipeline
+                # author feeding an unsizable huge source gets a signal
+                # before the executors OOM, while stats-carrying parquet
+                # (the 100 TB case) never warns.
+                _warn_unsizable_broadcast_once(self.lookup_dataset)
         right = F.broadcast(pruned) if use_broadcast else pruned
 
         eq = (

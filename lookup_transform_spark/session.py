@@ -32,13 +32,21 @@ def get_spark(
     # driver's sys.path — a harness launched from any other directory
     # hit ModuleNotFoundError inside every pandas-UDF stage (r10: a
     # parity run from .scratch/ failed 7 queries this way). Export the
-    # repo root before the JVM (and its worker daemons) start; no-op
-    # when already importable from the environment.
+    # repo root before the JVM (and its worker daemons) start. APPEND,
+    # not prepend, and only when a worker couldn't already import the
+    # package from PYTHONPATH/CWD (ADVICE r10: an unconditional prepend
+    # can shadow an installed copy — or an unrelated colliding top-level
+    # module — in every worker/child process).
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
-    if repo not in pp.split(os.pathsep):
+    worker_importable = any(
+        os.path.isdir(os.path.join(p, "lookup_transform_spark"))
+        for p in pp.split(os.pathsep) + [os.getcwd()]
+        if p
+    )
+    if not worker_importable and repo not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
-            repo + (os.pathsep + pp if pp else "")
+            (pp + os.pathsep if pp else "") + repo
         )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))

@@ -8,8 +8,6 @@ small-files problem on high-cardinality partition keys.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 
 
@@ -83,36 +81,38 @@ def upsert_partitioned(
     get it from MERGE INTO): per-batch cost must be O(affected
     partitions), never a rewrite of the table. Mechanics:
 
-    1. existing rows of ONLY the partitions the update batch lands in
-       are read back, minus rows whose key is being replaced (left-anti
-       on the key). The partition restriction is a broadcast LEFT-SEMI
-       join against the batch's distinct partition values, which
-       Spark's Dynamic Partition Pruning compiles into a directory
-       filter on the scan (``dynamicpruningexpression`` in
-       PartitionFilters — pinned in tests/test_upsert.py), so no
-       separate driver job collects the partition list. A batch that
-       filters on the partition column itself prunes even earlier:
-       constraint propagation pushes that predicate across the join as
-       a STATIC partition filter and DPP correctly declines as
-       redundant. Both forms are heuristics, so the plan is INSPECTED
-       before running: if neither pruning form materialized (e.g. a
-       literal batch with no predicate DPP rates selective), the
-       writer falls back to collecting the partition values
-       (partition-cardinality-sized) and pushing a static IN-list
-       filter — one extra tiny job, never a full-table read either
-       way. (An eager-checkpoint-the-batch formulation was also
-       measured and REJECTED: it blinds DPP — a materialized RDD
-       exposes no Filter — and its extra serial wave costs more than
-       the repeated cheap batch scans it saves; four-way A/B on the
-       32x probe in PLANS.md);
-    2. survivors ∪ updates are written ONCE, partitioned, to a staging
+    1. the update batch is MATERIALIZED once (``localCheckpoint``). It
+       feeds at least three plans — the partition list, the anti-join
+       build side, and the union's insert branch (plus the optional
+       key-move validation) — and as a lazy plan every consumer re-ran
+       its full upstream pipeline: the bench's derived batch (a
+       filtered scan of the fact table) was re-scanned three times per
+       upsert. A MERGE batch is bounded by contract (it is the thing
+       being broadcast in step 2), so materializing it is safe at any
+       table scale. [History: r8 rejected an eager-checkpoint
+       formulation in favor of lazy-batch + Dynamic Partition Pruning,
+       measuring the checkpoint wave as more expensive than repeated
+       cheap batch scans; the r11 interleaved re-A/B at 32× with the
+       bench's derived batch reversed that — DPP/lazy 1.78 s vs
+       materialized+IN-list 1.26-1.34 s min-of-4 (two independent
+       runs; repartition-before-write and coalesce variants also
+       tried, both worse) — because a derived batch is NOT cheap to
+       re-scan, and the IN-list collect on a materialized batch is
+       microseconds. PLANS.md tracks both A/Bs.];
+    2. existing rows of ONLY the partitions the batch lands in are read
+       back via a STATIC IN-list partition filter built from the
+       materialized batch's distinct partition values (a
+       partition-cardinality-sized collect — bounded by step 1's
+       contract), minus rows whose key is being replaced (broadcast
+       left-anti on the key). Static pruning is deterministic — no
+       plan inspection, no DPP-benefit heuristic to second-guess
+       (the r8-r10 writer inspected ``executedPlan`` per call to
+       decide whether DPP had materialized, ~0.2 s of pure driver
+       planning at 32×);
+    3. survivors ∪ updates are written ONCE, partitioned, to a staging
        directory beside the table (a different path than the one being
-       read, so Spark's source==sink overwrite rejection never fires
-       and no full-table ``localCheckpoint`` is needed — the r8 wave
-       cut: the previous formulation checkpointed the full merged
-       batch executor-side and then re-encoded it in the overwrite,
-       writing the data twice);
-    3. the staged partition directories are committed by per-partition
+       read, so Spark's source==sink overwrite rejection never fires);
+    4. the staged partition directories are committed by per-partition
        rename (Hadoop ``FileSystem.rename`` — works on HDFS and local;
        a driver-side metadata operation, zero data movement), replacing
        exactly the affected directories — untouched partitions keep
@@ -129,15 +129,9 @@ def upsert_partitioned(
        that need an atomic multi-partition publish should write through
        the two-phase manifest sink instead.
 
-    Job waves per call: the staging write (read-back + merge + encode,
-    one pass; DPP's broadcast build rides inside it) + the scan-free
-    rename commit — ONE Spark job wave, plus the fallback collect only
-    when neither pruning form materialized. r7 shipped collect +
-    read-back + full-merged-batch localCheckpoint + dynamic-overwrite
-    re-encode (the merged data written twice); the 32x A/B
-    (PLANS.md): 1.89 s → 1.49 s min-of-5 for the writer alone, and
-    the serial driver-collect job — the piece that does not amortize
-    on a real cluster — is gone from the default path.
+    Job waves per call: the batch checkpoint (one bounded job) + the
+    staging write (read-back + merge + encode, one pass) + the
+    scan-free rename commit.
 
     Semantics: a key present in both sides takes the update's row
     (upsert); keys appearing only in updates insert. CALLER CONTRACT:
@@ -180,6 +174,23 @@ def upsert_partitioned(
             fs.delete(jpath, True)
 
     existing = spark.read.parquet(path)
+    # materialize the batch AFTER crash recovery (a batch derived from
+    # the table itself must see the rolled-forward state)
+    updates = updates.localCheckpoint()
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    # NULL partition values are refused fail-loud BEFORE anything is
+    # written: every pruning form here is EQUALITY-based, and equality
+    # never matches NULL — existing NULL-partition rows would silently
+    # vanish from the read-back while the commit swaps their directory.
+    if any(p is None for p in parts):
+        raise ValueError(
+            "upsert_partitioned: NULL partition value in the update "
+            f"batch (column '{partition_col}'); equality-based "
+            "partition pruning cannot address the NULL partition — "
+            "backfill the partition column before upserting"
+        )
     if validate_no_key_moves:
         moved = (
             existing.select(*key_cols, partition_col)
@@ -199,71 +210,23 @@ def upsert_partitioned(
                 f"partitions (first offenders: {offenders}); an upsert "
                 "must keep each key in its existing partition"
             )
-    parts_dim = updates.select(partition_col).distinct()
-    # NULL partition values in the batch are refused fail-loud: every
-    # pruning form here is EQUALITY-based (semi join, DPP, IN-list),
-    # and equality never matches NULL — existing NULL-partition rows
-    # would silently vanish from the read-back while the commit swaps
-    # their directory. The guard rides inside the staging write's
-    # projection (raise_error fires executor-side before _SUCCESS, so
-    # the table is untouched) — no extra driver job on the happy path.
-    guarded_updates = updates.select(
-        *[
-            F.when(
-                F.col(c).isNull(),
-                F.raise_error(
-                    F.lit(
-                        "upsert_partitioned: NULL partition value in the "
-                        f"update batch (column '{partition_col}'); "
-                        "equality-based partition pruning cannot address "
-                        "the NULL partition — backfill the partition "
-                        "column before upserting"
-                    )
-                ),
-            )
-            .otherwise(F.col(c))
-            .alias(c)
-            if c == partition_col
-            else c
-            for c in existing.columns
-        ]
-    )
+    # read-back restricted to the affected partitions by a STATIC
+    # IN-list — compiles to a directory-level PartitionFilter (pinned
+    # in tests/test_upsert.py), deterministic at any partition
+    # cardinality. An empty batch yields an empty IN-list → empty
+    # read-back → the staging write stages nothing and the commit is a
+    # no-op, leaving the table untouched.
     keep = (
-        existing.join(F.broadcast(parts_dim), on=partition_col, how="left_semi")
-        .join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    )
-    merged = keep.unionByName(guarded_updates)
-    # Inspect the plan of `merged` — the exact union the staging write
-    # wraps in its InsertIntoHadoopFsRelation, so DPP's per-query
-    # benefit decision is taken over the same tree the write will plan
-    # (inspecting the standalone `keep` would leave a blind spot: the
-    # union could plan differently and drop the pruning subquery).
-    plan_str = merged._jdf.queryExecution().executedPlan().toString()
-    # the scan is pruned when EITHER (a) DPP inserted its runtime
-    # subquery, or (b) the batch filters on the partition column itself,
-    # which constraint propagation turns into a STATIC partition filter
-    # (= / IN / INSET on the column inside PartitionFilters — DPP then
-    # correctly declines as redundant). The \b on the left keeps a
-    # partition column whose name suffixes another column (`cat` vs
-    # `sub_cat`) from false-matching that other column's filter.
-    statically_pruned = re.search(
-        rf"PartitionFilters: \[[^\n]*\b{re.escape(partition_col)}#\d+\s+(=|IN\b|INSET)",
-        plan_str,
-    )
-    if "dynamicpruning" not in plan_str and not statically_pruned:
-        # neither pruning form materialized (e.g. a literal batch with
-        # no predicate DPP rates selective) — fall back to collecting
-        # the partition values (partition-cardinality-sized) and
-        # pushing a static IN-list so the read-back can never degrade
-        # to a full-table scan
-        parts = [r[0] for r in parts_dim.collect()]
-        keep = (
-            existing.filter(F.col(partition_col).isin(parts))
-            .join(updates.select(*key_cols), on=key_cols, how="left_anti")
+        existing.filter(F.col(partition_col).isin(parts))
+        .join(
+            F.broadcast(updates.select(*key_cols)),
+            on=key_cols,
+            how="left_anti",
         )
-        merged = keep.unionByName(guarded_updates)
+    )
+    merged = keep.unionByName(updates.select(*existing.columns))
     # one pass: read-back + merge + encode straight into staging (a
-    # SIBLING path — source != sink, so no checkpoint materialization;
+    # SIBLING path — source != sink, so no full-table checkpoint;
     # recovery above guarantees the staging path is absent here)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # commit: swap exactly the staged partition directories into place.

@@ -178,3 +178,35 @@ def test_semantic_dedup_finds_constructed_near_dups(spark):
         # flagged against its base or an earlier copy of the same base
         rep = got[copy_id]
         assert rep == base or dup_of.get(rep) == base, (copy_id, rep)
+
+
+def test_driver_lloyd_gate_matches_distributed(spark, monkeypatch):
+    """r11 wave-cut gate (VERDICT r10 #5): with a catalog-exact row
+    count under _DRIVER_LLOYD_MAX_ELEMS, the Lloyd iterations run on
+    the driver over one collected copy — and must produce BIT-IDENTICAL
+    assignments to the distributed loop (same dp=7 fixed-point update,
+    exact integer sums). Forced both ways via the row-count probe, same
+    input."""
+    from lookup_transform_spark.operators import clustering as C
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = df.count()
+
+    monkeypatch.setattr(C, "_exact_rows_if_known", None, raising=False)
+    # distributed arm: unknown row count keeps the gate closed
+    monkeypatch.setattr(
+        "lookup_transform_spark.plans.lookup._exact_rows_if_known",
+        lambda _df: None,
+    )
+    dist = sorted(
+        map(tuple, C.kmeans_assign(df, k=4, iters=3).collect())
+    )
+    # driver arm: exact count opens the gate (fixture is tiny)
+    monkeypatch.setattr(
+        "lookup_transform_spark.plans.lookup._exact_rows_if_known",
+        lambda _df: n,
+    )
+    drv = sorted(
+        map(tuple, C.kmeans_assign(df, k=4, iters=3).collect())
+    )
+    assert dist == drv and len(drv) == n

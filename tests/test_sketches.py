@@ -444,3 +444,52 @@ def test_hll_portable_layered_equals_direct(spark, sf_dir):
         )
     )
     assert direct == fused == layered
+
+
+def test_fused_hll_qsketch_leaves_equal_separate_builders(spark):
+    """r11 fusion pin: the single-pass family-tagged leaf build must be
+    value-identical to running hll_portable_sketch and qsketch
+    separately — including the null contracts (null key reaches no
+    register, null/NaN/Inf value reaches no bucket, all-null groups
+    keep their row with an empty sketch and n_rows=0)."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.operators.sketches import (
+        fused_hll_qsketch_leaves,
+        hll_portable_sketch,
+        qsketch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 5.0),
+            ("a", 2, None),
+            ("a", None, 0.003),
+            ("b", 3, float("nan")),
+            ("b", 4, -17.5),
+            ("c", None, None),  # all-null group: survives both families
+            ("d", 7, float("inf")),
+        ],
+        "grp string, k long, v double",
+    )
+    fused = fused_hll_qsketch_leaves(df, ["grp"], "k", F.col("v"))
+
+    def rows(d):
+        return sorted(
+            (r["grp"], sorted((r["sketch"] or {}).items()), r["n_rows"])
+            for r in d.collect()
+        )
+
+    got_h = rows(
+        fused.filter(F.col("family") == "hll").select(
+            "grp", F.col("sketch").cast("map<int,int>").alias("sketch"),
+            "n_rows",
+        )
+    )
+    got_q = rows(fused.filter(F.col("family") == "q").select(
+        "grp", "sketch", "n_rows"
+    ))
+    want_h = rows(hll_portable_sketch(df, ["grp"], "k"))
+    want_q = rows(qsketch(df, ["grp"], "v"))
+    assert got_h == want_h
+    assert got_q == want_q

@@ -100,54 +100,38 @@ def test_affected_read_is_partition_pruned(spark, table):
     assert pf and "o_orderstatus" in pf[0]
 
 
-def test_readback_prunes_via_dpp_when_batch_is_filtered(spark, table):
-    """r8 wave cut: when the update batch carries a selective filter on
-    a NON-partition column (the shape every incremental pipeline has),
-    the read-back's partition restriction is a broadcast semi join that
-    Dynamic Partition Pruning turns into a directory filter — no driver
-    collect job. Pin the plan: the semi-join formulation of the
-    read-back carries a dynamicpruningexpression on the scan. Pinned on
-    the UNION plan (keep ∪ updates) — the tree the staging write wraps
-    and the tree the writer itself inspects — not the standalone keep,
-    so the pin and the executed write can't diverge on DPP's per-query
-    benefit decision."""
+def test_readback_inlist_compiles_to_static_partition_filter(spark, table):
+    """r11 formulation (VERDICT r10 #2): the writer restricts the
+    read-back with a static IN-list over the materialized batch's
+    distinct partition values. Pin that the IN-list form compiles to a
+    directory-level PartitionFilter (= / IN / INSET on the partition
+    column), never a row filter over a full-table scan — the
+    O(affected-partitions) contract at any table size. [The r8-r10
+    lazy-batch + Dynamic Partition Pruning formulation was retired by
+    an interleaved 32× A/B: a DERIVED batch re-scanned its upstream
+    pipeline once per consumer, and the per-call executedPlan
+    inspection cost ~0.2 s of driver planning — see
+    sources/writers.py.]"""
+    import re
+
     path, orders = table
     existing = spark.read.parquet(path)
-    updates = orders.filter(F.col("o_orderkey") % 997 == 0)
-    parts_dim = updates.select("o_orderstatus").distinct()
-    keep = (
-        existing.join(F.broadcast(parts_dim), on="o_orderstatus", how="left_semi")
-        .join(updates.select("o_orderkey"), on=["o_orderkey"], how="left_anti")
-    )
-    merged = keep.unionByName(updates.select(*existing.columns))
-    plan = merged._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan, plan[:2000]
+    keep = existing.filter(F.col("o_orderstatus").isin(["O", "F"]))
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\n]*o_orderstatus#\d+\s+(=|IN\b|INSET)", plan
+    ), plan[:2000]
 
 
 def test_readback_prunes_statically_when_batch_filters_partition_col(
     spark, table
 ):
-    """A batch that filters on the partition column itself gets pruned
-    WITHOUT DPP: constraint propagation pushes the equality across the
-    semi join as a static PartitionFilter (DPP declines as redundant).
-    The writer's plan inspection must recognize that form (its regex is
-    re-tested here against the real plan text) so it does not add a
-    needless collect job — and the end-to-end merge stays correct."""
-    import re
-
+    """End-to-end merge correctness for a batch that filters on the
+    partition column itself — the single-partition incremental shape."""
     path, orders = table
-    existing = spark.read.parquet(path)
     updates = orders.filter(
         (F.col("o_orderkey") % 997 == 0) & (F.col("o_orderstatus") == "O")
     )
-    parts_dim = updates.select("o_orderstatus").distinct()
-    keep = existing.join(
-        F.broadcast(parts_dim), on="o_orderstatus", how="left_semi"
-    )
-    plan = keep._jdf.queryExecution().executedPlan().toString()
-    assert re.search(
-        r"PartitionFilters: \[[^\n]*o_orderstatus#\d+\s+(=|IN\b|INSET)", plan
-    ), plan[:2000]
     upsert_partitioned(
         spark, path,
         updates.withColumn("o_totalprice", F.col("o_totalprice") + 7.0),
