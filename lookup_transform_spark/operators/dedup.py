@@ -1110,7 +1110,13 @@ def substring_dup_rate(
         docs.select(F.col(id_col), F.col(text_col), pos)
         .select(
             F.col(id_col),
-            F.md5(
+            # the span hash is INTERNAL here (never output, unlike
+            # substring_spans' span_md5): xxhash64 is both cheaper per
+            # window and an 8-byte shuffle key where the md5 hex string
+            # was 32 chars (r11, ~19% at the 32× probe). A 64-bit
+            # collision would merge two spans' counts — ~n²/2⁶⁵,
+            # negligible against the dup-rate's own sampling noise.
+            F.xxhash64(
                 F.expr(f"substring({text_col}, __pos__, {span_len})")
             ).alias("__h__"),
         )

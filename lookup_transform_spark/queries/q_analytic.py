@@ -1,0 +1,483 @@
+"""Subquery-heavy analytic shapes (Catalyst decorrelation surface)
+
+Split from the monolithic registry (r11, VERDICT r10 #7). Queries here
+register into ``lookup_transform_spark.registry.QUERIES``/``ORACLES``
+via the shared ``_q`` decorator at import time; ``registry`` imports
+every tier module at its tail, so the registry remains the single
+lookup surface.
+"""
+
+from __future__ import annotations
+
+import os  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from lookup_transform_spark.functions.fixedpoint import (  # noqa: F401
+    fp_sum,
+    scaled_long,
+)
+from lookup_transform_spark.operators import dedup as DD  # noqa: F401
+from lookup_transform_spark.operators import text as TX  # noqa: F401
+from lookup_transform_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    range_join,
+)
+from lookup_transform_spark.operators.sessionize import sessionize  # noqa: F401
+from lookup_transform_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from lookup_transform_spark.plans.lookup import LookupSpec  # noqa: F401
+from lookup_transform_spark.registry import (  # noqa: F401
+    SCRATCH,
+    _events,
+    _fsum,
+    _q,
+    _stale_guard,
+    _t,
+    _vtag,
+    scratch_path,
+)
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline + remaining TPC-H shapes
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pipeline_curate",
+    """WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
+              ELSE 0.0 END AS praw,
+         1.0 - len(list_distinct(string_split_regex(lower(text), '\\s+')))::DOUBLE
+             / len(string_split_regex(lower(text), '\\s+')) AS rep,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), q AS (
+  SELECT doc_id, lang, fp,
+         ROUND(LEAST(n_tok / 20.0, 1.0) * (1.0 - praw)
+               * CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 3.0
+                           AND n_chars::DOUBLE / n_tok <= 12.0
+                      THEN 1.0 ELSE 0.5 END, 6) AS quality,
+         rep
+  FROM scored
+  WHERE lang IN ('en', 'es', 'de')
+), filtered AS (
+  SELECT * FROM q WHERE quality >= 0.5 AND rep < 0.7
+), deduped AS (
+  SELECT doc_id, lang, quality FROM (
+    SELECT doc_id, lang, quality,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, d.quality, e.label
+FROM deduped d LEFT JOIN embeddings e ON d.doc_id = e.vec_id""",
+)
+def q_pipeline_curate(spark, sf):
+    """End-to-end training-data curation: language filter -> quality
+    score -> repetition filter -> fingerprint dedup -> embedding-label
+    enrichment (LookupSpec). The realistic composition every tier
+    feeds into; fully deterministic, hence oracle-checked."""
+    d = _t(spark, sf, "documents")
+    scored = d.filter(F.col("lang").isin("en", "es", "de")).select(
+        "doc_id", "lang",
+        TX.quality_score("text").alias("quality"),
+        (1.0 - F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
+         / F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("rep"),
+        TX.content_fingerprint("text").alias("fp"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("rep") < 0.7))
+    deduped = DD.dedup_exact(
+        filtered.select("fp", "doc_id", "lang", "quality"), ["fp"], "doc_id"
+    ).select("doc_id", "lang", "quality")
+    spec = LookupSpec("embeddings", "doc_id", "vec_id", "label")
+    return spec.apply(deduped, _t(spark, sf, "embeddings"))
+
+
+@_q(
+    "q10_returned",
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name""",
+)
+def q_q10_returned(spark, sf):
+    """B37: returned-item revenue per customer (TPC-H Q10 shape).
+
+    VARIANT of ``tpch_q10_returned`` (pre-dates the full TPC-H tier):
+    same Q10 skeleton without the date window/address columns/top-20 -
+    kept as a plain multi-join aggregate; not counted as new coverage."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_fsum(revenue, "revenue", dp=4))
+    )
+
+
+@_q(
+    "q7_volume_shipping",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INTEGER)""",
+)
+def q_q7_volume_shipping(spark, sf):
+    """B37: cross-border trade volume (TPC-H Q7 shape) — two aliases of
+    the same dimension joined under different roles.
+
+    VARIANT of ``tpch_q7_volume`` (pre-dates the full TPC-H tier): ALL
+    cross-nation pairs instead of the fixed pair + date window of Q7 -
+    kept for the unrestricted-pair shape; not counted as new coverage."""
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_fsum(revenue, "revenue", dp=4))
+    )
+
+
+@_q(
+    "stream_stream_join",
+    # Oracle-exact since r9: an INNER interval join's match set is a
+    # pure function of the two inputs (closed range
+    # [p_ts - 1h, p_ts]); the watermark exists to bound state, and the
+    # stream ≡ batch equality pin in tests/test_streaming.py is the
+    # evidence every match flushes under the availableNow run.
+    """SELECT p.event_id AS p_id, c.event_id AS c_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+)
+def q_stream_stream_join(spark, sf):
+    """Streaming extension: stream-stream interval join (purchases x
+    preceding clicks within 1h per user), state bounded by watermarks
+    + the time-range predicate."""
+    from lookup_transform_spark.streaming import read_events_stream
+    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
+    from lookup_transform_spark.streaming.stream_stream import (
+        stream_stream_interval_join,
+    )
+
+    ev = read_events_stream(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        lookback="1 hour",
+    ).select("p_id", "c_id")
+    return run_to_memory(joined, f"mem_stream_stream_{_vtag(sf)}")
+
+
+@_q(
+    "tfidf_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored) WHERE rn <= 5""",
+)
+def q_tfidf_top_terms(spark, sf):
+    """B53: TF-IDF top-5 terms per document. Ranking uses the ROUNDED
+    score + term tiebreak so mathematically-equal scores computed via
+    different ln() paths order identically in both engines."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Document frequency derives from tf — it already holds exactly one
+    # row per (doc, term), so a per-term row count == countDistinct(doc_id)
+    # over the raw token stream. Computing it as a window count over tf
+    # (a) tokenizes the corpus ONCE (the naive formulation re-explodes
+    # every document for the df branch and pays a countDistinct shuffle
+    # on the full token stream) and (b) avoids a tf⋈df self-join that
+    # would re-evaluate the explode subtree on both sides.
+    w_term = Window.partitionBy("term")
+    scored = tf.select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(w_term)),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def bm25_per_doc(spark, sf, terms):
+    """The single tokenize pass behind ``bm25_retrieval``: ONE
+    ``documents`` scan projecting per-document statistics — doclen and
+    per-query-term tf — as row-local array ops (``size``/``filter``
+    over the split, no explode, no token-stream shuffle). One split per
+    row: whole-stage codegen's subexpression elimination shares the
+    ``split()`` across the six uses (pinned in tests/test_plans.py).
+    Output is ~40 bytes/doc regardless of document size."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def eq(term):  # 1-arg lambda: a 2-arg one would bind (elem, index)
+        return lambda x: x == F.lit(term)
+
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
+@_q(
+    "bm25_retrieval",
+    """WITH consts AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(lower(text), '\\s+'))) AS sum_dl
+  FROM documents
+), tok AS (
+  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl,
+         unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE term IN ('join', 'window', 'hash', 'stream')
+  GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n_docs - COUNT(*) OVER (PARTITION BY tf.term) + 0.5)
+                / (COUNT(*) OVER (PARTITION BY tf.term) + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                           / (c.sum_dl::DOUBLE / c.n_docs))) AS s
+  FROM tf CROSS JOIN consts c
+)
+SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20""",
+)
+def q_bm25_retrieval(spark, sf):
+    """B53 extension: BM25 (k1=1.2, b=0.75) top-20 retrieval for a
+    fixed query-term set — the lexical-retrieval scorer a curation
+    pipeline runs next to embedding search (hard-negative mining,
+    retrieval-based decontamination).
+
+    Scale shape (r7 rework, VERDICT r6 #6): ONE corpus scan, total.
+    ``bm25_per_doc`` tokenizes once and reduces each document to
+    (doc_id, dl, tf per query term) — per-row array ops, no explode.
+    That ~40 B/doc projection is localCheckpoint'd (the "index": at
+    100 TB it is n_docs × 40 B, the one artifact worth materializing),
+    and BOTH consumers read the materialized blocks: a 1-row constants
+    aggregate (N, Σdl, per-term df — df folds into the same agg as
+    ``sum(tf_i > 0)``, killing the old per-term window shuffle) that is
+    broadcast back via cross-join, and the scorer, which keeps only
+    docs matching ≥1 query term. The old formulation scanned +
+    tokenized the text column TWICE (a separate ``.first()`` action
+    for N/Σdl) and shuffled an exploded token stream for tf + a window
+    for df; now the only shuffle in the job is the final top-20
+    (TakeOrderedAndProject, O(k) per partition).
+
+    Determinism vs the oracle: per-term double math is IEEE-identical
+    (same operand order as the SQL, constants as the same double
+    literals), tf=0 terms contribute an exact +0.0, the final sum is
+    rounded to 6 decimals, and the top-20 cut is ordered
+    (bm25 DESC, doc_id) on the ROUNDED score so equal scores computed
+    via different ln() paths rank identically in both engines."""
+    # constants appear as the SAME double literals as in the SQL text
+    # (k1=1.2, b=0.75): k1+1 computed in Python could differ from the
+    # parsed literal 2.2 in the last ulp
+    K1, K1P1, ONE_MINUS_B, B = 1.2, 2.2, 0.25, 0.75
+    terms = ["join", "window", "hash", "stream"]
+    idx = range(len(terms))
+    per_doc = bm25_per_doc(spark, sf, terms).localCheckpoint(eager=False)
+    consts = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in idx
+            ],
+        )
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def s_term(i):
+        dfc = F.col(f"df_{i}")
+        tfc = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfc + F.lit(0.5))
+            / (dfc + F.lit(0.5))
+        )
+        s = idf * (tfc * F.lit(K1P1)) / (
+            tfc + F.lit(K1) * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / avgdl)
+        )
+        # a tf=0 term is absent from the oracle's tf CTE: contribute an
+        # exact +0.0 (IEEE-neutral for the positive BM25 partials)
+        return F.when(tfc > 0, s).otherwise(F.lit(0.0))
+
+    total = s_term(0)
+    for i in list(idx)[1:]:
+        total = total + s_term(i)
+    return (
+        per_doc.filter(
+            sum((F.col(f"tf_{i}") for i in list(idx)[1:]), F.col("tf_0")) > 0
+        )
+        .crossJoin(consts)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@_q(
+    "embedding_centroids",
+    """WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+)
+SELECT label, CAST(idx AS INTEGER) AS idx,
+       ROUND((SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000000.0) AS BIGINT)) / 10000000000.0) / COUNT(*), 5) AS centroid_val
+FROM e GROUP BY label, idx""",
+)
+def q_embedding_centroids(spark, sf):
+    """B52 support: per-class centroid, element-wise (posexplode ->
+    fixed-point mean). Long form (label, idx, value) so the oracle
+    compare is scalar, not array-typed.
+
+    r7: the sum was a decimal(38,10) accumulator — precision >18 is a
+    JVM BigDecimal per row, off the primitive codegen path (the exact
+    defect the fixed-point rework removed from the money sums, PLANS.md)
+    — measured 1.08 s -> ~0.5 s at 32x as a scaled-long sum. dp=10
+    reproduces decimal(38,10)'s per-element quantization exactly, so
+    the oracle change is form, not values. float -> double FIRST:
+    engines disagree on float->decimal/fixed-point shortest-repr.
+    Overflow headroom: |v|*1e10 * rows_per_group must stay < 2^63 —
+    fine to ~1e7 rows per (label, idx) group; beyond that use
+    fp_sum_stable (functions/fixedpoint.py)."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
+        .agg(
+            F.round(
+                (F.sum(scaled_long(F.col("v").cast("double"), 10))
+                 / F.lit(10000000000.0)) / F.count(F.lit(1)), 5
+            ).alias("centroid_val")
+        )
+    )
+
+
+@_q(
+    "knn_classify",
+    """WITH scored AS (
+  SELECT q.vec_id AS query_id, c.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rn
+  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+  WHERE c.vec_id <> q.vec_id
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n FROM scored WHERE rn <= 15
+  GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label FROM (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n DESC, label) AS r
+  FROM votes) WHERE r = 1""",
+)
+def q_knn_classify(spark, sf):
+    """B52 end-use: kNN majority-vote classification over the exact
+    cosine top-k (k=15), deterministic tiebreak toward the smaller
+    label."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    nn = cosine_topk(emb, queries, k=15)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(labels, on="neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+
+

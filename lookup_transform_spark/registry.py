@@ -175,4969 +175,31 @@ def _fsum(col, alias: str, dp: int = 2):
     return fp_sum(col, dp).alias(alias)
 
 
-# ---------------------------------------------------------------------------
-# B10-B20: the lookup family (reference-faithful variants first)
-# ---------------------------------------------------------------------------
-
-_ORDERS_COLS = """o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
-       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority"""
-
-
-@_q(
-    "lookup",
-    f"""SELECT {_ORDERS_COLS}, c.c_mktsegment AS segment
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
-)
-def q_lookup(spark, sf):
-    """B10/A1 flagship: reference shape — fact + broadcast dim, left-outer,
-    one value column, alias (Lookup.java:186-257)."""
-    spec = LookupSpec("customer", "o_custkey", "c_custkey", "c_mktsegment", "segment")
-    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
-    return out.select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        F.col("o_orderdate").cast("date").alias("o_orderdate"),
-        "o_orderpriority", "segment",
-    )
-
-
-@_q(
-    "lookup_default_alias",
-    """SELECT o.o_orderkey, c.c_mktsegment
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
-)
-def q_lookup_default_alias(spark, sf):
-    """B11/A3: outputField omitted → defaults to the value-field name
-    (Lookup.java:389-391)."""
-    spec = LookupSpec("customer", "o_custkey", "c_custkey", "c_mktsegment")
-    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
-    return out.select("o_orderkey", "c_mktsegment")
-
-
-@_q(
-    "lookup_default_on_miss",
-    """SELECT o.o_orderkey,
-       CASE WHEN c.c_custkey IS NULL THEN 'UNKNOWN'
-            ELSE c.c_mktsegment END AS segment
-FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
-ON o.o_custkey = c.c_custkey""",
-)
-def q_lookup_default_on_miss(spark, sf):
-    """B12: the widget's declared-but-unshipped defaultValue
-    (widgets/Lookup-batchjoiner.json:44-51) — applied on MISS only: a
-    matched row whose value field is NULL keeps that NULL (the oracle
-    mirrors with a miss-marker CASE, not COALESCE, which would rewrite
-    matched NULLs too — r8 review)."""
-    lkp = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
-    spec = LookupSpec(
-        "customer", "o_custkey", "c_custkey", "c_mktsegment", "segment",
-        default_value="UNKNOWN",
-    )
-    return spec.apply(_t(spark, sf, "orders"), lkp).select("o_orderkey", "segment")
-
-
-@_q(
-    "lookup_multi_key",
-    """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity,
-       b.l_extendedprice AS matched_price
-FROM lineitem a LEFT JOIN lineitem b
-ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber""",
-)
-def q_lookup_multi_key(spark, sf):
-    """B13: composite join key (fact-fact, so no broadcast — the B18
-    policy in the same plan)."""
-    li = _t(spark, sf, "lineitem")
-    spec = LookupSpec(
-        "lineitem_lkp",
-        ["l_orderkey", "l_linenumber"],
-        ["l_orderkey", "l_linenumber"],
-        "l_extendedprice",
-        "matched_price",
-        broadcast=False,
-    )
-    inp = li.select("l_orderkey", "l_linenumber", "l_quantity")
-    return spec.apply(inp, li)
-
-
-@_q(
-    "lookup_multi_value",
-    """SELECT o.o_orderkey, c.c_mktsegment AS segment, c.c_acctbal AS acctbal
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
-)
-def q_lookup_multi_value(spark, sf):
-    """B14: N value columns in one pass."""
-    spec = LookupSpec(
-        "customer", "o_custkey", "c_custkey",
-        ["c_mktsegment", "c_acctbal"], ["segment", "acctbal"],
-    )
-    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "customer"))
-    return out.select("o_orderkey", "segment", "acctbal")
-
-
-@_q(
-    "lookup_first_match",
-    """SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
-       f.o_orderkey, f.o_totalprice
-FROM customer c LEFT JOIN (
-  SELECT o_custkey, o_orderkey, o_totalprice FROM (
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
-    FROM orders) WHERE rn = 1) f
-ON c.c_custkey = f.o_custkey""",
-)
-def q_lookup_first_match(spark, sf):
-    """B15: map semantics — deterministic first match (min o_orderkey)
-    instead of the reference's row-multiplying join (SURVEY §7 decision)."""
-    spec = LookupSpec(
-        "orders", "c_custkey", "o_custkey",
-        ["o_orderkey", "o_totalprice"],
-        first_match=True, first_match_order=["o_orderkey"],
-    )
-    return spec.apply(_t(spark, sf, "customer"), _t(spark, sf, "orders"))
-
-
-@_q(
-    "lookup_inner",
-    """SELECT o.o_orderkey, c.c_mktsegment AS segment
-FROM orders o JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
-ON o.o_custkey = c.c_custkey""",
-)
-def q_lookup_inner(spark, sf):
-    """B16: required-lookup variant — drop misses (how='inner')."""
-    lkp = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
-    spec = LookupSpec(
-        "customer", "o_custkey", "c_custkey", "c_mktsegment", "segment",
-        how="inner",
-    )
-    return spec.apply(_t(spark, sf, "orders"), lkp).select("o_orderkey", "segment")
-
-
-@_q(
-    "lookup_null_safe",
-    """SELECT o.o_orderkey, NULLIF(o.o_custkey % 7, 0) AS k, n.n_name
-FROM orders o LEFT JOIN nation n
-ON NULLIF(o.o_custkey % 7, 0) IS NOT DISTINCT FROM NULLIF(n.n_nationkey % 7, 0)""",
-)
-def q_lookup_null_safe(spark, sf):
-    """B17: <=> key equality — null keys DO match (vs. the reference's
-    null-unsafe default, Lookup.java:224)."""
-    inp = _t(spark, sf, "orders").select(
-        "o_orderkey", F.expr("nullif(o_custkey % 7, 0)").alias("k")
-    )
-    lkp = _t(spark, sf, "nation").select(
-        F.expr("nullif(cast(n_nationkey as bigint) % 7, 0)").alias("k2"), "n_name"
-    )
-    spec = LookupSpec("nation", "k", "k2", "n_name", null_safe=True)
-    return spec.apply(inp, lkp)
-
-
-@_q(
-    "lookup_big",
-    """SELECT o.o_orderkey, o.o_totalprice, l.l_extendedprice AS price,
-       l.l_discount AS discount
-FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey""",
-)
-def q_lookup_big(spark, sf):
-    """B18: lookup side too big to broadcast → plain join, AQE decides
-    (the 100 TB correction of the reference's unconditional broadcast,
-    Lookup.java:208)."""
-    spec = LookupSpec(
-        "lineitem", "o_orderkey", "l_orderkey",
-        ["l_extendedprice", "l_discount"], ["price", "discount"],
-        broadcast=False,
-    )
-    out = spec.apply(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
-    return out.select("o_orderkey", "o_totalprice", "price", "discount")
-
-
-@_q(
-    "lookup_asof",
-    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.value AS last_click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (
-  SELECT * FROM events WHERE event_type = 'click'
-  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                             ORDER BY value DESC NULLS LAST) = 1) c
-ON p.user_id = c.user_id AND p.ts >= c.ts""",
-)
-def q_lookup_asof(spark, sf):
-    """B19 as-of: latest click at-or-before each purchase, per user.
-    Union-sort formulation — no range-join explosion (operators/asof.py)."""
-    ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("last_click_value")
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        value_fields=["last_click_value"],
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "last_click_value",
-    )
-
-
-@_q(
-    "lookup_asof_forward",
-    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.value AS next_click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (
-  SELECT * FROM events WHERE event_type = 'click'
-  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                             ORDER BY value DESC NULLS LAST) = 1) c
-ON p.user_id = c.user_id AND p.ts <= c.ts""",
-)
-def q_lookup_asof_forward(spark, sf):
-    """B19 as-of, FORWARD direction: earliest click at-or-after each
-    purchase, per user (pandas merge_asof direction="forward"; DuckDB
-    ``ON l.ts <= r.ts``). Same single-shuffle union-sort plan as the
-    backward default — the per-key pass just sorts descending."""
-    ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("next_click_value")
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        value_fields=["next_click_value"], direction="forward",
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "next_click_value",
-    )
-
-
-@_q(
-    "lookup_asof_nearest",
-    """WITH p AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-c AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
-  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                             ORDER BY value DESC NULLS LAST) = 1)
-SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       (SELECT min_by(c.value,
-                      2 * abs(epoch_us(p.ts) - epoch_us(c.ts))
-                      + CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END)
-        FROM c WHERE c.user_id = p.user_id) AS nearest_click_value
-FROM p""",
-)
-def q_lookup_asof_nearest(spark, sf):
-    """B19 as-of, NEAREST direction (merge_asof direction="nearest"):
-    the click minimizing |Δt| from each purchase, ties toward the
-    at-or-before row. Composed from the backward and forward union-sort
-    passes plus a per-row pick; the oracle mirrors the exact tie rule
-    as a scalar ``min_by`` key (2·|Δt| + direction flag)."""
-    ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("nearest_click_value")
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        value_fields=["nearest_click_value"], direction="nearest",
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "nearest_click_value",
-    )
-
-
-@_q(
-    "lookup_asof_tolerance",
-    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
-            THEN c.value END AS recent_click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (
-  SELECT * FROM events WHERE event_type = 'click'
-  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                             ORDER BY value DESC NULLS LAST) = 1) c
-ON p.user_id = c.user_id AND p.ts >= c.ts""",
-)
-def q_lookup_asof_tolerance(spark, sf):
-    """B19 as-of with a tolerance bound (merge_asof ``tolerance``): the
-    latest click at-or-before each purchase counts only within 30
-    minutes — stale context is null, not silently ancient. A post-mask
-    on the carried match ts, so the plan is the same single-shuffle
-    union-sort pass; the oracle mirrors it as a CASE over the ASOF
-    match."""
-    ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("recent_click_value")
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        value_fields=["recent_click_value"],
-        tolerance_us=30 * 60 * 1_000_000,
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "recent_click_value",
-    )
-
-
-@_q(
-    "lookup_asof_multi",
-    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.click_value, c.click_props
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (
-  SELECT user_id, ts, value AS click_value,
-         CASE WHEN value >= 50 THEN props END AS click_props
-  FROM events WHERE event_type = 'click'
-  QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                             ORDER BY click_value DESC NULLS LAST,
-                                      click_props DESC NULLS LAST) = 1) c
-ON p.user_id = c.user_id AND p.ts >= c.ts""",
-)
-def q_lookup_asof_multi(spark, sf):
-    """B19 as-of, multi-value: two value fields carried atomically as one
-    struct (operators/asof.py). click_props is NULL-bearing by
-    construction — a per-field carry would back-fill it from an older
-    click and diverge from DuckDB ASOF JOIN; this pins the struct-packed
-    semantics."""
-    ev = _events(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts",
-        F.col("value").alias("click_value"),
-        F.when(F.col("value") >= 50, F.col("props")).alias("click_props"),
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
-        value_fields=["click_value", "click_props"],
-    )
-    return out.select(
-        "event_id", "user_id",
-        F.unix_micros("ts").alias("ts_us"), "click_value", "click_props",
-    )
-
-
-@_q(
-    "lookup_range",
-    """SELECT e.event_id, e.value, b.band
-FROM events e LEFT JOIN (
-  VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 1000.0, 'high')
-) b(lo, hi, band) ON e.value >= b.lo AND e.value < b.hi""",
-)
-def q_lookup_range(spark, sf):
-    """B19 range: value ∈ [lo, hi) banding compiled to a chained CASE
-    projection (disjoint bands) — pure codegen, no join, and the fact
-    side is never shuffled for a banding."""
-    bands = [
-        {"lo": 0.0, "hi": 50.0, "band": "low"},
-        {"lo": 50.0, "hi": 200.0, "band": "mid"},
-        {"lo": 200.0, "hi": 1000.0, "band": "high"},
-    ]
-    ev = _events(spark, sf).select("event_id", "value")
-    return range_join(ev, bands, "value", "lo", "hi", ["band"])
-
-
-@_q(
-    "lookup_chain",
-    """SELECT o.o_orderkey, c.c_nationkey AS cust_nationkey,
-       n.n_name AS nation_name, r.r_name AS region_name
-FROM orders o
-LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
-)
-def q_lookup_chain(spark, sf):
-    """B20: multi-stage star-schema denormalization — chained B10s
-    (the data-mart use case of docs/Lookup-batchjoiner.md:9-13)."""
-    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    s1 = LookupSpec("customer", "o_custkey", "c_custkey", "c_nationkey",
-                    "cust_nationkey")
-    s2 = LookupSpec("nation", "cust_nationkey", "n_nationkey",
-                    ["n_name", "n_regionkey"], ["nation_name", "rkey"])
-    s3 = LookupSpec("region", "rkey", "r_regionkey", "r_name", "region_name")
-    out = s1.apply(orders, _t(spark, sf, "customer"))
-    out = s2.apply(out, _t(spark, sf, "nation"))
-    out = s3.apply(out, _t(spark, sf, "region"))
-    return out.select("o_orderkey", "cust_nationkey", "nation_name", "region_name")
-
 
 # ---------------------------------------------------------------------------
-# B30-B39: relational scaffolding
+# Tier modules (r11 split, VERDICT r10 #7): importing each module runs
+# its @_q registrations into QUERIES/ORACLES above. Source order is the
+# pre-split file order. Public names each tier declares (q_* functions
+# and shared helpers like bm25_per_doc / ann_query_set) are hoisted
+# back onto this module so `registry.<name>` keeps working for every
+# existing consumer (tests, probes, parity bounds).
 # ---------------------------------------------------------------------------
 
-@_q(
-    "tpch_q1",
-    """SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
-       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
-       SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus""",
-)
-def q_tpch_q1(spark, sf):
-    """B32 hash aggregate: TPC-H Q1-shaped pricing summary. Sums are
-    fixed-point long accumulation (exact + codegen; the 6dp sum_charge
-    keeps ~2.4e8 rows/group of headroom — beyond that, ANSI mode fails
-    loudly and ``fp_sum_stable`` is the documented formulation)."""
-    li = _t(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _fsum("l_quantity", "sum_qty", dp=0),
-        _fsum("l_extendedprice", "sum_base_price", dp=2),
-        _fsum(disc_price, "sum_disc_price", dp=4),
-        _fsum(charge, "sum_charge", dp=6),
-        (fp_sum("l_quantity", 0) / F.count(F.lit(1))).alias("avg_qty"),
-        (fp_sum("l_discount", 2) / F.count(F.lit(1))).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+def _load_tiers() -> None:
+    import importlib
+    import sys
 
+    from lookup_transform_spark.queries import TIER_MODULES
 
-@_q(
-    "agg_rollup",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-)
-def q_agg_rollup(spark, sf):
-    """B33 rollup (grouping sets)."""
-    return (
-        _t(spark, sf, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), _fsum("l_quantity", "sum_qty", dp=0))
-    )
-
-
-@_q(
-    "agg_cube",
-    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
-)
-def q_agg_cube(spark, sf):
-    """B33 cube."""
-    return (
-        _t(spark, sf, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), _fsum("o_totalprice", "sum_price", dp=2))
-    )
-
-
-@_q(
-    "agg_distinct",
-    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
-FROM lineitem GROUP BY l_returnflag""",
-)
-def q_agg_distinct(spark, sf):
-    """B32 count-distinct (exact)."""
-    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@_q(
-    "window_topk",
-    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders) WHERE rk <= 3""",
-)
-def q_window_topk(spark, sf):
-    """B34/B35: top-k per group via window row_number."""
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        _t(spark, sf, "orders")
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-    )
-
-
-@_q(
-    "window_running",
-    """SELECT event_id, user_id,
-       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
-         PARTITION BY user_id
-         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
-         ROWS UNBOUNDED PRECEDING) / 1000000.0 AS running_value,
-       LAG(event_id) OVER (
-         PARTITION BY user_id
-         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_event_id
-FROM events""",
-)
-def q_window_running(spark, sf):
-    """B34: running aggregate + lag with a deterministic total order."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("long").asc(), F.col("event_id").asc()
-    )
-    return _events(spark, sf).select(
-        "event_id",
-        "user_id",
-        (
-            F.sum(scaled_long("value", 6))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            / F.lit(1e6)
-        ).alias("running_value"),
-        F.lag("event_id").over(w).alias("prev_event_id"),
-    )
-
-
-@_q(
-    "setops_except",
-    """SELECT c_custkey AS custkey FROM customer
-EXCEPT SELECT o_custkey FROM orders""",
-)
-def q_setops_except(spark, sf):
-    """B36: EXCEPT DISTINCT — customers with no orders."""
-    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.subtract(o)
-
-
-@_q(
-    "setops_intersect",
-    """SELECT c_custkey AS custkey FROM customer
-INTERSECT SELECT o_custkey FROM orders""",
-)
-def q_setops_intersect(spark, sf):
-    """B36: INTERSECT DISTINCT."""
-    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.intersect(o)
-
-
-@_q(
-    "setops_union",
-    """SELECT s_nationkey AS nationkey FROM supplier
-UNION SELECT c_nationkey FROM customer""",
-)
-def q_setops_union(spark, sf):
-    """B36: UNION DISTINCT."""
-    s = _t(spark, sf, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    c = _t(spark, sf, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    return s.union(c).distinct()
-
-
-@_q(
-    "join_semi",
-    """SELECT o_orderkey FROM orders o
-WHERE EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
-)
-def q_join_semi(spark, sf):
-    """B37: left-semi (EXISTS)."""
-    o = _t(spark, sf, "orders")
-    big = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
-    return o.join(
-        big, o["o_orderkey"] == big["l_orderkey"], "left_semi"
-    ).select("o_orderkey")
-
-
-@_q(
-    "join_anti",
-    """SELECT o_orderkey FROM orders o
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""",
-)
-def q_join_anti(spark, sf):
-    """B37: left-anti (NOT EXISTS)."""
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    return o.join(
-        li, o["o_orderkey"] == li["l_orderkey"], "left_anti"
-    ).select("o_orderkey")
-
-
-@_q(
-    "join_fuzzy_name",
-    """WITH s AS (
-  SELECT s_suppkey, s_name, s_nationkey FROM supplier)
-SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
-       levenshtein(a.s_name, b.s_name) AS dist
-FROM s a JOIN s b
-  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
- AND abs(len(a.s_name) - len(b.s_name)) <= 1
- AND levenshtein(a.s_name, b.s_name) <= 1""",
-)
-def q_join_fuzzy_name(spark, sf):
-    """B37 extension: fuzzy (edit-distance) join — approximate key
-    matching for entity resolution, the lookup family's answer to
-    misspelled/near-miss keys.
-
-    Scale shape: blocked, banded, then verified — the equi-join on the
-    blocking key (nation) bounds the candidate space to O(block²), the
-    length band |len(a)-len(b)| ≤ k prunes candidates with a codegen'd
-    integer predicate BEFORE the O(mn) levenshtein runs (edit distance
-    is ≥ the length difference, so the band is lossless), and the
-    expensive comparison is last in the conjunction. At corpus scale
-    the blocking key is the lever (e.g. phonetic bucket, n-gram
-    prefix); the verify stage's cost is candidates, never all-pairs."""
-    s = _t(spark, sf, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey"
-    )
-    a = s.select(
-        F.col("s_suppkey").alias("suppkey_a"),
-        F.col("s_name").alias("__name_a__"),
-        F.col("s_nationkey").alias("__nk_a__"),
-    )
-    b = s.select(
-        F.col("s_suppkey").alias("suppkey_b"),
-        F.col("s_name").alias("__name_b__"),
-        F.col("s_nationkey").alias("__nk_b__"),
-    )
-    dist = F.levenshtein("__name_a__", "__name_b__")
-    return (
-        a.join(
-            b,
-            (F.col("__nk_a__") == F.col("__nk_b__"))
-            & (F.col("suppkey_a") < F.col("suppkey_b"))
-            & (
-                F.abs(
-                    F.length("__name_a__") - F.length("__name_b__")
-                ) <= 1
-            )
-            & (dist <= 1),
+    self = sys.modules[__name__]
+    for mod_name in TIER_MODULES:
+        mod = importlib.import_module(
+            f"lookup_transform_spark.queries.{mod_name}"
         )
-        .select("suppkey_a", "suppkey_b", dist.alias("dist"))
-    )
+        for attr, val in vars(mod).items():
+            if attr.startswith("_") or hasattr(self, attr):
+                continue
+            setattr(self, attr, val)
 
 
-@_q(
-    "filter_predicates",
-    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-WHERE o_orderstatus IN ('O', 'F') AND o_totalprice BETWEEN 1000 AND 5000
-  AND o_orderpriority LIKE '3%' AND o_custkey IS NOT NULL""",
-)
-def q_filter_predicates(spark, sf):
-    """B30: predicate surface (in/between/like/null-check) — all pushed
-    to the parquet scan."""
-    o = _t(spark, sf, "orders")
-    return o.filter(
-        F.col("o_orderstatus").isin("O", "F")
-        & F.col("o_totalprice").between(1000, 5000)
-        & F.col("o_orderpriority").like("3%")
-        & F.col("o_custkey").isNotNull()
-    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-
-
-@_q(
-    "scalar_funcs",
-    """SELECT p_partkey,
-       upper(p_name) AS name_upper,
-       substring(p_type, 1, 5) AS type5,
-       round(p_retailprice * 1.1, 2) AS adj_price,
-       abs(p_size - 25) AS size_dev,
-       concat_ws('#', p_brand, p_type) AS brand_type,
-       CAST(length(p_name) AS INTEGER) AS name_len
-FROM part""",
-)
-def q_scalar_funcs(spark, sf):
-    """B38: string/math scalar functions."""
-    p = _t(spark, sf, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.substring("p_type", 1, 5).alias("type5"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("adj_price"),
-        F.abs(F.col("p_size") - 25).alias("size_dev"),
-        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
-    )
-
-
-@_q(
-    "date_funcs",
-    """SELECT o_orderkey,
-       CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       CAST(month(o_orderdate) AS INTEGER) AS o_month,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INTEGER)
-         AS days_to_y2k
-FROM orders""",
-)
-def q_date_funcs(spark, sf):
-    """B38: date/time scalar functions."""
-    o = _t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("o_year"),
-        F.month("o_orderdate").alias("o_month"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.datediff(F.lit("2000-01-01").cast("date"),
-                   F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
-    )
-
-
-@_q(
-    "json_extract",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-FROM events""",
-)
-def q_json_extract(spark, sf):
-    """B55: typed extraction from JSON strings."""
-    return _events(spark, sf).select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# B56 + B60-63 batch twins: sessionization & time windows
-# ---------------------------------------------------------------------------
-
-_SESSION_CTE = """WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-), l AS (
-  SELECT event_id, user_id, ts_us,
-         CASE WHEN LAG(ts_us) OVER w IS NULL
-                   OR ts_us - LAG(ts_us) OVER w > 1800000000
-              THEN 1 ELSE 0 END AS flag
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-), s AS (
-  SELECT event_id, user_id, ts_us,
-         CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-  FROM l
-)"""
-
-
-@_q(
-    "sessionize",
-    _SESSION_CTE + "\nSELECT event_id, user_id, session_id FROM s",
-)
-def q_sessionize(spark, sf):
-    """B56: gap-based sessionization (30-min gap), µs precision."""
-    ev = _events(spark, sf).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
-    )
-    out = sessionize(ev, key="user_id", ts="ts_us",
-                     gap_seconds=1800 * 1_000_000, order_tiebreak="event_id")
-    return out.select("event_id", "user_id", "session_id")
-
-
-@_q(
-    "session_window_agg",
-    _SESSION_CTE
-    + """
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
-FROM s GROUP BY user_id, session_id""",
-)
-def q_session_window_agg(spark, sf):
-    """B61 session-window batch twin: per-session aggregates."""
-    ev = _events(spark, sf).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
-    )
-    s = sessionize(ev, key="user_id", ts="ts_us",
-                   gap_seconds=1800 * 1_000_000, order_tiebreak="event_id")
-    return s.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts_us").alias("session_start_us"),
-        F.max("ts_us").alias("session_end_us"),
-    )
-
-
-@_q(
-    "window_tumbling",
-    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
-         AS w_start,
-       event_type, COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
-FROM events GROUP BY 1, 2""",
-)
-def q_window_tumbling(spark, sf):
-    """B61 tumbling-window batch twin (streaming twin in streaming/)."""
-    ev = _events(spark, sf)
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), _fsum("value", "sum_value", dp=6))
-        .select(
-            F.col("w.start").cast("long").alias("w_start"),
-            "event_type", "n_events", "sum_value",
-        )
-    )
-
-
-@_q(
-    "window_sliding",
-    """WITH x AS (
-  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type FROM events
-), w AS (
-  SELECT b AS ws, event_type FROM x
-  UNION ALL
-  SELECT b - INTERVAL '5 minutes' AS ws, event_type FROM x
-)
-SELECT CAST(floor(epoch(ws)) AS BIGINT) AS w_start, event_type,
-       COUNT(*) AS n_events
-FROM w GROUP BY 1, 2""",
-)
-def q_window_sliding(spark, sf):
-    """B61 sliding-window batch twin: 10-min window, 5-min slide."""
-    ev = _events(spark, sf)
-    return (
-        ev.groupBy(
-            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").cast("long").alias("w_start"),
-            "event_type", "n_events",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# B50-B55: LLM-data-pipeline tier
-# ---------------------------------------------------------------------------
-
-@_q(
-    "dedup_exact",
-    """SELECT user_id, event_id, event_type, value FROM (
-  SELECT user_id, event_id, event_type, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
-  FROM events) WHERE rn = 1""",
-)
-def q_dedup_exact(spark, sf):
-    """B50: exact dedup by key with deterministic survivor (min event_id),
-    as a single hash aggregate (min_by), not a window sort."""
-    ev = _events(spark, sf).select("user_id", "event_id", "event_type", "value")
-    return DD.dedup_exact(ev, ["user_id"], "event_id")
-
-
-@_q(
-    "dedup_distinct",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def q_dedup_distinct(spark, sf):
-    """B50/B36: full-row distinct."""
-    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-
-
-@_q(
-    "text_stats",
-    """WITH t AS (
-  SELECT doc_id, text,
-         CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
-         CAST(length(text) AS INTEGER) AS n_chr,
-         CASE WHEN text IS NULL THEN NULL
-              WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
-              ELSE 0.0 END AS praw
-  FROM documents)
-SELECT doc_id,
-       n_tok AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
-         AS n_bpe_tokens,
-       n_chr AS n_chars_actual,
-       ROUND(praw, 6) AS punct_ratio,
-       ROUND(LEAST(n_tok / 20.0, 1.0) * (1.0 - praw)
-             * CASE WHEN n_tok > 0 AND n_chr::DOUBLE / n_tok >= 3.0
-                         AND n_chr::DOUBLE / n_tok <= 12.0
-                    THEN 1.0 ELSE 0.5 END, 6) AS quality,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-FROM t""",
-)
-def q_text_stats(spark, sf):
-    """B53: token counts, punctuation ratio, quality score, fingerprint."""
-    return TX.text_stats(_t(spark, sf, "documents"))
-
-
-@_q(
-    "dedup_incremental",
-    """WITH fp AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
-  FROM documents)
-SELECT n.doc_id FROM fp n
-WHERE n.doc_id % 10 >= 8
-  AND NOT EXISTS (SELECT 1 FROM fp o WHERE o.doc_id % 10 < 8 AND o.f = n.f)""",
-)
-def q_dedup_incremental(spark, sf):
-    """Continuous-ingest dedup: drop new-batch docs whose normalized
-    content fingerprint already exists in the standing corpus (here the
-    batch split is doc_id mod 10 ≥ 8). One anti-join on the fingerprint
-    — at 100 TB the standing side is a bucketed fingerprint index, so
-    the join co-locates without reshuffling history each ingest."""
-    docs = _t(spark, sf, "documents")
-    fp = docs.select(
-        "doc_id", TX.content_fingerprint("text").alias("__f__")
-    )
-    old = fp.filter(F.pmod("doc_id", F.lit(10)) < 8).select("__f__")
-    new = fp.filter(F.pmod("doc_id", F.lit(10)) >= 8)
-    return new.join(old, "__f__", "left_anti").select("doc_id")
-
-
-@_q(
-    "dedup_incremental_indexed",
-    """WITH fp AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
-  FROM documents)
-SELECT n.doc_id FROM fp n
-WHERE n.doc_id % 10 >= 8
-  AND NOT EXISTS (SELECT 1 FROM fp o WHERE o.doc_id % 10 < 8 AND o.f = n.f)""",
-)
-def q_dedup_incremental_indexed(spark, sf):
-    """B50 at-rest path: the same incremental dedup answered from a
-    BUCKETED standing fingerprint index (write_fingerprint_index /
-    incremental_probe) — the 100 TB shape `dedup_incremental`'s
-    docstring promises. The index is built once (write-once/probe-many,
-    like the IVF layout); each probe fingerprints and shuffles only the
-    NEW batch while the standing side is read in place with no Exchange
-    (pinned in tests/test_plans.py). Same oracle as dedup_incremental —
-    identical results, different at-rest physics."""
-    from lookup_transform_spark.operators.dedup import (
-        incremental_probe,
-        write_fingerprint_index,
-    )
-
-    docs = _t(spark, sf, "documents")
-    tag = _vtag(sf)
-    table = f"fpidx_{tag}"
-    path = scratch_path("fpidx", sf)
-    _stale_guard(
-        spark, path, os.path.join(sf, "documents.parquet"), tables=(table,)
-    )
-    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
-    write_fingerprint_index(spark, standing, table, path)
-    new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
-    return incremental_probe(spark, new, table)
-
-
-@_q(
-    "lang_stats",
-    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents GROUP BY lang""",
-)
-def q_lang_stats(spark, sf):
-    """B53: per-language corpus stats."""
-    return _t(spark, sf, "documents").groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-def _lang_list_sql(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
-    return (
-        f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> "
-        f"list_contains([{words}], x)))::DOUBLE / len(toks) ELSE 0.0 END"
-    )
-
-
-@_q(
-    "lang_id",
-    f"""WITH t AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
-), s AS (
-  SELECT doc_id,
-         {_lang_list_sql('de')} AS s_de,
-         {_lang_list_sql('en')} AS s_en,
-         {_lang_list_sql('es')} AS s_es,
-         {_lang_list_sql('fr')} AS s_fr
-  FROM t)
-SELECT doc_id,
-       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-            WHEN s_es >= s_fr THEN 'es'
-            ELSE 'fr' END AS lang_pred
-FROM s""",
-)
-def q_lang_id(spark, sf):
-    """B53: stopword-heuristic language ID (ties → alphabetically first)."""
-    return _t(spark, sf, "documents").select(
-        "doc_id", TX.lang_id("text").alias("lang_pred")
-    )
-
-
-@_q(
-    "ngram_jaccard",
-    """WITH d AS (
-  SELECT doc_id, source,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
-  FROM documents)
-SELECT doc_id_a, doc_id_b, jaccard FROM (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-WHERE jaccard >= 0.2""",
-)
-def q_ngram_jaccard(spark, sf):
-    """B51: exact n-gram Jaccard near-dup pairs, source-blocked."""
-    return DD.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), block_col="source", shingle_n=3, threshold=0.2
-    )
-
-
-@_q(
-    "ngram_containment",
-    """WITH d AS (
-  SELECT doc_id, source,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
-  FROM documents)
-SELECT doc_id_a, doc_id_b, containment FROM (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / least(len(a.sh), len(b.sh)), 6) AS containment
-  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-WHERE containment >= 0.4""",
-)
-def q_ngram_containment(spark, sf):
-    """B51: n-gram containment (overlap coefficient |A∩B|/min(|A|,|B|))
-    pairs — the asymmetric-length contamination detector: a short doc
-    verbatim-embedded in a long one scores 1.0 where Jaccard dilutes it
-    by the length ratio. Same single-tokenize candidate pipeline as
-    ``ngram_jaccard`` (shared operator, ``metric`` switch)."""
-    return DD.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), block_col="source", shingle_n=3,
-        threshold=0.4, metric="containment",
-    )
-
-
-@_q(
-    "embedding_near_dup",
-    """SELECT vec_id_a, vec_id_b, sim FROM (
-  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-WHERE sim >= 0.4""",
-)
-def q_embedding_near_dup(spark, sf):
-    """B51: embedding-cosine near-duplicate pairs (exact).
-
-    ``blocks`` scales with the corpus so a tile side stays ~8k vectors
-    — the knob the operator docstring prescribes. A similarity tile is
-    side² float64s: 8k → 512 MB/task, the shape the 32× fixture already
-    runs at full worker concurrency; a fixed block count grows the tile
-    quadratically with the corpus and OOMs the executor (measured at
-    the 128× probe scale, where blocks=8 meant 32k-side / 8.6 GB
-    tiles), while over-fragmenting (4k sides measured 1.75× slower at
-    32× — replication volume grows linearly in ``blocks``). Block count
-    never changes results (the op is exact), only tile shape; total
-    FLOPs stay O(n²) by design."""
-    emb = _t(spark, sf, "embeddings")
-    # size `blocks` from the catalog-EXACT row count when one exists
-    # (free), else one count() scan. The over-counting sizeInBytes
-    # estimate must not be used here (r8 review): it guesses 8 bytes
-    # for the embedding array (~512 real), inflating rows ~100x and the
-    # O(blocks²) tile-pair count ~10,000x — block sizing scales WORK,
-    # so it needs a truthful n, not a gate-safe over-count
-    from lookup_transform_spark.plans.lookup import _exact_rows_if_known
-
-    n = _exact_rows_if_known(emb) or emb.count()
-    blocks = max(8, -(-n // 8000))
-    return DD.embedding_near_dup_pairs(emb, threshold=0.4, blocks=blocks)
-
-
-def ann_query_set(emb: DataFrame) -> DataFrame:
-    """The canonical ANN query sample: every 100th vector. ONE helper
-    shared by the simsearch_* queries AND parity_bounds._recall's
-    ground-truth derivation (ADVICE r10): if the sampling ever changes,
-    both sides move together — a drifted recall bound comparing
-    mismatched query/truth sets can pass or fail spuriously."""
-    return emb.filter(F.col("vec_id") % 100 == 0)
-
-
-@_q(
-    "simsearch_cosine",
-    """SELECT query_id, neighbor_id, sim FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
-         ROW_NUMBER() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                    c.vec_id) AS rn
-  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
-  WHERE c.vec_id <> q.vec_id)
-WHERE rn <= 10""",
-)
-def q_simsearch_cosine(spark, sf):
-    """B52: exact brute-force cosine top-k (queries broadcast, corpus
-    scanned once; the oracle-checkable ANN baseline)."""
-    emb = _t(spark, sf, "embeddings")
-    queries = ann_query_set(emb)
-    return cosine_topk(emb, queries, k=10)
-
-
-# ---- near-dup pair queries (LSH/banded engines, oracle-exact via
-# ----   verify stages / portable hash families) ----------------------------
-
-@_q(
-    "dedup_minhash",
-    """WITH d AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
-  FROM documents)
-SELECT doc_id_a, doc_id_b, jaccard FROM (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-WHERE jaccard >= 0.5""",
-)
-def q_dedup_minhash(spark, sf):
-    """B51: MinHash-LSH near-dup (shingle→minhash→band→bucket-join→verify).
-
-    Oracle-checkable even though the LSH banding is hash-seeded: the
-    candidate stage is followed by an EXACT shingle-set Jaccard verify,
-    so the output is exactly {pairs : J(a,b) >= 0.5} whenever banding
-    recall is 1.0 — which the recall pin (test_dedup) establishes and
-    the all-pairs DuckDB oracle re-proves end-to-end every round. The
-    oracle is the brute-force O(n²) formulation; the engine never
-    materializes all pairs (banded LSH candidates only), which is the
-    entire at-scale point. Exact-duplicate star edges (precluster) and
-    the full pair set coincide here because the gate fixture has no
-    duplicate texts; on corpora with exact dups the engine returns the
-    linear star-edge representation by design."""
-    return DD.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
-    )
-
-
-def _simhash_md5_oracle(max_hamming: int = 3) -> str:
-    """DuckDB SQL recomputing the md5-family simhash signature exactly
-    (same token set, same first-64-md5-bits hash, same majority vote —
-    see ``dedup._md5_token_hash``) and emitting hamming <= max_hamming
-    pairs. The 64 per-bit vote terms are generated, not hand-written."""
-    # the vote terms coalesce the empty-list sum (NULL in DuckDB) to 0,
-    # so an empty token set votes every bit ON (2·0 >= 0) — matching the
-    # engine's all-ones ``empty_sig`` for NULL/tokenless texts instead
-    # of silently diverging to signature 0 on such rows
-    bitsum = "\n      + ".join(
-        f"(CASE WHEN 2*coalesce(list_sum(list_transform(hs, h -> ((h >> {j}) & 1)::BIGINT)), 0)"
-        f" >= len(hs) THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
-        for j in range(64)
-    )
-    return f"""WITH d AS (
-  SELECT doc_id, coalesce(list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
-         t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT), []) AS hs
-  FROM documents),
-sig AS (
-  SELECT doc_id, ({bitsum}) AS sig FROM d)
-SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-       bit_count(xor(a.sig, b.sig))::INT AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
-
-
-@_q("dedup_simhash", _simhash_md5_oracle(max_hamming=3))
-def q_dedup_simhash(spark, sf):
-    """B51: SimHash near-dup with pigeonhole banding (hamming <= 3).
-
-    Runs the portable md5 hash family (``hash_family="md5"``) so the
-    DuckDB oracle can recompute the IDENTICAL 64-bit signatures and
-    hamming distances from the raw text — signature equality is pinned
-    bit-for-bit in test_dedup. The oracle is the brute-force all-pairs
-    formulation; the engine only ever joins within pigeonhole chunk
-    buckets (lossless for hamming < chunks), which is the scale path."""
-    return DD.simhash_pairs(
-        _t(spark, sf, "documents"), max_hamming=3, hash_family="md5"
-    )
-
-
-@_q(
-    "dedup_substring",
-    """WITH spans AS (
-  SELECT d.doc_id, substr(d.text, CAST(i.i AS INTEGER), 40) AS span
-  FROM documents d,
-       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 39, 1), 10)) AS i) i)
-SELECT md5(span) AS span_md5, COUNT(DISTINCT doc_id) AS n_docs
-FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2""",
-)
-def q_dedup_substring(spark, sf):
-    """B51: cross-document repeated-substring spans (character-level
-    verbatim duplication, Lee et al. 2021 shape) — sampled 40-char
-    windows at stride 10, countDistinct aggregate, no self-join."""
-    return DD.substring_spans(
-        _t(spark, sf, "documents"), span_len=40, stride=10, min_docs=2
-    )
-
-
-@_q(
-    "substring_dup_rate",
-    """WITH spans AS (
-  SELECT d.doc_id, substr(d.text, CAST(i.i AS INTEGER), 40) AS span
-  FROM documents d,
-       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 39, 1), 10)) AS i) i),
-hot AS (
-  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
-SELECT s.doc_id,
-       COUNT(*) AS n_windows,
-       CAST(COUNT(*) FILTER (WHERE s.span IN (SELECT span FROM hot)) AS BIGINT)
-         AS n_dup_windows,
-       ROUND(COUNT(*) FILTER (WHERE s.span IN (SELECT span FROM hot)) * 1.0
-             / COUNT(*), 6) AS dup_rate
-FROM spans s GROUP BY s.doc_id""",
-)
-def q_substring_dup_rate(spark, sf):
-    """B51/B53: per-document verbatim-duplication rate — the curation
-    filter over `dedup_substring`'s hot-span set (drop docs that are
-    mostly shared boilerplate)."""
-    return DD.substring_dup_rate(
-        _t(spark, sf, "documents"), span_len=40, stride=10, min_docs=2
-    )
-
-
-@_q(
-    "fingerprint_rolling",
-    """SELECT doc_id,
-       list_min(list_transform(
-         list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 4, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2],
-                string_split_regex(lower(text), '\\s+')[i+3],
-                string_split_regex(lower(text), '\\s+')[i+4])),
-         s -> CASE WHEN ('0x' || substr(md5(s), 1, 16))::UBIGINT
-                        >= 9223372036854775808::HUGEINT
-                   THEN (('0x' || substr(md5(s), 1, 16))::UBIGINT::HUGEINT
-                         - 18446744073709551616::HUGEINT)::BIGINT
-                   ELSE ('0x' || substr(md5(s), 1, 16))::UBIGINT::BIGINT
-              END)) AS rfp
-FROM documents""",
-)
-def q_fingerprint_rolling(spark, sf):
-    """B53: winnowing-style rolling fingerprint (min 5-gram hash).
-
-    r8 promotion from rows-only: the hash family is md5-first-64-bits
-    (``operators/dedup._md5_token_hash``'s signed fold — the one 64-bit
-    family both engines share, already pinned bit-equal for simhash),
-    so the min-over-windows fingerprint is recomputed independently by
-    the DuckDB oracle. The xxhash64 family remains available on the
-    operator for speed-first pipelines (rows-only there by nature)."""
-    from lookup_transform_spark.operators.dedup import _ensure_parallel
-
-    d = _ensure_parallel(_t(spark, sf, "documents"), "doc_id")
-    return d.select(
-        "doc_id",
-        TX.rolling_fingerprint("text", window=5, hash_family="md5").alias(
-            "rfp"
-        ),
-    )
-
-
-@_q("simsearch_lsh")
-def q_simsearch_lsh(spark, sf):
-    """B52 scale path: multi-band random-hyperplane LSH bucketing →
-    candidate equi-join → exact re-score. Approximate: recall@10 = 0.84
-    vs exact cosine on this fixture (pinned in test_similarity_guards)."""
-    emb = _t(spark, sf, "embeddings")
-    queries = ann_query_set(emb)
-    return lsh_bucket_topk(emb, queries, k=10, n_planes=4, n_bands=16)
-
-
-@_q("simsearch_ivf")
-def q_simsearch_ivf(spark, sf):
-    """B52 scale path: IVF-style centroid probing (approximate)."""
-    emb = _t(spark, sf, "embeddings")
-    queries = ann_query_set(emb)
-    return ivf_topk(
-        emb, queries, k=10, n_centroids=32, nprobe=8, refine_iters=5
-    )
-
-
-@_q("simsearch_ivf_pruned")
-def q_simsearch_ivf_pruned(spark, sf):
-    """B52 at-rest scale path: the corpus written partitioned by
-    centroid cell (write_ivf_layout), then probed with a partition-
-    pruned scan — only the nprobe cell directories are read. Same
-    centroids/nprobe as simsearch_ivf → identical results (pinned by
-    tests/test_similarity_guards.py); rows-only here (approximate by
-    design, like the in-plan variant)."""
-    from lookup_transform_spark.operators.similarity import (
-        ivf_probe_topk,
-        write_ivf_layout,
-    )
-
-    emb = _t(spark, sf, "embeddings")
-    # cache key carries the layout parameters: a config change must
-    # miss the cache, not silently probe an index built with the old
-    # centroid count/refinement (the mtime gate only catches fixture
-    # regeneration)
-    path = scratch_path("ivf_layout", sf) + "_c32i5"
-    # an IVF layout is write-once / probe-many: build only when absent
-    # so repeated runs measure the steady-state probe, not the indexing.
-    # Staleness gate: a regenerated fixture must invalidate the cached
-    # index, else the pruned probe silently answers over the OLD corpus
-    # (diverging from simsearch_ivf, which reads the fixture directly).
-    if _stale_guard(
-        spark, path, os.path.join(sf, "embeddings.parquet"),
-        success=f"{path}/data/_SUCCESS",
-    ):
-        write_ivf_layout(emb, path, n_centroids=32, refine_iters=5)
-    queries = ann_query_set(emb)
-    return ivf_probe_topk(spark, path, queries, k=10, nprobe=8)
-
-
-# ---------------------------------------------------------------------------
-# B54: multimodal columns; B1-B3: sources & sinks
-# ---------------------------------------------------------------------------
-
-@_q(
-    "multimodal_payload",
-    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS payload_len,
-       md5(text) AS payload_md5, lang AS meta_lang,
-       CAST(n_chars AS INTEGER) AS meta_n_chars, source
-FROM documents""",
-)
-def q_multimodal_payload(spark, sf):
-    """B54: opaque binary payload + typed metadata travel through the
-    plan untouched; integrity checked by md5 over the bytes, and the
-    metadata struct is READ BACK on the far side of the binary stage
-    (r8 review: the struct used to be projected away unread, so the
-    'metadata travels with the payload' claim was never exercised)."""
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.struct("lang", "n_chars").alias("meta"),
-        "source",
-    )
-    return d.select(
-        "doc_id",
-        F.length("payload").alias("payload_len"),
-        F.md5("payload").alias("payload_md5"),
-        F.col("meta.lang").alias("meta_lang"),
-        F.col("meta.n_chars").alias("meta_n_chars"),
-        "source",
-    )
-
-
-@_q(
-    "scan_csv_roundtrip",
-    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-)
-def q_scan_csv_roundtrip(spark, sf):
-    """B2: CSV sink+scan with explicit schema (no inference)."""
-    from lookup_transform_spark.sources import read_csv, write_csv
-
-    path = scratch_path("nation_csv", sf)
-    write_csv(_t(spark, sf, "nation"), path)
-    return read_csv(spark, path, "n_nationkey int, n_name string, n_regionkey int")
-
-
-@_q(
-    "scan_json_roundtrip",
-    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
-)
-def q_scan_json_roundtrip(spark, sf):
-    """B2: JSON-lines sink+scan with explicit schema."""
-    from lookup_transform_spark.sources import read_json, write_json
-
-    path = scratch_path("supplier_json", sf)
-    write_json(_t(spark, sf, "supplier"), path)
-    return read_json(
-        spark, path, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
-    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-
-
-@_q(
-    "scan_orc_roundtrip",
-    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
-)
-def q_scan_orc_roundtrip(spark, sf):
-    """B2: ORC sink+scan — the second self-describing columnar format;
-    pushdown/pruning reach the reader exactly as with parquet."""
-    from lookup_transform_spark.sources import read_orc, write_orc
-
-    path = scratch_path("part_orc", sf)
-    write_orc(
-        _t(spark, sf, "part").select("p_partkey", "p_name", "p_brand", "p_retailprice"),
-        path,
-    )
-    return read_orc(spark, path)
-
-
-# oracle SQL only — pure-stdlib module, so importing the registry does
-# NOT hard-depend on pyspark.sql.datasource/numpy/pyarrow (ADVICE r8);
-# the DataSource itself is imported lazily inside the query
-from lookup_transform_spark.sources.synthetic_oracle import generator_oracle_sql
-
-
-@_q("scan_generator_source", generator_oracle_sql(n=2000, seed=42))
-def q_scan_generator_source(spark, sf):
-    """B1 extension: custom Python DataSource (Spark 4 API) — the
-    deterministic synthetic-corpus generator; partition-parallel rows
-    from pure compute, no storage. Oracle-exact (r8): rows are a pure
-    function of (seed, doc_id), so the DuckDB oracle RE-DERIVES the
-    corpus — splitmix64 transpiled to HUGEINT SQL
-    (``sources/synthetic.py:generator_oracle_sql``) — instead of
-    reading it; the independent recomputation is a stronger check than
-    any staged copy."""
-    from lookup_transform_spark.sources.synthetic import register
-
-    register(spark)
-    df = (
-        spark.read.format("synthdocs")
-        .option("n", 2000).option("parts", 8).load()
-    )
-    return df.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-    )
-
-
-@_q(
-    "sink_partitioned",
-    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
-)
-def q_sink_partitioned(spark, sf):
-    """B3: partitioned parquet sink, then partition-pruned scan-back.
-
-    The sink is write-once / scan-many (same steady-state protocol as
-    the IVF layout): the oracle times only the aggregate, so re-writing
-    the full table per bench repeat measured the WRITE against a
-    group-by — 67× at 32× for reasons that have nothing to do with the
-    scan path. First run (and ``tests/test_sources.py``) still exercise
-    the write; a regenerated fixture invalidates the cached sink.
-    """
-    from lookup_transform_spark.sources import write_parquet_partitioned
-
-    path = scratch_path("orders_part", sf)
-    if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
-        write_parquet_partitioned(
-            _t(spark, sf, "orders"), path, partition_by=["o_orderstatus"]
-        )
-    back = spark.read.parquet(path)
-    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
-
-
-@_q(
-    "sink_upsert",
-    """WITH upd AS (
-  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-  FROM orders WHERE o_orderkey % 997 = 0
-  UNION ALL
-  SELECT * FROM (VALUES (900000001, 'O', CAST(50.0 AS DOUBLE)),
-                        (900000002, 'F', CAST(60.0 AS DOUBLE))) t(k, s, p)
-), merged AS (
-  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice FROM orders o
-  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
-  UNION ALL
-  SELECT * FROM upd
-)
-SELECT o_orderstatus, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
-FROM merged GROUP BY o_orderstatus""",
-)
-def q_sink_upsert(spark, sf):
-    """B3 extension: partition-level MERGE/upsert into the partitioned
-    sink (``sources/writers.upsert_partitioned``) — the per-batch
-    ingestion primitive: rewrite only the partitions the update batch
-    lands in; untouched partitions keep their files byte-for-byte
-    (pinned in tests/test_upsert.py). The update batch is derived from
-    the PRISTINE fixture (absolute rows, not deltas), so re-running the
-    query converges to the same table state — the oracle computes the
-    same merge relationally. Scan-back aggregates count + price sum per
-    partition, so both the surviving and replaced rows are value-checked.
-    """
-    from lookup_transform_spark.sources import write_parquet_partitioned
-    from lookup_transform_spark.sources.writers import upsert_partitioned
-
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
-    src = _t(spark, sf, "orders").select(*cols)
-    path = scratch_path("orders_upsert", sf)
-    if _stale_guard(spark, path, os.path.join(sf, "orders.parquet")):
-        write_parquet_partitioned(src, path, partition_by=["o_orderstatus"])
-
-    updates = src.filter(F.col("o_orderkey") % 997 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000.0
-    ).unionByName(
-        spark.createDataFrame(
-            [(900000001, "O", 50.0), (900000002, "F", 60.0)],
-            "o_orderkey long, o_orderstatus string, o_totalprice double",
-        )
-    )
-    upsert_partitioned(spark, path, updates, ["o_orderkey"], "o_orderstatus")
-    back = spark.read.parquet(path)
-    return back.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        _fsum("o_totalprice", "sum_price", dp=2),
-    )
-
-
-# ---------------------------------------------------------------------------
-# B39: UDF / UDAF / UDTF surface
-# ---------------------------------------------------------------------------
-
-@_q(
-    "udf_sigmoid",
-    """SELECT event_id, ROUND(1.0 / (1.0 + exp(-value)), 6) AS sig_value
-FROM events""",
-)
-def q_udf_sigmoid(spark, sf):
-    """B39: scalar pandas UDF (Arrow-batched numpy), vs the SQL twin."""
-    from lookup_transform_spark.functions.udfs import sigmoid
-
-    return _events(spark, sf).select(
-        "event_id", F.round(sigmoid(F.col("value")), 6).alias("sig_value")
-    )
-
-
-@_q(
-    "agg_median",
-    "SELECT user_id, median(value) AS median_value FROM events GROUP BY user_id",
-)
-def q_agg_median(spark, sf):
-    """B32/B39 production path: grouped exact median on the BUILT-IN
-    ``F.median`` (JVM-side, whole-stage codegen) — the plan a user
-    should run. The pandas-UDAF formulation of the same aggregate is
-    ``udaf_median`` below; this twin exists because the UDAF carries an
-    inherent Python-worker toll (~30× measured at 32×) that the
-    built-in avoids entirely. Same oracle, identical results."""
-    ev = _events(spark, sf).select("user_id", "value")
-    return ev.groupBy("user_id").agg(
-        F.median("value").alias("median_value")
-    )
-
-
-@_q(
-    "udaf_median",
-    "SELECT user_id, median(value) AS median_value FROM events GROUP BY user_id",
-)
-def q_udaf_median(spark, sf):
-    """B39: custom Python aggregate, partition-vectorized — repartition
-    on the group key, then ONE C-level ``pandas.groupby().median()``
-    per partition inside ``mapInPandas``. Exact median is
-    selection-based (order-independent), hence oracle-checkable.
-
-    This is the production shape for an aggregate Spark lacks: the
-    naive per-group ``applyInPandas`` formulation (``grouped_median``,
-    kept as the surface demo and pinned equal in
-    ``tests/test_property.py``) pays a Python dispatch per group —
-    ~30× the built-in ``F.median`` at 32× (4.05 s, SCALING32.json r5);
-    vectorizing per partition leaves only the Arrow transfer, the
-    irreducible toll of any Python-side aggregate. For median itself
-    the built-in twin ``agg_median`` above remains the plan to run."""
-    from lookup_transform_spark.functions.udfs import grouped_median_vectorized
-
-    ev = _events(spark, sf).select("user_id", "value")
-    return grouped_median_vectorized(ev, ["user_id"], "value")
-
-
-@_q(
-    "udtf_tokens",
-    """WITH d AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-), e AS (
-  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d
-)
-SELECT doc_id, toks[i] AS token, CAST(i - 1 AS INTEGER) AS pos FROM e""",
-)
-def q_udtf_tokens(spark, sf):
-    """B39: UDTF-shaped table function (mapInPandas) — one row per token."""
-    from lookup_transform_spark.functions.udfs import explode_tokens
-
-    return explode_tokens(_t(spark, sf, "documents"), "doc_id", "text")
-
-
-@_q(
-    "pivot_status",
-    """SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(ROUND(l_quantity) AS BIGINT) END) AS DOUBLE) AS qty_O,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_quantity) AS BIGINT) END) AS DOUBLE) AS qty_F
-FROM lineitem GROUP BY l_returnflag""",
-)
-def q_pivot_status(spark, sf):
-    """B33: pivot (explicit value list so the plan is a single pass)."""
-    out = (
-        _t(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(scaled_long("l_quantity", 0)).cast("double"))
-    )
-    return out.select(
-        "l_returnflag",
-        F.col("O").alias("qty_O"),
-        F.col("F").alias("qty_F"),
-    )
-
-
-@_q(
-    "grouping_sets",
-    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
-)
-def q_grouping_sets(spark, sf):
-    """B33: grouping sets via the SQL surface."""
-    # sf-scoped view name: a fixed name is session-global state, and
-    # two registry calls for DIFFERENT sf_dirs in one session (probe
-    # worker threads, parity interleaved with bench) would race it —
-    # whichever analyzes second reads the other scale's data
-    v = "lineitem_gs_" + _vtag(sf)
-    _t(spark, sf, "lineitem").createOrReplaceTempView(v)
-    return spark.sql(
-        f"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-           FROM {v}
-           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
-    )
-
-
-@_q("agg_approx_distinct")
-def q_agg_approx_distinct(spark, sf):
-    """B32: approx_count_distinct (HLL++; deterministic for fixed data
-    but engine-specific → rows-only)."""
-    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
-    )
-
-
-# ---------------------------------------------------------------------------
-# B54 multimodal pipeline; B60-B63 streaming execution (rows-only)
-# ---------------------------------------------------------------------------
-
-@_q("multimodal_features")
-def q_multimodal_features(spark, sf):
-    """B54: binary payload → mapInPandas feature extraction (decode step
-    stubbed with a deterministic fake; plumbing is real)."""
-    from lookup_transform_spark.operators.multimodal import (
-        attach_payload,
-        extract_features,
-    )
-
-    frame = attach_payload(
-        _t(spark, sf, "documents"), "doc_id", "text", ["lang", "n_chars"]
-    )
-    return extract_features(frame)
-
-
-@_q("multimodal_decode")
-def q_multimodal_decode(spark, sf):
-    """B54: REAL container decode on the executors — each document's
-    bytes are packed into an actual PPM image (even doc_id) or WAV/PCM16
-    audio clip (odd doc_id) and decoded through ``decode_image`` /
-    ``decode_audio``'s real path (built-in pure-numpy PPM/BMP/WAV
-    codecs; Pillow/soundfile would be used for compressed formats).
-    Rows-only: the container round-trip isn't SQL-expressible, but it is
-    fully deterministic — byte-exact codec fixtures are pinned in
-    ``tests/test_multimodal.py``."""
-    import pandas as pd_  # noqa: PLC0415
-
-    from lookup_transform_spark.operators.multimodal import (
-        decode_stats,
-        encode_ppm,
-        encode_wav,
-    )
-
-    # NULL text encodes to a NULL payload, and bytes(None) is a
-    # TypeError that kills the whole stage on one dirty row (r8
-    # review); there is nothing to pack into a container for a missing
-    # document, so such rows are excluded — same contract as the
-    # near-dup tier
-    docs = _t(spark, sf, "documents").filter(
-        F.col("text").isNotNull()
-    ).select("doc_id", F.encode("text", "UTF-8").alias("raw"))
-
-    def _pack(batches):
-        import numpy as np_  # noqa: PLC0415
-
-        for pdf in batches:
-            ids, payloads, modality = [], [], []
-            for i, raw in zip(pdf["doc_id"], pdf["raw"]):
-                b = np_.frombuffer(bytes(raw), dtype=np_.uint8)
-                if int(i) % 2 == 0:
-                    img = np_.resize(b, (8, 8, 3))
-                    payloads.append(encode_ppm(img))
-                    modality.append("image")
-                else:
-                    pcm = np_.resize(b, 64).astype(np_.float64) / 255.0 - 0.5
-                    payloads.append(encode_wav(pcm, subtype="PCM_16"))
-                    modality.append("audio")
-                ids.append(i)
-            yield pd_.DataFrame(
-                {"doc_id": ids, "payload": payloads, "modality": modality}
-            )
-
-    frame = docs.mapInPandas(
-        _pack, "doc_id long, payload binary, modality string"
-    )
-    return decode_stats(frame)
-
-
-@_q("multimodal_resize")
-def q_multimodal_resize(spark, sf):
-    """B54: the video/image normalization pipeline shape — frame-sample
-    FIRST (a pushdown-friendly filter on the id: decode never runs on
-    dropped frames), then real PPM decode, then deterministic
-    nearest-neighbor resize to a fixed 8x8 thumbnail, all in one
-    Arrow-batched stage. Rows-only (container round-trip isn't
-    SQL-expressible); resize math pinned byte-exact in
-    tests/test_multimodal.py."""
-    import pandas as pd_  # noqa: PLC0415
-
-    from lookup_transform_spark.operators.multimodal import (
-        decode_image,
-        encode_ppm,
-        frame_sample,
-        resize_image,
-    )
-
-    docs = _t(spark, sf, "documents").filter(
-        F.col("text").isNotNull()  # bytes(None) kills the stage (r8)
-    ).select("doc_id", F.encode("text", "UTF-8").alias("raw"))
-    sampled = frame_sample(docs, every_nth=10)  # filter BEFORE decode
-
-    def _pipeline(batches):
-        import numpy as np_  # noqa: PLC0415
-
-        for pdf in batches:
-            ids, hs, ws, means = [], [], [], []
-            for i, raw in zip(pdf["doc_id"], pdf["raw"]):
-                b = np_.frombuffer(bytes(raw), dtype=np_.uint8)
-                side = max(2, min(16, int(b.size ** 0.5 // 3) or 2))
-                img = decode_image(encode_ppm(np_.resize(b, (side, side, 3))))
-                thumb = resize_image(img, 8, 8)
-                ids.append(i)
-                hs.append(thumb.shape[0])
-                ws.append(thumb.shape[1])
-                means.append(float(thumb.mean()))
-            yield pd_.DataFrame(
-                {
-                    "doc_id": ids,
-                    "height": hs,
-                    "width": ws,
-                    "mean_value": means,
-                }
-            )
-
-    return sampled.mapInPandas(
-        _pipeline, "doc_id long, height int, width int, mean_value double"
-    )
-
-
-@_q(
-    "stream_lookup",
-    # Oracle-exact since r9: a stream-static left-outer lookup is
-    # STATELESS — each row maps independently of micro-batch
-    # decomposition, so the final memory-sink table equals the batch
-    # join on any trigger schedule (not just the fixture's).
-    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
-FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
-)
-def q_stream_lookup(spark, sf):
-    """B60: stream-static lookup, executed availableNow → memory sink."""
-    from lookup_transform_spark.streaming import (
-        read_events_stream,
-        run_to_memory,
-        stream_static_lookup,
-    )
-
-    ev = read_events_stream(spark, sf).select("event_id", "user_id")
-    spec = LookupSpec("customer", "user_id", "c_custkey", "c_mktsegment", "segment")
-    out = stream_static_lookup(ev, _t(spark, sf, "customer"), spec)
-    return run_to_memory(out, f"mem_stream_lookup_{_vtag(sf)}")
-
-
-@_q(
-    "stream_tumbling",
-    # Oracle-exact since r9: COMPLETE output mode never evicts window
-    # state and never drops late input, so the final memory-sink table
-    # is the full aggregation regardless of how availableNow slices
-    # the files into triggers — i.e. the batch twin's SQL, minus its
-    # sum_value column.
-    """SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT)
-         AS w_start,
-       event_type, COUNT(*) AS n_events
-FROM events GROUP BY 1, 2""",
-)
-def q_stream_tumbling(spark, sf):
-    """B61/B62: streaming tumbling window + watermark (batch twin:
-    window_tumbling)."""
-    from lookup_transform_spark.streaming import (
-        read_events_stream,
-        run_to_memory,
-        stream_tumbling_window,
-    )
-
-    ev = read_events_stream(spark, sf)
-    return run_to_memory(
-        stream_tumbling_window(ev), f"mem_stream_tumbling_{_vtag(sf)}", output_mode="complete"
-    )
-
-
-@_q(
-    "stream_session",
-    # Oracle-exact since r9 (complete mode — same decomposition-
-    # independence argument as stream_tumbling). Spark's session_window
-    # semantics replicated relationally: a new session starts when the
-    # gap to the previous event is >= 30 min (the window is
-    # [start, last_ts + gap), so an event AT the boundary opens a new
-    # one); session_end = last event + gap; the emitted longs are
-    # floor-epoch-seconds casts.
-    """WITH e AS (
-  SELECT user_id, ts,
-         CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-s AS (
-  SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM e
-)
-SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
-       CAST(floor(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
-         AS session_end,
-       user_id, COUNT(*) AS n_events
-FROM s GROUP BY user_id, sid""",
-)
-def q_stream_session(spark, sf):
-    """B61: native streaming session windows."""
-    from lookup_transform_spark.streaming import (
-        read_events_stream,
-        run_to_memory,
-        stream_session_window,
-    )
-
-    ev = read_events_stream(spark, sf)
-    return run_to_memory(
-        stream_session_window(ev), f"mem_stream_session_{_vtag(sf)}", output_mode="complete"
-    )
-
-
-@_q("stream_dedup")
-def q_stream_dedup(spark, sf):
-    """B63: stateful streaming dedup within the watermark horizon.
-    Rows-only BY SEMANTICS (not oversight — r9 promoted every
-    decomposition-independent streaming query): within-watermark dedup
-    keeps a duplicate that arrives after its twin's state expired, so
-    the output is a function of the trigger decomposition, which no
-    single SQL statement models."""
-    from lookup_transform_spark.streaming import (
-        read_events_stream,
-        run_to_memory,
-        stream_dedup_within_watermark,
-    )
-
-    ev = read_events_stream(spark, sf).select("event_id", "user_id", "ts")
-    out = stream_dedup_within_watermark(ev, ["user_id"])
-    return run_to_memory(out, f"mem_stream_dedup_{_vtag(sf)}").select("event_id", "user_id")
-
-
-@_q(
-    "agg_mode",
-    """WITH c AS (
-  SELECT l_returnflag, l_quantity, COUNT(*) AS n
-  FROM lineitem GROUP BY l_returnflag, l_quantity)
-SELECT l_returnflag,
-       MIN(l_quantity) FILTER (n = mx) AS mode_qty,
-       CAST(mx AS BIGINT) AS mode_count
-FROM (SELECT *, MAX(n) OVER (PARTITION BY l_returnflag) AS mx FROM c)
-GROUP BY l_returnflag, mx""",
-)
-def q_agg_mode(spark, sf):
-    """B32: deterministic MODE — most frequent value per group with a
-    min-value tiebreak. Spark 3.4's ``F.mode`` (and DuckDB's ``mode``)
-    break ties arbitrarily, which is useless for a reproducible
-    pipeline; the two-level formulation (count per value → max count →
-    min value at that count) is engine-independent and exact. Two
-    partial-aggregated shuffles, both O(distinct values), the second
-    O(groups)."""
-    li = _t(spark, sf, "lineitem")
-    counts = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return counts.groupBy("l_returnflag").agg(
-        F.min_by(
-            "l_quantity",
-            F.struct((-F.col("n")).alias("neg_n"), F.col("l_quantity")),
-        ).alias("mode_qty"),
-        F.max("n").alias("mode_count"),
-    )
-
-
-@_q(
-    "agg_corr",
-    """WITH s AS (
-  SELECT l_returnflag,
-         COUNT(*) AS n,
-         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sy,
-         CAST(SUM(CAST(ROUND(l_quantity * l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
-         SUM(CAST(ROUND(l_extendedprice * l_extendedprice * 100) AS BIGINT)) / 100.0 AS syy,
-         SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT)) / 100.0 AS sxy
-  FROM lineitem GROUP BY l_returnflag)
-SELECT l_returnflag,
-       ROUND((n * sxy - sx * sy)
-             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
-FROM s""",
-)
-def q_agg_corr(spark, sf):
-    """B32: Pearson correlation from fixed-point moment sums. The
-    built-in ``F.corr`` accumulates co-moments in doubles, so its low
-    bits depend on partitioning — not reproducible, not oracle-
-    hashable. Summing the five moments as fixed-point longs (the
-    anomaly_zscore pattern) makes every term exact and order-free;
-    both engines then evaluate the identical closed-form double
-    expression. One partial-aggregated shuffle of O(groups) rows.
-
-    r8: the second-moment sums go through ``fp_sum_stable`` (two-stage:
-    long partials per scan partition, decimal(38,0) merge) — the plain
-    long sum of price²·10² crosses 2^63 at ~7e7 rows/group (measured:
-    ANSI overflow at the 128× probe), and a Pearson over a 100 TB fact
-    table is exactly the low-cardinality global rollup the stable form
-    exists for. Values are bit-identical to ``fp_sum`` (pinned by the
-    unchanged oracle hash)."""
-    from lookup_transform_spark.functions.fixedpoint import fp_sum_stable
-
-    li = _t(spark, sf, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    s = fp_sum_stable(
-        li,
-        ["l_returnflag"],
-        {
-            "sx": (q, 0),
-            "sy": (p, 2),
-            "sxx": (q * q, 0),
-            "syy": (p * p, 2),
-            "sxy": (q * p, 2),
-        },
-        count_alias="n",
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return s.select(
-        "l_returnflag",
-        F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
-        ).alias("corr_qty_price"),
-    )
-
-
-@_q(
-    "text_normalize",
-    """SELECT doc_id,
-       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
-         AS norm_text
-FROM documents""",
-)
-def q_text_normalize(spark, sf):
-    """B53: canonical text normalization (NFC + casefold + whitespace
-    collapse) — the shared pre-pass that makes byte-different-but-equal
-    texts collide in every fingerprint/dedup stage. NFC is the one step
-    Spark SQL lacks a builtin for: it runs as a vectorized pandas UDF
-    (`pandas .str.normalize`), case/whitespace stay codegen. Both
-    engines implement the same Unicode normal form, so the oracle match
-    is exact."""
-    from lookup_transform_spark.operators.text import normalize_text
-
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", normalize_text("text").alias("norm_text"))
-
-
-@_q(
-    "quarantine_bad_json",
-    """WITH m AS (
-  SELECT event_id,
-         CASE WHEN event_id % 13 = 0
-              THEN substring(props, 1, length(props) - 2)
-              ELSE props END AS s
-  FROM events),
-p AS (SELECT event_id, TRY_CAST(s AS JSON) AS j FROM m)
-SELECT event_id,
-       CAST(j ->> '$.k' AS BIGINT) AS k,
-       CASE WHEN j ->> '$.k' IS NOT NULL THEN 'ok' ELSE 'quarantined' END
-         AS status
-FROM p""",
-)
-def q_quarantine_bad_json(spark, sf):
-    """B55/B30 robustness: bad-record quarantine — the split every
-    ingest pipeline needs when upstream JSON can be malformed. Rows
-    whose payload fails the strict schema (here: every 13th row's JSON
-    deterministically truncated, standing in for upstream corruption)
-    are tagged 'quarantined' instead of failing the job or silently
-    dropping; good rows carry the parsed value. One pass, pure codegen
-    (`from_json` PERMISSIVE yields null fields on parse failure — no
-    exception path, no second scan), so the quarantine tee is free at
-    any scale. The oracle replicates the corruption and the
-    json_valid split relationally — exact match."""
-    ev = _events(spark, sf).select("event_id", "props")
-    mangled = F.when(
-        F.col("event_id") % 13 == 0,
-        F.expr("substring(props, 1, length(props) - 2)"),
-    ).otherwise(F.col("props"))
-    k = F.from_json(mangled, "k bigint")["k"]
-    return ev.select(
-        "event_id",
-        k.alias("k"),
-        F.when(k.isNull(), F.lit("quarantined"))
-        .otherwise(F.lit("ok"))
-        .alias("status"),
-    )
-
-
-@_q(
-    "dedup_incremental_minhash",
-    """WITH d AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
-  FROM documents)
-, dup AS (
-  SELECT DISTINCT n.doc_id
-  FROM d n JOIN d s
-    ON n.doc_id % 10 >= 8 AND s.doc_id % 10 < 8
-  WHERE ROUND(len(list_intersect(n.sh, s.sh))::DOUBLE
-              / len(list_distinct(list_concat(n.sh, s.sh))), 6) >= 0.5)
-SELECT doc_id FROM d
-WHERE doc_id % 10 >= 8 AND doc_id NOT IN (SELECT doc_id FROM dup)""",
-)
-def q_dedup_incremental_minhash(spark, sf):
-    """B51 at-rest path: incremental NEAR-dup — the fuzzy analog of
-    `dedup_incremental_indexed`, and the missing half of continuous
-    ingest (exact fingerprints catch byte-duplicates; this rejects new
-    docs that are near-duplicates of anything already accepted). The
-    standing corpus's LSH banding + shingle sets live in two bucketed
-    tables (write_lsh_index, write-once/probe-many); each probe
-    shingles, signs, and shuffles ONLY the new batch — the banding join
-    and the Jaccard verify both read the standing tables co-located
-    (bucketed scans pinned in tests/test_plans.py). Returns the novel
-    doc ids the ingest should accept.
-
-    Oracle (r8 promotion from rows-only): the banding probe is followed
-    by an EXACT shingle-Jaccard verify against the standing store, so
-    with banding recall 1.0 (the dedup_minhash pin) the accepted set is
-    exactly {new docs with NO standing neighbor at J >= 0.5} — the
-    NOT-EXISTS brute-force formulation DuckDB runs; the engine never
-    scans standing-vs-new all-pairs (banded candidates only). Equality
-    with the in-plan batch-vs-standing computation remains pinned in
-    tests/test_dedup_caps.py."""
-    from lookup_transform_spark.operators.dedup import (
-        incremental_minhash_probe,
-        write_lsh_index,
-    )
-
-    docs = _t(spark, sf, "documents")
-    tag = _vtag(sf)
-    table = f"lshidx_{tag}"
-    path = scratch_path("lshidx", sf)
-    _stale_guard(
-        spark, path, os.path.join(sf, "documents.parquet"),
-        success=f"{path}/bands/_SUCCESS",
-        tables=(f"{table}_bands", f"{table}_docs"),
-    )
-    standing = docs.filter(F.pmod("doc_id", F.lit(10)) < 8)
-    write_lsh_index(spark, standing, table, path)
-    new = docs.filter(F.pmod("doc_id", F.lit(10)) >= 8)
-    # no trailing orderBy: the parity comparator sorts rows itself, and
-    # a global sort is an extra range exchange inside the timed region
-    return incremental_minhash_probe(spark, new, table)
-
-
-def _ingest_neardedup_oracle(
-    n_files: int = 4, dup: int = 10, near: int = 10, threshold: float = 0.5
-) -> str:
-    """DuckDB oracle for the BOTH-tier continuous ingest (r9, VERDICT
-    r8 #5 extended): the batches unroll like the kmeans iterations.
-    Staged arrivals are a pure function of the fixture
-    (``stage_document_batches``: batch b = doc_id % n_files; batches
-    1+ re-send the ``dup`` smallest batch-0 docs verbatim at
-    id + 10M·b and ranks dup+1..dup+near with a ``' tailb'`` suffix at
-    id + 100M·b). Per batch, in the engine's order: (1) exact tier —
-    min-id per fingerprint, minus fingerprints already ACCEPTED;
-    (2) near tier — drop a doc iff a verified (6-dp-rounded 3-shingle
-    Jaccard ≥ t) smaller-id doc exists in the same batch's exact-tier
-    survivors, or ANY accepted doc from earlier batches is similar.
-    The two per-doc predicates commute, and the LSH candidate stage is
-    recall-1.0 at these parameters (the dedup_minhash promotion's
-    argument, re-proved end-to-end here every round). The lossless
-    length band (J ≥ 0.5 ⇒ |larger| ≤ 2·|smaller|, +1 slack for the
-    rounding boundary) keeps the correlated NOT EXISTS from scanning
-    every pair."""
-    jac = (
-        "ROUND(len(list_intersect({x}.shg, {y}.shg))::DOUBLE"
-        " / len(list_distinct(list_concat({x}.shg, {y}.shg))), 6)"
-        f" >= {threshold}"
-    )
-    band = (
-        "len({y}.shg) <= 2 * len({x}.shg) + 1"
-        " AND len({x}.shg) <= 2 * len({y}.shg) + 1"
-    )
-    split = "string_split_regex(lower(text), '\\s+')"
-    parts = [f"""dup_base AS MATERIALIZED (
-  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
-  FROM documents WHERE doc_id % {n_files} = 0
-)""", f"""staged AS MATERIALIZED (
-  SELECT (doc_id % {n_files})::BIGINT AS b, doc_id, text FROM documents
-  UNION ALL
-  SELECT i.range, d.doc_id + 10000000 * i.range, d.text
-  FROM dup_base d, range(1, {n_files}) i WHERE d.rk <= {dup}
-  UNION ALL
-  SELECT i.range, d.doc_id + 100000000 * i.range,
-         d.text || ' tail' || i.range
-  FROM dup_base d, range(1, {n_files}) i
-  WHERE d.rk BETWEEN {dup + 1} AND {dup + near}
-)""", f"""sh AS MATERIALIZED (
-  SELECT b, doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
-         list_distinct(list_transform(
-           range(1, greatest(len({split}) - 2, 1) + 1),
-           i -> concat_ws(' ', {split}[i], {split}[i+1], {split}[i+2])
-         )) AS shg
-  FROM staged
-)"""]
-    for b in range(n_files):
-        anti = (
-            f"\n      AND f NOT IN (SELECT f FROM acc{b - 1})" if b else ""
-        )
-        parts.append(f"""l{b} AS MATERIALIZED (
-  SELECT f, doc_id, shg FROM (
-    SELECT f, doc_id, shg,
-           ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
-    FROM sh WHERE b = {b}{anti}
-  ) WHERE rn = 1
-)""")
-        cross = "" if b == 0 else f"""
-    AND NOT EXISTS (
-      SELECT 1 FROM acc{b - 1} z
-      WHERE {band.format(x='x', y='z')} AND {jac.format(x='x', y='z')})"""
-        parts.append(f"""a{b} AS MATERIALIZED (
-  SELECT x.f, x.doc_id, x.shg FROM l{b} x
-  WHERE NOT EXISTS (
-      SELECT 1 FROM l{b} y
-      WHERE y.doc_id < x.doc_id
-        AND {band.format(x='x', y='y')} AND {jac.format(x='x', y='y')}){cross}
-)""")
-        parts.append(
-            f"acc{b} AS MATERIALIZED (SELECT * FROM a{b})" if b == 0 else
-            f"acc{b} AS MATERIALIZED "
-            f"(SELECT * FROM acc{b - 1} UNION ALL SELECT * FROM a{b})"
-        )
-    ctes = ",\n".join(parts)
-    return f"""WITH {ctes}
-SELECT COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT f)::BIGINT AS n_distinct,
-       SUM(doc_id)::BIGINT AS id_sum
-FROM acc{n_files - 1}"""
-
-
-@_q("stream_ingest_neardedup", _ingest_neardedup_oracle())
-def q_stream_ingest_neardedup(spark, sf):
-    """B63/B51 extension (r7, VERDICT r6 #2): continuous ingest with
-    BOTH dedup tiers. Each micro-batch is (1) exact-deduped within
-    itself and against the standing fingerprint index, (2) NEAR-deduped
-    within itself (min-id survivor of every verified MinHash pair) and
-    against the standing LSH index (incremental_minhash_probe), and the
-    accepted docs are appended to the corpus and BOTH indexes
-    (append_to_lsh_index) — so batch N+1 near-dups against batch N
-    without re-banding the corpus. Per-batch cost O(batch + collisions).
-    Oracle-exact since r9 (see ``_ingest_neardedup_oracle``: the
-    hash-seeded LSH stage is candidate generation only — the exact
-    Jaccard verify makes the accepted set deterministic, and the
-    batches unroll into SQL); stream ≡ batch replay over the shared
-    ingest step stays pinned in tests/test_streaming.py."""
-    from lookup_transform_spark.streaming.ingest import (
-        stream_ingest_neardedup,
-    )
-
-    work = scratch_path("stream_ingest_near", sf)
-    out = stream_ingest_neardedup(spark, sf, work)
-    return out.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("f").alias("n_distinct"),
-        F.sum("doc_id").alias("id_sum"),
-    )
-
-
-@_q(
-    "stream_ingest_dedup",
-    # Oracle-exact since r9 (VERDICT r8 #5, extended): the multi-batch
-    # side effect has a deterministic closed form. The staged arrivals
-    # are a pure function of the fixture (batch b = doc_id % 4; batches
-    # 1-3 re-send the 20 smallest batch-0 docs verbatim under
-    # id + 10M·b), and the ingest's survivor rule is FIRST-ACCEPTED:
-    # earliest batch containing the fingerprint wins, min doc_id within
-    # that batch — i.e. ROW_NUMBER over (batch, doc_id) per
-    # fingerprint. (NOT plain global min-id: a duplicate text whose
-    # smaller id arrives in a LATER batch loses to the standing index —
-    # the oracle models the actual rule, so the monotonic-id
-    # precondition the module docstring discusses is not assumed here.)
-    """WITH dup_src AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
-  ORDER BY doc_id LIMIT 20
-),
-staged AS (
-  SELECT (doc_id % 4)::BIGINT AS b, doc_id, text FROM documents
-  UNION ALL
-  SELECT i.range AS b, d.doc_id + 10000000 * i.range AS doc_id, d.text
-  FROM dup_src d, range(1, 4) i
-),
-fp AS (
-  SELECT b, doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
-  FROM staged
-),
-surv AS (
-  SELECT f, doc_id FROM (
-    SELECT f, doc_id,
-           ROW_NUMBER() OVER (PARTITION BY f ORDER BY b, doc_id) AS rn
-    FROM fp) WHERE rn = 1
-)
-SELECT COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT f)::BIGINT AS n_distinct,
-       SUM(doc_id)::BIGINT AS id_sum
-FROM surv""",
-)
-def q_stream_ingest_dedup(spark, sf):
-    """B63 extension: continuous-ingest dedup — the foreachBatch shape a
-    training-data pipeline runs. Documents arrive in 4 staged batches
-    (later batches re-send texts from the first under fresh ids); each
-    micro-batch dedups within itself (min-id per content fingerprint),
-    anti-joins the standing at-rest fingerprint index, and appends
-    survivors to corpus + index so the NEXT batch sees them. Per-batch
-    cost O(batch) — the dedup state lives in the parquet index, not a
-    state store, so the corpus can grow without bounding executor
-    memory (contrast: streaming dropDuplicates state is resident
-    forever). Oracle-exact since r9: the staged arrivals and the
-    first-accepted survivor rule are both deterministic SQL (see the
-    decorator comment); stream-ingest ≡ batch replay stays pinned in
-    tests/test_streaming.py."""
-    from lookup_transform_spark.streaming.ingest import stream_ingest_dedup
-
-    work = scratch_path("stream_ingest", sf)
-    out = stream_ingest_dedup(spark, sf, work)
-    return out.groupBy().agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("f").alias("n_distinct"),
-        F.sum("doc_id").alias("id_sum"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# B30/B35/B38 breadth: sort/limit, regexp, case, having, subquery, arrays
-# ---------------------------------------------------------------------------
-
-@_q(
-    "sort_limit",
-    """SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-)
-def q_sort_limit(spark, sf):
-    """B35: global top-N (TakeOrderedAndProject — no full sort)."""
-    return (
-        _t(spark, sf, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(100)
-    )
-
-
-@_q(
-    "string_regexp",
-    """SELECT p_partkey,
-       regexp_extract(p_type, '^\\w+') AS type_head,
-       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
-       regexp_matches(p_type, 'ED$') AS type_ends_ed
-FROM part""",
-)
-def q_string_regexp(spark, sf):
-    """B38: regexp extract/replace/match."""
-    p = _t(spark, sf, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_type", r"^\w+", 0).alias("type_head"),
-        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
-        F.col("p_type").rlike("ED$").alias("type_ends_ed"),
-    )
-
-
-@_q(
-    "case_when",
-    """SELECT o_orderkey,
-       CASE WHEN o_totalprice < 50000 THEN 'S'
-            WHEN o_totalprice < 200000 THEN 'M'
-            ELSE 'L' END AS size_class
-FROM orders""",
-)
-def q_case_when(spark, sf):
-    """B38: conditional bucketing."""
-    o = _t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") < 50000, "S")
-        .when(F.col("o_totalprice") < 200000, "M")
-        .otherwise("L")
-        .alias("size_class"),
-    )
-
-
-@_q(
-    "agg_having",
-    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
-GROUP BY o_custkey HAVING COUNT(*) >= 3""",
-)
-def q_agg_having(spark, sf):
-    """B32: post-aggregation predicate (HAVING)."""
-    return (
-        _t(spark, sf, "orders")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 3)
-    )
-
-
-@_q(
-    "subquery_scalar",
-    """SELECT o_orderkey FROM orders
-WHERE o_totalprice > (
-  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 / COUNT(*)
-  FROM orders)""",
-)
-def q_subquery_scalar(spark, sf):
-    """B37: scalar subquery through the SQL surface."""
-    v = "orders_sq_" + _vtag(sf)  # sf-scoped: see grouping_sets
-    _t(spark, sf, "orders").createOrReplaceTempView(v)
-    return spark.sql(
-        f"""SELECT o_orderkey FROM {v}
-           WHERE o_totalprice > (
-             SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
-                    / COUNT(*)
-             FROM {v})"""
-    )
-
-
-@_q(
-    "array_funcs",
-    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
-SELECT doc_id,
-       toks[1] AS first_tok,
-       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_toks,
-       list_contains(toks, 'the') AS has_the
-FROM t""",
-)
-def q_array_funcs(spark, sf):
-    """B38: array functions (element_at / distinct / contains)."""
-    d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    return d.select(
-        "doc_id",
-        F.element_at(toks, 1).alias("first_tok"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
-        F.array_contains(toks, "the").alias("has_the"),
-    )
-
-
-@_q(
-    "null_funcs",
-    """SELECT o_orderkey,
-       NULLIF(o_custkey % 5, 0) AS k5,
-       COALESCE(NULLIF(o_custkey % 5, 0), -1) AS k5_filled
-FROM orders""",
-)
-def q_null_funcs(spark, sf):
-    """B38: null plumbing (nullif / coalesce)."""
-    o = _t(spark, sf, "orders")
-    k5 = F.expr("nullif(o_custkey % 5, 0)")
-    return o.select(
-        "o_orderkey",
-        k5.alias("k5"),
-        F.coalesce(k5, F.lit(-1)).alias("k5_filled"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Skew & bucketing join strategies (result-invariant; oracle = plain join)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "lookup_skew_salted",
-    """SELECT o.o_orderkey, (o.o_custkey % 3) AS hot_key, c.n_in_bucket
-FROM orders o LEFT JOIN (
-  SELECT (c_custkey % 3) AS k, COUNT(*) AS n_in_bucket
-  FROM customer GROUP BY (c_custkey % 3)) c
-ON (o.o_custkey % 3) = c.k""",
-)
-def q_lookup_skew_salted(spark, sf):
-    """Skew mitigation: a 3-value hot key would hash every row into 3
-    tasks; salting spreads each hot key across 16. Salting is
-    result-invariant — the oracle is the plain join."""
-    from lookup_transform_spark.operators.skew import salted_join
-
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", (F.col("o_custkey") % 3).alias("hot_key")
-    )
-    c = (
-        _t(spark, sf, "customer")
-        .groupBy((F.col("c_custkey") % 3).alias("k"))
-        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
-    )
-    return salted_join(
-        o, c, "hot_key", "k", salt=16, how="left", salt_source="o_orderkey"
-    )
-
-
-@_q(
-    "bucketed_join",
-    """SELECT o.o_orderkey, o.o_totalprice,
-       SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 AS lineitem_total
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY o.o_orderkey, o.o_totalprice""",
-)
-def q_bucketed_join(spark, sf):
-    """Bucketed co-located fact-fact join: both sides pre-bucketed by the
-    join key -> no Exchange in the join (the 100 TB shuffle killer)."""
-    from lookup_transform_spark.operators.bucketing import (
-        bucketed_join,
-        ensure_bucketed,
-    )
-
-    tag = _vtag(sf)
-    ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
-    # staleness gate (r8 review: this was the ONE at-rest query without
-    # it — a regenerated fixture was silently answered from the stale
-    # bucketed tables while the oracle read the fresh parquet)
-    _stale_guard(
-        spark, f"{SCRATCH}/{ot}", os.path.join(sf, "orders.parquet"),
-        tables=(ot,),
-    )
-    _stale_guard(
-        spark, f"{SCRATCH}/{lt}", os.path.join(sf, "lineitem.parquet"),
-        tables=(lt,),
-    )
-    ensure_bucketed(
-        spark, _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
-        ot, "o_orderkey", 8, path=f"{SCRATCH}/{ot}",
-    )
-    ensure_bucketed(
-        spark,
-        _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice"),
-        lt, "l_orderkey", 8, path=f"{SCRATCH}/{lt}",
-    )
-    j = bucketed_join(spark, ot, lt, "o_orderkey", "l_orderkey", how="inner")
-    return j.groupBy("o_orderkey", "o_totalprice").agg(
-        fp_sum("l_extendedprice", 2).alias("lineitem_total")
-    )
-
-
-@_q(
-    "percentiles",
-    """SELECT event_type,
-       quantile_cont(value, 0.25) AS p25,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90
-FROM events GROUP BY event_type""",
-)
-def q_percentiles(spark, sf):
-    """B32: exact interpolated percentiles (selection-based ->
-    order-independent and oracle-checkable).
-
-    r7 shape: two-phase — a map-side-combined (type, value) frequency
-    aggregate first, then ``percentile(value, p, freq)`` over the
-    distinct values. The exact-percentile buffer each group's reducer
-    holds shrinks from |rows per group| to |distinct values per group|
-    (36x on this fixture; 1.20 -> 0.86 s at 32x), and the frequency
-    weighting makes the interpolation bit-identical to the raw form.
-    Reduces only when values repeat — for truly continuous data the
-    pre-agg is a wash (one extra map-side shuffle) and the mergeable
-    ``sketch_quantile_rollup`` is the at-scale answer."""
-    ev = _events(spark, sf)
-    freq = ev.groupBy("event_type", "value").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
-    return freq.groupBy("event_type").agg(
-        F.percentile("value", 0.25, F.col("freq")).alias("p25"),
-        F.percentile("value", 0.5, F.col("freq")).alias("p50"),
-        F.percentile("value", 0.9, F.col("freq")).alias("p90"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# More window funcs, unpivot, analytic multi-joins, dedup clustering
-# ---------------------------------------------------------------------------
-
-@_q(
-    "window_rank",
-    """SELECT o_orderpriority, o_orderkey,
-       CAST(RANK() OVER w AS INTEGER) AS rnk,
-       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
-       LEAD(o_orderkey) OVER w AS next_okey,
-       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
-FROM orders
-WINDOW w AS (PARTITION BY o_orderpriority
-             ORDER BY o_totalprice DESC, o_orderkey)""",
-)
-def q_window_rank(spark, sf):
-    """B34: rank / dense_rank / lead / ntile over a total order."""
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return _t(spark, sf, "orders").select(
-        "o_orderpriority",
-        "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.lead("o_orderkey").over(w).alias("next_okey"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@_q(
-    "window_range_frame",
-    """SELECT o_orderkey, o_custkey,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
-         PARTITION BY o_custkey
-         ORDER BY CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
-         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_30d
-FROM orders""",
-)
-def q_window_range_frame(spark, sf):
-    """B34: RANGE frame — trailing-30-day spend per customer."""
-    o = _t(spark, sf, "orders").withColumn(
-        "__day__",
-        F.datediff(F.col("o_orderdate").cast("date"),
-                   F.lit("1990-01-01").cast("date")).cast("long"),
-    )
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("__day__").asc())
-        .rangeBetween(-30, 0)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        (F.sum(scaled_long("o_totalprice", 2)).over(w) / F.lit(100.0)).alias("trailing_30d"),
-    )
-
-
-@_q(
-    "unpivot_part",
-    """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
-UNION ALL
-SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""",
-)
-def q_unpivot_part(spark, sf):
-    """B31: unpivot/melt wide metrics to long form."""
-    p = _t(spark, sf, "part").select(
-        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
-    )
-    return p.unpivot(
-        "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
-    )
-
-
-@_q(
-    "tpch_q3_shipping",
-    """SELECT l.l_orderkey,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue,
-       CAST(o.o_orderdate AS DATE) AS o_orderdate
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)""",
-)
-def q_tpch_q3_shipping(spark, sf):
-    """B37: selective multi-join + aggregate (TPC-H Q3 shape) — Catalyst
-    pushes every filter to its scan and broadcasts the filtered dim."""
-    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    li = _t(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
-    )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            li["l_orderkey"],
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-        )
-        .agg(_fsum(revenue, "revenue", dp=4))
-        .select("l_orderkey", "revenue", "o_orderdate")
-    )
-
-
-@_q(
-    "tpch_q5_local_supplier",
-    """SELECT n.n_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-GROUP BY n.n_name""",
-)
-def q_tpch_q5_local_supplier(spark, sf):
-    """B37: six-table star join (TPC-H Q5 shape) with a cross-dimension
-    equality (customer nation = supplier nation)."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    s = _t(spark, sf, "supplier")
-    n = _t(spark, sf, "nation")
-    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .join(
-            s,
-            (li["l_suppkey"] == s["s_suppkey"])
-            & (c["c_nationkey"] == s["s_nationkey"]),
-        )
-        .join(n, s["s_nationkey"] == n["n_nationkey"])
-        .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("n_name")
-        .agg(_fsum(revenue, "revenue", dp=4))
-    )
-
-
-@_q(
-    "dedup_clusters",
-    """WITH RECURSIVE d AS MATERIALIZED (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(string_split_regex(lower(text), '\\s+')) - 2, 1) + 1),
-           i -> concat_ws(' ',
-                string_split_regex(lower(text), '\\s+')[i],
-                string_split_regex(lower(text), '\\s+')[i+1],
-                string_split_regex(lower(text), '\\s+')[i+2]))) AS sh
-  FROM documents),
-p AS MATERIALIZED (
-  SELECT a.doc_id AS da, b.doc_id AS db
-  FROM d a JOIN d b ON a.doc_id < b.doc_id
-  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5),
-e AS MATERIALIZED (
-  SELECT da AS a, db AS b FROM p UNION SELECT db AS a, da AS b FROM p),
-reach AS (
-  SELECT a, b FROM e
-  UNION
-  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-comp AS (
-  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-  FROM reach GROUP BY a)
-SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical FROM comp""",
-)
-def q_dedup_clusters(spark, sf):
-    """B51 final step: near-dup pairs -> connected components -> one
-    canonical doc per cluster.
-
-    The ENGINE side is iterative min-label propagation (graph.py) —
-    the form that scales; the fixture-scale oracle (r8 promotion from
-    rows-only) recomputes the exact-Jaccard pair set (the same SQL
-    shape dedup_minhash's oracle proves equal to the engine's
-    LSH+verify output) and closes it with a recursive transitive
-    closure, so component labels are cross-checked end-to-end. Robust
-    to the star-edge representation the engine emits on corpora with
-    exact duplicates: star edges span the same components as the full
-    pair set, and connected components are representation-invariant."""
-    from lookup_transform_spark.operators.graph import dedup_clusters
-
-    pairs = DD.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=32, bands=8, threshold=0.5
-    )
-    return dedup_clusters(pairs)
-
-
-@_q(
-    "json_struct",
-    """SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-       (CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL) AS has_k
-FROM events""",
-)
-def q_json_struct(spark, sf):
-    """B55/B38: schema-enforced JSON parse (from_json -> struct), vs the
-    path-extraction twin json_extract."""
-    ev = _events(spark, sf)
-    parsed = F.from_json("props", "k int")
-    return ev.select(
-        "event_id",
-        parsed["k"].alias("k"),
-        parsed["k"].isNotNull().alias("has_k"),
-    )
-
-
-@_q(
-    "json_variant",
-    """SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""",
-)
-def q_json_variant(spark, sf):
-    """B55 modern path: parse once into a VARIANT column (Spark 4 binary
-    semi-structured encoding), then typed `variant_get` extraction —
-    the shredded-at-parse alternative to repeated string path scans
-    (json_extract twin). try_parse_json: malformed rows become null,
-    never a task failure."""
-    ev = _events(spark, sf)
-    v = F.try_parse_json("props")
-    k = F.variant_get(v, "$.k", "int")
-    return ev.select("event_id", k.alias("k")).filter(k > 50)
-
-
-@_q(
-    "map_funcs",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map
-FROM events""",
-)
-def q_map_funcs(spark, sf):
-    """B38: MapType plumbing — JSON -> map<string,int> -> element_at."""
-    ev = _events(spark, sf)
-    m = F.from_json("props", "map<string,int>")
-    return ev.select(
-        "event_id", F.element_at(m, "k").alias("k_via_map")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Subquery-heavy analytic shapes (Catalyst decorrelation surface)
-# ---------------------------------------------------------------------------
-
-@_q(
-    "correlated_subquery",
-    """SELECT l.l_orderkey, l.l_partkey, l.l_quantity
-FROM lineitem l
-WHERE l.l_quantity < (
-  SELECT 0.2 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
-                / COUNT(*))
-  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
-)
-def q_correlated_subquery(spark, sf):
-    """B37: correlated scalar subquery (TPC-H Q17 shape) — Catalyst
-    decorrelates it into an aggregate + join."""
-    v = "lineitem_cs_" + _vtag(sf)  # sf-scoped: see grouping_sets
-    _t(spark, sf, "lineitem").createOrReplaceTempView(v)
-    return spark.sql(
-        f"""SELECT l.l_orderkey, l.l_partkey, l.l_quantity
-           FROM {v} l
-           WHERE l.l_quantity < (
-             SELECT 0.2 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
-                           / COUNT(*))
-             FROM {v} l2 WHERE l2.l_partkey = l.l_partkey)"""
-    )
-
-
-@_q(
-    "q13_custdist",
-    """SELECT c_count, COUNT(*) AS custdist FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-  GROUP BY c.c_custkey)
-GROUP BY c_count""",
-)
-def q_q13_custdist(spark, sf):
-    """B32/B37: two-level aggregation over an outer join (TPC-H Q13).
-
-    VARIANT of ``tpch_q13_custdist`` (pre-dates the full TPC-H tier):
-    same Q13 skeleton without the comment-pattern predicate - kept as
-    a plain outer-join-aggregate shape; not counted as new coverage."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@_q(
-    "not_in_subquery",
-    """SELECT s_suppkey FROM supplier
-WHERE s_suppkey NOT IN (
-  SELECT l_suppkey FROM lineitem WHERE l_quantity > 49 AND l_orderkey % 20 = 0)""",
-)
-def q_not_in_subquery(spark, sf):
-    """B37: NOT IN (null-aware anti-join) through the SQL surface."""
-    sv = "supplier_ni_" + _vtag(sf)  # sf-scoped: see grouping_sets
-    lv = "lineitem_ni_" + _vtag(sf)
-    _t(spark, sf, "supplier").createOrReplaceTempView(sv)
-    _t(spark, sf, "lineitem").createOrReplaceTempView(lv)
-    return spark.sql(
-        f"""SELECT s_suppkey FROM {sv}
-           WHERE s_suppkey NOT IN (
-             SELECT l_suppkey FROM {lv} WHERE l_quantity > 49 AND l_orderkey % 20 = 0)"""
-    )
-
-
-@_q(
-    "q18_volume",
-    """SELECT o.o_orderkey, o.o_custkey,
-       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY o.o_orderkey, o.o_custkey
-HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 150""",
-)
-def q_q18_volume(spark, sf):
-    """B32: join + aggregate + HAVING on the aggregate (TPC-H Q18).
-
-    VARIANT of ``tpch_q18_large_volume`` (pre-dates the full TPC-H
-    tier): same Q18 skeleton without the customer join/top-N - kept as
-    a plain HAVING shape; not counted as new coverage."""
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.sum(scaled_long("l_quantity", 0)).alias("__q__"))
-        .filter(F.col("__q__") > 150)
-        .select(
-            "o_orderkey", "o_custkey",
-            F.col("__q__").cast("double").alias("total_qty"),
-        )
-    )
-
-
-@_q("stream_sessionize_stateful")
-def q_stream_sessionize_stateful(spark, sf):
-    """B63 extension: custom stateful operator (applyInPandasWithState)
-    — per-user session state machine emitting closed sessions.
-    Rows-only BY SEMANTICS: which sessions CLOSE (vs remain open in
-    state at stream end) depends on the trigger decomposition and
-    timeout processing, so no single SQL statement models the output;
-    stream ≡ batch-sessionize equality on closed sessions is pinned in
-    tests/test_streaming.py instead (the r9 streaming promotions took
-    only decomposition-independent queries)."""
-    from lookup_transform_spark.streaming import read_events_stream
-    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
-    from lookup_transform_spark.streaming.stateful import (
-        stream_sessionize_stateful,
-    )
-
-    ev = read_events_stream(spark, sf).select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
-    )
-    return run_to_memory(
-        stream_sessionize_stateful(ev, gap_seconds=1800), f"mem_state_sess_{_vtag(sf)}"
-    )
-
-
-@_q("stream_lifetime_stats")
-def q_stream_lifetime_stats(spark, sf):
-    """B63: per-key running lifetime aggregates, O(1) state per key.
-    impl='auto' uses transformWithStateInPandas (Spark 4 arbitrary
-    state) where the protobuf runtime exists, else the equivalent
-    applyInPandasWithState degraded path — equality of the two forms is
-    pinned in tests/test_streaming.py. Rows-only BY SEMANTICS: the
-    operator emits one row per (key, batch-with-data) — the output
-    cardinality is a function of the trigger decomposition (the r9
-    streaming promotions took only decomposition-INDEPENDENT queries),
-    and stream ≡ batch equality is pinned instead."""
-    from lookup_transform_spark.streaming import read_events_stream
-    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
-    from lookup_transform_spark.streaming.stateful import stream_lifetime_stats
-
-    ev = read_events_stream(spark, sf).select("user_id", "value")
-    return run_to_memory(stream_lifetime_stats(ev), f"mem_lifetime_{_vtag(sf)}")
-
-
-@_q(
-    "text_redact",
-    """SELECT doc_id,
-       regexp_replace(
-         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted
-FROM documents""",
-)
-def q_text_redact(spark, sf):
-    """B53: PII-style regex redaction (emails, phone patterns) — the
-    cheap scrubbing pass of a training-data pipeline."""
-    d = _t(spark, sf, "documents")
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
-    return d.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
-        ).alias("redacted"),
-    )
-
-
-@_q(
-    "repetition_filter",
-    """WITH t AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
-SELECT doc_id,
-       ROUND(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS rep_ratio,
-       (1.0 - len(list_distinct(toks))::DOUBLE / len(toks)) < 0.7 AS keep
-FROM t""",
-)
-def q_repetition_filter(spark, sf):
-    """B53: token-repetition quality filter (1 - distinct/total) — the
-    standard boilerplate/spam pre-filter."""
-    d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    rep = 1.0 - F.size(F.array_distinct(toks)) / F.size(toks)
-    return d.select(
-        "doc_id",
-        F.round(rep, 6).alias("rep_ratio"),
-        (rep < 0.7).alias("keep"),
-    )
-
-
-@_q(
-    "setops_except_all",
-    """SELECT l_orderkey AS okey FROM lineitem WHERE l_quantity > 10
-EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 10""",
-)
-def q_setops_except_all(spark, sf):
-    """B36: EXCEPT ALL (multiplicity-preserving difference)."""
-    li = _t(spark, sf, "lineitem")
-    a = li.filter(F.col("l_quantity") > 10).select(F.col("l_orderkey").alias("okey"))
-    b = li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 10)).select(
-        F.col("l_orderkey").alias("okey")
-    )
-    return a.exceptAll(b)
-
-
-@_q(
-    "intersect_all",
-    """SELECT o_custkey AS ckey FROM orders WHERE o_orderstatus = 'O'
-INTERSECT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 100000""",
-)
-def q_intersect_all(spark, sf):
-    """B36: INTERSECT ALL (multiplicity-preserving)."""
-    o = _t(spark, sf, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ckey"))
-    b = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("ckey"))
-    return a.intersectAll(b)
-
-
-# ---------------------------------------------------------------------------
-# End-to-end curation pipeline + remaining TPC-H shapes
-# ---------------------------------------------------------------------------
-
-@_q(
-    "pipeline_curate",
-    """WITH scored AS (
-  SELECT doc_id, lang, n_chars,
-         CAST(len(string_split_regex(lower(text), '\\s+')) AS INTEGER) AS n_tok,
-         CASE WHEN text IS NULL THEN NULL
-              WHEN length(text) > 0
-              THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text)
-              ELSE 0.0 END AS praw,
-         1.0 - len(list_distinct(string_split_regex(lower(text), '\\s+')))::DOUBLE
-             / len(string_split_regex(lower(text), '\\s+')) AS rep,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-  FROM documents
-), q AS (
-  SELECT doc_id, lang, fp,
-         ROUND(LEAST(n_tok / 20.0, 1.0) * (1.0 - praw)
-               * CASE WHEN n_tok > 0 AND n_chars::DOUBLE / n_tok >= 3.0
-                           AND n_chars::DOUBLE / n_tok <= 12.0
-                      THEN 1.0 ELSE 0.5 END, 6) AS quality,
-         rep
-  FROM scored
-  WHERE lang IN ('en', 'es', 'de')
-), filtered AS (
-  SELECT * FROM q WHERE quality >= 0.5 AND rep < 0.7
-), deduped AS (
-  SELECT doc_id, lang, quality FROM (
-    SELECT doc_id, lang, quality,
-           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-    FROM filtered) WHERE rn = 1
-)
-SELECT d.doc_id, d.lang, d.quality, e.label
-FROM deduped d LEFT JOIN embeddings e ON d.doc_id = e.vec_id""",
-)
-def q_pipeline_curate(spark, sf):
-    """End-to-end training-data curation: language filter -> quality
-    score -> repetition filter -> fingerprint dedup -> embedding-label
-    enrichment (LookupSpec). The realistic composition every tier
-    feeds into; fully deterministic, hence oracle-checked."""
-    d = _t(spark, sf, "documents")
-    scored = d.filter(F.col("lang").isin("en", "es", "de")).select(
-        "doc_id", "lang",
-        TX.quality_score("text").alias("quality"),
-        (1.0 - F.size(F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")))
-         / F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("rep"),
-        TX.content_fingerprint("text").alias("fp"),
-    )
-    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("rep") < 0.7))
-    deduped = DD.dedup_exact(
-        filtered.select("fp", "doc_id", "lang", "quality"), ["fp"], "doc_id"
-    ).select("doc_id", "lang", "quality")
-    spec = LookupSpec("embeddings", "doc_id", "vec_id", "label")
-    return spec.apply(deduped, _t(spark, sf, "embeddings"))
-
-
-@_q(
-    "q10_returned",
-    """SELECT c.c_custkey, c.c_name, n.n_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, n.n_name""",
-)
-def q_q10_returned(spark, sf):
-    """B37: returned-item revenue per customer (TPC-H Q10 shape).
-
-    VARIANT of ``tpch_q10_returned`` (pre-dates the full TPC-H tier):
-    same Q10 skeleton without the date window/address columns/top-20 -
-    kept as a plain multi-join aggregate; not counted as new coverage."""
-    c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = _t(spark, sf, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        c.join(o, c["c_custkey"] == o["o_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_fsum(revenue, "revenue", dp=4))
-    )
-
-
-@_q(
-    "q7_volume_shipping",
-    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM supplier s
-JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-WHERE sn.n_name <> cn.n_name
-GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS INTEGER)""",
-)
-def q_q7_volume_shipping(spark, sf):
-    """B37: cross-border trade volume (TPC-H Q7 shape) — two aliases of
-    the same dimension joined under different roles.
-
-    VARIANT of ``tpch_q7_volume`` (pre-dates the full TPC-H tier): ALL
-    cross-nation pairs instead of the fixed pair + date window of Q7 -
-    kept for the unrestricted-pair shape; not counted as new coverage."""
-    s = _t(spark, sf, "supplier")
-    li = _t(spark, sf, "lineitem")
-    o = _t(spark, sf, "orders")
-    c = _t(spark, sf, "customer")
-    n = _t(spark, sf, "nation")
-    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        s.join(li, s["s_suppkey"] == li["l_suppkey"])
-        .join(o, o["o_orderkey"] == li["l_orderkey"])
-        .join(c, c["c_custkey"] == o["o_custkey"])
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(_fsum(revenue, "revenue", dp=4))
-    )
-
-
-@_q(
-    "stream_stream_join",
-    # Oracle-exact since r9: an INNER interval join's match set is a
-    # pure function of the two inputs (closed range
-    # [p_ts - 1h, p_ts]); the watermark exists to bound state, and the
-    # stream ≡ batch equality pin in tests/test_streaming.py is the
-    # evidence every match flushes under the availableNow run.
-    """SELECT p.event_id AS p_id, c.event_id AS c_id
-FROM events p JOIN events c
-  ON p.user_id = c.user_id
- AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
-)
-def q_stream_stream_join(spark, sf):
-    """Streaming extension: stream-stream interval join (purchases x
-    preceding clicks within 1h per user), state bounded by watermarks
-    + the time-range predicate."""
-    from lookup_transform_spark.streaming import read_events_stream
-    from lookup_transform_spark.streaming.lookup_stream import run_to_memory
-    from lookup_transform_spark.streaming.stream_stream import (
-        stream_stream_interval_join,
-    )
-
-    ev = read_events_stream(spark, sf)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"),
-        F.col("user_id").alias("user_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    joined = stream_stream_interval_join(
-        purchases, clicks, key="user_id", left_ts="p_ts", right_ts="c_ts",
-        lookback="1 hour",
-    ).select("p_id", "c_id")
-    return run_to_memory(joined, f"mem_stream_stream_{_vtag(sf)}")
-
-
-@_q(
-    "tfidf_top_terms",
-    """WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
-), df AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
-), n AS (
-  SELECT COUNT(*) AS n_docs FROM documents
-), scored AS (
-  SELECT tf.doc_id, tf.term,
-         ROUND(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
-  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-)
-SELECT doc_id, term, tfidf FROM (
-  SELECT doc_id, term, tfidf,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY tfidf DESC, term) AS rn
-  FROM scored) WHERE rn <= 5""",
-)
-def q_tfidf_top_terms(spark, sf):
-    """B53: TF-IDF top-5 terms per document. Ranking uses the ROUNDED
-    score + term tiebreak so mathematically-equal scores computed via
-    different ln() paths order identically in both engines."""
-    d = _t(spark, sf, "documents")
-    n_docs = d.count()
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # Document frequency derives from tf — it already holds exactly one
-    # row per (doc, term), so a per-term row count == countDistinct(doc_id)
-    # over the raw token stream. Computing it as a window count over tf
-    # (a) tokenizes the corpus ONCE (the naive formulation re-explodes
-    # every document for the df branch and pays a countDistinct shuffle
-    # on the full token stream) and (b) avoids a tf⋈df self-join that
-    # would re-evaluate the explode subtree on both sides.
-    w_term = Window.partitionBy("term")
-    scored = tf.select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(w_term)),
-            6,
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("tfidf").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("doc_id", "term", "tfidf")
-    )
-
-
-def bm25_per_doc(spark, sf, terms):
-    """The single tokenize pass behind ``bm25_retrieval``: ONE
-    ``documents`` scan projecting per-document statistics — doclen and
-    per-query-term tf — as row-local array ops (``size``/``filter``
-    over the split, no explode, no token-stream shuffle). One split per
-    row: whole-stage codegen's subexpression elimination shares the
-    ``split()`` across the six uses (pinned in tests/test_plans.py).
-    Output is ~40 bytes/doc regardless of document size."""
-    d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-
-    def eq(term):  # 1-arg lambda: a 2-arg one would bind (elem, index)
-        return lambda x: x == F.lit(term)
-
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[
-            F.size(F.filter(toks, eq(t))).alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
-
-
-@_q(
-    "bm25_retrieval",
-    """WITH consts AS (
-  SELECT COUNT(*) AS n_docs,
-         SUM(len(string_split_regex(lower(text), '\\s+'))) AS sum_dl
-  FROM documents
-), tok AS (
-  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS dl,
-         unnest(string_split_regex(lower(text), '\\s+')) AS term
-  FROM documents
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-  FROM tok WHERE term IN ('join', 'window', 'hash', 'stream')
-  GROUP BY doc_id, term
-), scored AS (
-  SELECT tf.doc_id,
-         ln(1 + (c.n_docs - COUNT(*) OVER (PARTITION BY tf.term) + 0.5)
-                / (COUNT(*) OVER (PARTITION BY tf.term) + 0.5))
-         * (tf.tf * 2.2)
-         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
-                           / (c.sum_dl::DOUBLE / c.n_docs))) AS s
-  FROM tf CROSS JOIN consts c
-)
-SELECT doc_id, ROUND(SUM(s), 6) AS bm25
-FROM scored GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id LIMIT 20""",
-)
-def q_bm25_retrieval(spark, sf):
-    """B53 extension: BM25 (k1=1.2, b=0.75) top-20 retrieval for a
-    fixed query-term set — the lexical-retrieval scorer a curation
-    pipeline runs next to embedding search (hard-negative mining,
-    retrieval-based decontamination).
-
-    Scale shape (r7 rework, VERDICT r6 #6): ONE corpus scan, total.
-    ``bm25_per_doc`` tokenizes once and reduces each document to
-    (doc_id, dl, tf per query term) — per-row array ops, no explode.
-    That ~40 B/doc projection is localCheckpoint'd (the "index": at
-    100 TB it is n_docs × 40 B, the one artifact worth materializing),
-    and BOTH consumers read the materialized blocks: a 1-row constants
-    aggregate (N, Σdl, per-term df — df folds into the same agg as
-    ``sum(tf_i > 0)``, killing the old per-term window shuffle) that is
-    broadcast back via cross-join, and the scorer, which keeps only
-    docs matching ≥1 query term. The old formulation scanned +
-    tokenized the text column TWICE (a separate ``.first()`` action
-    for N/Σdl) and shuffled an exploded token stream for tf + a window
-    for df; now the only shuffle in the job is the final top-20
-    (TakeOrderedAndProject, O(k) per partition).
-
-    Determinism vs the oracle: per-term double math is IEEE-identical
-    (same operand order as the SQL, constants as the same double
-    literals), tf=0 terms contribute an exact +0.0, the final sum is
-    rounded to 6 decimals, and the top-20 cut is ordered
-    (bm25 DESC, doc_id) on the ROUNDED score so equal scores computed
-    via different ln() paths rank identically in both engines."""
-    # constants appear as the SAME double literals as in the SQL text
-    # (k1=1.2, b=0.75): k1+1 computed in Python could differ from the
-    # parsed literal 2.2 in the last ulp
-    K1, K1P1, ONE_MINUS_B, B = 1.2, 2.2, 0.25, 0.75
-    terms = ["join", "window", "hash", "stream"]
-    idx = range(len(terms))
-    per_doc = bm25_per_doc(spark, sf, terms).localCheckpoint(eager=False)
-    consts = F.broadcast(
-        per_doc.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-            *[
-                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-                for i in idx
-            ],
-        )
-    )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-
-    def s_term(i):
-        dfc = F.col(f"df_{i}")
-        tfc = F.col(f"tf_{i}")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs").cast("double") - dfc + F.lit(0.5))
-            / (dfc + F.lit(0.5))
-        )
-        s = idf * (tfc * F.lit(K1P1)) / (
-            tfc + F.lit(K1) * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / avgdl)
-        )
-        # a tf=0 term is absent from the oracle's tf CTE: contribute an
-        # exact +0.0 (IEEE-neutral for the positive BM25 partials)
-        return F.when(tfc > 0, s).otherwise(F.lit(0.0))
-
-    total = s_term(0)
-    for i in list(idx)[1:]:
-        total = total + s_term(i)
-    return (
-        per_doc.filter(
-            sum((F.col(f"tf_{i}") for i in list(idx)[1:]), F.col("tf_0")) > 0
-        )
-        .crossJoin(consts)
-        .select("doc_id", F.round(total, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
-
-
-@_q(
-    "embedding_centroids",
-    """WITH e AS (
-  SELECT label, unnest(embedding) AS v,
-         generate_subscripts(embedding, 1) AS idx
-  FROM embeddings
-)
-SELECT label, CAST(idx AS INTEGER) AS idx,
-       ROUND((SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000000.0) AS BIGINT)) / 10000000000.0) / COUNT(*), 5) AS centroid_val
-FROM e GROUP BY label, idx""",
-)
-def q_embedding_centroids(spark, sf):
-    """B52 support: per-class centroid, element-wise (posexplode ->
-    fixed-point mean). Long form (label, idx, value) so the oracle
-    compare is scalar, not array-typed.
-
-    r7: the sum was a decimal(38,10) accumulator — precision >18 is a
-    JVM BigDecimal per row, off the primitive codegen path (the exact
-    defect the fixed-point rework removed from the money sums, PLANS.md)
-    — measured 1.08 s -> ~0.5 s at 32x as a scaled-long sum. dp=10
-    reproduces decimal(38,10)'s per-element quantization exactly, so
-    the oracle change is form, not values. float -> double FIRST:
-    engines disagree on float->decimal/fixed-point shortest-repr.
-    Overflow headroom: |v|*1e10 * rows_per_group must stay < 2^63 —
-    fine to ~1e7 rows per (label, idx) group; beyond that use
-    fp_sum_stable (functions/fixedpoint.py)."""
-    emb = _t(spark, sf, "embeddings")
-    return (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
-        .agg(
-            F.round(
-                (F.sum(scaled_long(F.col("v").cast("double"), 10))
-                 / F.lit(10000000000.0)) / F.count(F.lit(1)), 5
-            ).alias("centroid_val")
-        )
-    )
-
-
-@_q(
-    "knn_classify",
-    """WITH scored AS (
-  SELECT q.vec_id AS query_id, c.label,
-         ROW_NUMBER() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                    c.vec_id) AS rn
-  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
-  WHERE c.vec_id <> q.vec_id
-), votes AS (
-  SELECT query_id, label, COUNT(*) AS n FROM scored WHERE rn <= 15
-  GROUP BY query_id, label
-)
-SELECT query_id, label AS predicted_label FROM (
-  SELECT query_id, label,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY n DESC, label) AS r
-  FROM votes) WHERE r = 1""",
-)
-def q_knn_classify(spark, sf):
-    """B52 end-use: kNN majority-vote classification over the exact
-    cosine top-k (k=15), deterministic tiebreak toward the smaller
-    label."""
-    emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    nn = cosine_topk(emb, queries, k=15)
-    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
-    votes = (
-        nn.join(labels, on="neighbor_id")
-        .groupBy("query_id", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("n").desc(), F.col("label").asc()
-    )
-    return (
-        votes.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("query_id", F.col("label").alias("predicted_label"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic sampling / splits; type-widening lookup
-# ---------------------------------------------------------------------------
-
-_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 4)) AS INTEGER)"
-
-
-@_q(
-    "dataset_split",
-    f"""SELECT doc_id,
-       CASE WHEN {_BUCKET_SQL.format(k='doc_id')} < 52428 THEN 'train'
-            WHEN {_BUCKET_SQL.format(k='doc_id')} < 58982 THEN 'val'
-            ELSE 'test' END AS split
-FROM documents""",
-)
-def q_dataset_split(spark, sf):
-    """Training-pipeline: reproducible train/val/test split by content
-    hash — a document keeps its split across runs and engines."""
-    from lookup_transform_spark.operators.sampling import dataset_split
-
-    d = _t(spark, sf, "documents").select("doc_id")
-    return dataset_split(d, "doc_id", train=0.8, val=0.1)
-
-
-@_q(
-    "sample_weighted_topk",
-    """WITH scored AS (
-  SELECT doc_id, length(text)::BIGINT AS w,
-         -ln((('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 13))::BIGINT
-              + 1.0) / 4503599627370496.0) / length(text)::DOUBLE AS s
-  FROM documents WHERE length(text) > 0
-)
-SELECT doc_id, w FROM scored ORDER BY s ASC, doc_id ASC LIMIT 200""",
-)
-def q_sample_weighted_topk(spark, sf):
-    """Training-pipeline (r9): EXACT-size weighted sample without
-    replacement — Efraimidis–Spirakis A-ES over md5-derived uniforms
-    (operators/sampling.py:weighted_topk_sample), here 200 documents
-    favored by text length. Deterministic, reproducible across
-    engines/runs (the property that keeps a curated subset stable under
-    reprocessing), and oracle-exact: the same md5 bits + exponential
-    race replay in ANSI SQL. Complements dataset_split / corpus_mix
-    (rate-based Bernoulli) with exact-cardinality selection; the plan
-    is scan + TakeOrderedAndProject — never a full sort."""
-    from lookup_transform_spark.operators.sampling import (
-        weighted_topk_sample,
-    )
-
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.length("text").alias("w")
-    )
-    return weighted_topk_sample(d, "doc_id", "w", k=200)
-
-
-@_q(
-    "stratified_sample",
-    f"""SELECT lang, doc_id FROM (
-  SELECT lang, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY {_BUCKET_SQL.format(k='doc_id')}, doc_id) AS rn
-  FROM documents) WHERE rn <= 10""",
-)
-def q_stratified_sample(spark, sf):
-    """Training-pipeline: exactly 10 docs per language, hash-ordered
-    (deterministic stratified sampling)."""
-    from lookup_transform_spark.operators.sampling import stratified_sample
-
-    d = _t(spark, sf, "documents").select("lang", "doc_id")
-    return stratified_sample(d, "lang", 10, "doc_id")
-
-
-#: corpus-mix rates per language (scale-free; lang set is fixed across SFs)
-_MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
-_MIX_DEFAULT = 0.1
-
-
-@_q(
-    "corpus_mix",
-    f"""SELECT doc_id, lang, source FROM documents
-WHERE {_BUCKET_SQL.format(k='doc_id')} <
-      CASE lang WHEN 'de' THEN 32768 WHEN 'en' THEN 65536
-                WHEN 'es' THEN 32768 WHEN 'fr' THEN 32768
-                WHEN 'zh' THEN 16384 ELSE 6553 END""",
-)
-def q_corpus_mix(spark, sf):
-    """Training-pipeline: domain/language reweighting — keep 100% of en,
-    50% of de/es/fr, 25% of zh, 10% otherwise, by deterministic
-    hash-Bernoulli (reprocessing-stable; a pure codegen'd filter)."""
-    from lookup_transform_spark.operators.sampling import weighted_sample
-
-    d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
-    return weighted_sample(d, "lang", _MIX_RATES, "doc_id", _MIX_DEFAULT)
-
-
-@_q(
-    "anomaly_zscore",
-    """WITH s AS (
-  SELECT user_id, COUNT(*) AS n,
-         SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sv,
-         SUM(CAST(ROUND(value * value * 1000000) AS BIGINT)) / 1000000.0 AS svv
-  FROM events GROUP BY user_id)
-SELECT e.event_id, e.user_id,
-       ROUND((e.value - sv / n) / SQRT((svv - sv * sv / n) / (n - 1)), 6) AS z
-FROM events e JOIN s ON e.user_id = s.user_id
-WHERE n > 1 AND (svv - sv * sv / n) > 0
-  AND ABS((e.value - sv / n) / SQRT((svv - sv * sv / n) / (n - 1))) > 2.5""",
-)
-def q_anomaly_zscore(spark, sf):
-    """Per-user outlier filter: |z| > 2.5 against the user's own
-    mean/std (training-data quality gate on the event stream). Moments
-    via one partial-aggregated groupBy (decimal sums for cross-engine
-    determinism), then a broadcast join back — the fact table is
-    scanned once and never shuffled."""
-    e = _events(spark, sf).select("event_id", "user_id", "value")
-    stats = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        fp_sum("value", 6).alias("sv"),
-        fp_sum(F.col("value") * F.col("value"), 6).alias("svv"),
-    )
-    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
-    var = (svv - sv * sv / n) / (n - 1)
-    z = (F.col("value") - sv / n) / F.sqrt(var)
-    return (
-        e.join(F.broadcast(stats), "user_id")
-        .filter((n > 1) & ((svv - sv * sv / n) > 0) & (F.abs(z) > 2.5))
-        .select("event_id", "user_id", F.round(z, 6).alias("z"))
-    )
-
-
-def _zorder_oracle() -> str:
-    from lookup_transform_spark.operators.layout import zorder_code_sql
-
-    a = "(o_custkey % 256)"
-    b = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256)"
-    return (
-        f"SELECT o_orderkey, ({zorder_code_sql(a, b)}) AS zcode FROM orders"
-    )
-
-
-@_q("zorder_layout", _zorder_oracle())
-def q_zorder_layout(spark, sf):
-    """Data layout for scan locality: Morton (Z-order) code over the two
-    common filter keys — the clustering key a 100 TB writer sorts by so
-    parquet min/max statistics prune BOTH dimensions (zorder_write is
-    the writer; this query pins the code itself cross-engine)."""
-    from lookup_transform_spark.operators.layout import zorder_code
-
-    o = _t(spark, sf, "orders")
-    a = F.pmod(F.col("o_custkey"), F.lit(256))
-    b = F.pmod(
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")),
-        F.lit(256),
-    )
-    return o.select("o_orderkey", zorder_code(a, b).alias("zcode"))
-
-
-@_q(
-    "lookup_type_widening",
-    """SELECT o.o_orderkey, CAST(o.o_custkey AS INTEGER) AS ck32, c.c_mktsegment AS segment
-FROM orders o LEFT JOIN customer c ON CAST(o.o_custkey AS INTEGER) = c.c_custkey""",
-)
-def q_lookup_type_widening(spark, sf):
-    """A6 key-compatibility in action: int32 input key joins a bigint
-    lookup key — Schema.isCompatible's widening analog
-    (Lookup.java:510-514), Spark upcasts in the join."""
-    inp = _t(spark, sf, "orders").select(
-        "o_orderkey", F.col("o_custkey").cast("int").alias("ck32")
-    )
-    spec = LookupSpec("customer", "ck32", "c_custkey", "c_mktsegment", "segment")
-    return spec.apply(inp, _t(spark, sf, "customer"))
-
-
-# ---------------------------------------------------------------------------
-# TPC-H breadth: EXISTS, pure filter-agg, conditional-agg ratio,
-# disjunctive pushdown, scalar-threshold + anti-join
-# ---------------------------------------------------------------------------
-
-@_q(
-    "tpch_q4_priority",
-    """SELECT o.o_orderpriority, COUNT(*) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate)
-GROUP BY o.o_orderpriority""",
-)
-def q_tpch_q4_priority(spark, sf):
-    """TPC-H Q4 shape: correlated EXISTS with a non-equi residual
-    (l_shipdate > o_orderdate) alongside the key.
-
-    Written as inner join + distinct-on-o_orderkey rather than
-    left-semi: the two are equivalent because o_orderkey is unique in
-    orders, but Spark can only BUILD on the right side of a semi join —
-    the huge fact side here — so the semi formulation is stuck in a
-    both-sides shuffle. The inner form lets CBO/AQE build a broadcast
-    hash join on the quarter-filtered orders, and the distinct's
-    map-side partial aggregation caps the remaining shuffle at the
-    matched-order keys per partition. No broadcast hint: the filtered
-    size is a planner decision (catalog stats plan-time, AQE runtime),
-    so a 1000x orders table degrades to a shuffled join instead of an
-    OOM'd driver. The planner only SEES the quarter filter's
-    selectivity once the catalog declares the timestamp column
-    ANALYZE-able (stats.py NTZ note, r8): before that fix this query
-    planned as a 19.2M-row SortMergeJoin at the 32x probe (1.41 s);
-    with estimation + the 32MB broadcast tier it is a broadcast probe
-    (0.69 s) with no hint in the query."""
-    o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
-        li["l_shipdate"] > o["o_orderdate"]
-    )
-    return (
-        li.join(o, cond)
-        .select("o_orderkey", "o_orderpriority")
-        .distinct()
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@_q(
-    "tpch_q6_forecast",
-    """SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24""",
-)
-def q_tpch_q6_forecast(spark, sf):
-    """TPC-H Q6: pure filter + global agg — every predicate must reach
-    the parquet scan (PushedFilters), no shuffle beyond the final
-    single-row combine."""
-    li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return li.agg(
-        fp_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
-    )
-
-
-@_q(
-    "tpch_q14_promo",
-    """SELECT ROUND(
-  100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                        THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
-                        ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
-        / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE),
-  6) AS promo_revenue
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
-)
-def q_tpch_q14_promo(spark, sf):
-    """TPC-H Q14: conditional-aggregate ratio (promo revenue share).
-    part is a broadcast dim; both sums accumulate exact decimal so the
-    double ratio is bit-identical across engines."""
-    li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    )
-    p = _t(spark, sf, "part").select("p_partkey", "p_type")
-    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    zero = F.lit(0).cast("long")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    return j.agg(
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-            .cast("double")
-            / F.sum(rev).cast("double"),
-            6,
-        ).alias("promo_revenue")
-    )
-
-
-@_q(
-    "tpch_q19_disjunctive",
-    """SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 1 AND 11)
-   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
-       AND l.l_quantity BETWEEN 10 AND 20)
-   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
-       AND l.l_quantity BETWEEN 20 AND 30)""",
-)
-def q_tpch_q19_disjunctive(spark, sf):
-    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides. Catalyst
-    extracts the single-side conjuncts (brand/size, quantity bounds)
-    below the join, so each scan is pre-filtered before the broadcast
-    hash join evaluates the residual disjunction."""
-    li = _t(spark, sf, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
-    disj = (
-        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
-        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
-        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
-    )
-    return j.filter(disj).agg(
-        _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", dp=4)
-    )
-
-
-@_q(
-    "tpch_q22_dormant",
-    """SELECT n.n_name, COUNT(*) AS numcust,
-       SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_acctbal > (
-        SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(*)
-        FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-GROUP BY n.n_name""",
-)
-def q_tpch_q22_dormant(spark, sf):
-    """TPC-H Q22 shape: above-average balance (scalar agg threshold,
-    broadcast single row) + never-ordered (anti join), rolled up by
-    nation."""
-    c = _t(spark, sf, "customer")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0.0)
-        .agg(
-            (fp_sum("c_acctbal", 2) / F.count(F.lit(1)))
-            .alias("__avg_bal__")
-        )
-    )
-    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("__avg_bal__"))
-    dormant = rich.join(
-        _t(spark, sf, "orders").select(F.col("o_custkey")),
-        rich["c_custkey"] == F.col("o_custkey"),
-        "left_anti",
-    )
-    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    return (
-        dormant.join(F.broadcast(n), dormant["c_nationkey"] == n["n_nationkey"])
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            _fsum("c_acctbal", "totacctbal", dp=2),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H breadth II (adapted to fixture schema: no partsupp, no
-# commit/receipt dates — lateness is modeled as l_shipdate far past
-# o_orderdate): market share, profit rollup, value concentration,
-# late-line priority split, top supplier, small-quantity revenue,
-# waiting-supplier exists/not-exists
-# ---------------------------------------------------------------------------
-
-@_q(
-    "tpch_q8_market_share",
-    """SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
-                           ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
-FROM (
-  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
-         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS volume,
-         n2.n_name AS nation
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
-  JOIN region r ON n1.n_regionkey = r.r_regionkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
-  JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
-    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-) GROUP BY o_year""",
-)
-def q_tpch_q8_market_share(spark, sf):
-    """TPC-H Q8 shape (market share): one fact scan, five broadcast
-    dims, conditional-share ratio by year. All dims are broadcast so
-    the only shuffle is the final tiny groupBy on year."""
-    li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    n1 = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
-    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    n2 = _t(spark, sf, "nation").select(
-        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("nation")
-    )
-    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
-        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    )
-    vol = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    zero = F.lit(0).cast("long")
-    return (
-        j.select(
-            F.year("o_orderdate").alias("o_year"),
-            vol.alias("volume"),
-            F.col("nation"),
-        )
-        .groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
-                .cast("double")
-                / F.sum("volume").cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
-    )
-
-
-@_q(
-    "tpch_q9_profit",
-    """SELECT nation, o_year,
-       SUM(amount) / 1000000.0 AS sum_profit
-FROM (
-  SELECT n.n_name AS nation,
-         EXTRACT(year FROM o.o_orderdate) AS o_year,
-         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)
-           - CAST(ROUND(0.1 * p.p_retailprice * l.l_quantity * 1000000) AS BIGINT) AS amount
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN part p ON p.p_partkey = l.l_partkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  JOIN nation n ON n.n_nationkey = s.s_nationkey
-  WHERE p.p_name LIKE '%widget%'
-) GROUP BY nation, o_year""",
-)
-def q_tpch_q9_profit(spark, sf):
-    """TPC-H Q9 shape (product-type profit): supplycost proxied as
-    10% of p_retailprice per unit (fixture has no partsupp). LIKE
-    filter prunes part before the broadcast; profit rolls up by
-    supplier nation x order year."""
-    li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount",
-    )
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
-    p = (
-        _t(spark, sf, "part")
-        .filter(F.col("p_name").like("%widget%"))
-        .select("p_partkey", "p_retailprice")
-    )
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
-    amount = scaled_long(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
-    ) - scaled_long(0.1 * F.col("p_retailprice") * F.col("l_quantity"), 6)
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .select(
-            F.col("nation"),
-            F.year("o_orderdate").alias("o_year"),
-            amount.alias("amount"),
-        )
-        .groupBy("nation", "o_year")
-        .agg((F.sum("amount") / F.lit(1e6)).alias("sum_profit"))
-    )
-
-
-@_q(
-    "tpch_q11_value_conc",
-    """WITH pv AS (
-  SELECT l_partkey,
-         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS part_value
-  FROM lineitem GROUP BY l_partkey)
-SELECT l_partkey, part_value FROM pv
-WHERE part_value > (
-  SELECT 1.3 * (SUM(CAST(ROUND(part_value * 100) AS BIGINT)) / 100.0) / COUNT(*)
-  FROM pv)""",
-)
-def q_tpch_q11_value_conc(spark, sf):
-    """TPC-H Q11 shape (value concentration): per-key aggregate kept
-    only where it exceeds 1.3x the mean per-key value. The threshold is
-    scale-free (a fixed fraction of the total empties out as the key
-    count grows), and the mean re-accumulates the per-part doubles
-    through fixed point so both engines compute the identical scalar.
-    The threshold is an empty-frame window aggregate over the per-part
-    result, so lineitem is scanned and aggregated ONCE (the
-    aggregate-then-self-join formulation evaluates the CTE twice); the
-    window pass runs over |parts| aggregated rows, not the fact table."""
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
-    per_part = li.groupBy("l_partkey").agg(_fsum("l_extendedprice", "part_value", dp=2))
-    w = Window.partitionBy()
-    thresh = (
-        1.3
-        * (F.sum(scaled_long("part_value", 2)).over(w) / 100.0)
-        / F.count(F.lit(1)).over(w)
-    )
-    return (
-        per_part.withColumn("__thresh__", thresh)
-        .filter(F.col("part_value") > F.col("__thresh__"))
-        .select("l_partkey", "part_value")
-    )
-
-
-@_q(
-    "tpch_q12_late_priority",
-    """SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
-GROUP BY l.l_linestatus""",
-)
-def q_tpch_q12_late_priority(spark, sf):
-    """TPC-H Q12 shape (shipping-mode priority split): join with a
-    cross-table residual (shipped >90 days after order), conditional
-    counts by priority class. Counts are exact longs — no decimal
-    plumbing needed."""
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    li = _t(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
-    ).select("l_orderkey", "l_shipdate", "l_linestatus")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@_q(
-    "tpch_q15_top_supplier",
-    """WITH revenue AS (
-  SELECT l_suppkey AS supplier_no,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0
-           AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-  GROUP BY l_suppkey)
-SELECT s.s_suppkey, s.s_name, r.total_revenue
-FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
-)
-def q_tpch_q15_top_supplier(spark, sf):
-    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
-    the argmax row(s) via an empty-frame window MAX over the aggregate
-    — lineitem is scanned and aggregated ONCE (the max-then-self-join
-    formulation evaluates the revenue CTE twice; the two branches'
-    exchanges differ, so Spark's reuse rule can't collapse them). The
-    window's single-partition pass runs over |suppliers| aggregated
-    rows, not the fact table. Equality on double is safe cross-engine
-    because both totals are the same exact-fixed-point sum cast once.
-    r7 128x probe: 1.14 s @32x -> 1.21 s @128x (flat); the max-agg +
-    broadcast variant costs a second lineitem scan (no exchange reuse)
-    for no win — see PLANS.md."""
-    li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
-    )
-    rev = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            _fsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                "total_revenue", dp=4,
-            )
-        )
-    )
-    w = Window.partitionBy()
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.withColumn("__max_rev__", F.max("total_revenue").over(w))
-        .filter(F.col("total_revenue") == F.col("__max_rev__"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@_q(
-    "tpch_q17_small_qty",
-    """SELECT SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
-         AS avg_yearly
-FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#3'
-  AND l.l_quantity < (
-    SELECT 0.5 * (CAST(SUM(CAST(ROUND(l2.l_quantity) AS BIGINT)) AS DOUBLE)
-                  / COUNT(*))
-    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
-)
-def q_tpch_q17_small_qty(spark, sf):
-    """TPC-H Q17 (small-quantity revenue): correlated per-part average
-    decorrelated into a groupBy + re-join. The per-part average is
-    computed only over the brand-filtered keys (semantically identical:
-    the correlated scalar is only evaluated for those rows)."""
-    p = (
-        _t(spark, sf, "part")
-        .filter(F.col("p_brand") == "Brand#3")
-        .select("p_partkey")
-    )
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    # the per-part average as a window over the brand-filtered rows:
-    # ONE lineitem scan (the aggregate-then-re-join formulation
-    # evaluates the filtered join twice) and one shuffle of only the
-    # brand survivors, keyed by part
-    w = Window.partitionBy("l_partkey")
-    half_avg = (
-        0.5
-        * F.sum(scaled_long("l_quantity", 0)).over(w).cast("double")
-        / F.count(F.lit(1)).over(w)
-    )
-    return (
-        brand_li.withColumn("__half_avg__", half_avg)
-        .filter(F.col("l_quantity") < F.col("__half_avg__"))
-        .agg(
-            (fp_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly")
-        )
-    )
-
-
-@_q(
-    "tpch_q21_waiting",
-    """SELECT s.s_name, COUNT(*) AS numwait
-FROM supplier s
-JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-JOIN orders o ON o.o_orderkey = l1.l_orderkey
-WHERE o.o_orderstatus = 'F'
-  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-  AND EXISTS (SELECT 1 FROM lineitem l2
-              WHERE l2.l_orderkey = l1.l_orderkey
-                AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                  WHERE l3.l_orderkey = l1.l_orderkey
-                    AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-GROUP BY s.s_name""",
-)
-def q_tpch_q21_waiting(spark, sf):
-    """TPC-H Q21 shape (waiting supplier): the exists/not-exists pair
-    over sibling lineitems collapses into one window pass per order —
-    distinct-supplier count and the set of late suppliers — instead of
-    two extra self-joins of the fact table. Lateness = shipped >60 days
-    after the order date (fixture has no commit/receipt dates)."""
-    o = (
-        _t(spark, sf, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_orderkey", "o_orderdate")
-    )
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
-        "late",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        ).cast("int"),
-    )
-    w = Window.partitionBy("l_orderkey")
-    flagged = lo.select(
-        "l_suppkey",
-        "late",
-        F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp__"),
-        F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w).alias(
-            "__late_supps__"
-        ),
-    ).filter(
-        (F.col("late") == 1)
-        & (F.col("__n_supp__") >= 2)
-        & (F.size("__late_supps__") == 1)
-    )
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
-    return (
-        flagged.join(F.broadcast(s), flagged["l_suppkey"] == s["s_suppkey"])
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-@_q(
-    "tpch_q7_volume",
-    """SELECT supp_nation, cust_nation, l_year,
-       SUM(CAST(ROUND(volume * 10000) AS BIGINT)) / 10000.0 AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
-  FROM supplier s
-  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-GROUP BY supp_nation, cust_nation, l_year""",
-)
-def q_tpch_q7_volume(spark, sf):
-    """TPC-H Q7 shape (bi-national shipping volume by year): two
-    broadcast nation dims aliased onto supplier and customer sides, the
-    disjunctive nation-pair predicate evaluated after both attach, fact
-    tables joined on their keys only. Differs from the pre-existing
-    `q7_volume_shipping` (ALL cross-nation pairs, `<>` filter): this is
-    the spec's selective two-nation OR-of-ANDs predicate — a different
-    selectivity class and a disjunctive filter surface."""
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf, "lineitem").select(
-        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
-    )
-    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    n1 = n.select(
-        F.col("n_nationkey").alias("__nk1__"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = n.select(
-        F.col("n_nationkey").alias("__nk2__"), F.col("n_name").alias("cust_nation")
-    )
-    pair = (F.col("supp_nation") == "NATION_1") & (
-        F.col("cust_nation") == "NATION_2"
-    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1__"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2__"))
-        .filter(pair)
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(_fsum(volume, "revenue", dp=4))
-    )
-
-
-@_q(
-    "tpch_q10_returned",
-    """SELECT c.c_custkey, c.c_name,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue,
-       c.c_acctbal, n.n_name
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
-  AND l.l_returnflag = 'R'
-GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name""",
-)
-def q_tpch_q10_returned(spark, sf):
-    """TPC-H Q10 shape (returned-item revenue by customer): quarter
-    filter pushed into the orders scan, returnflag filter into the
-    lineitem scan, customer+nation broadcast. Differs from the
-    pre-existing `q10_returned` (no date window): adds the spec's
-    order-date quarter predicate, so the orders scan is range-pruned
-    and c_acctbal rides the output."""
-    c = _t(spark, sf, "customer").select(
-        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
-    )
-    o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_fsum(revenue, "revenue", dp=4))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-    )
-
-
-@_q(
-    "tpch_q13_custdist",
-    """SELECT c_count, COUNT(*) AS custdist
-FROM (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c
-  LEFT JOIN orders o
-    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-  GROUP BY c.c_custkey)
-GROUP BY c_count""",
-)
-def q_tpch_q13_custdist(spark, sf):
-    """TPC-H Q13 shape (customer order-count distribution), spec-true
-    form: the order-side predicate lives INSIDE the LEFT join's ON
-    clause — a customer whose every order is excluded still counts with
-    c_count = 0, which a WHERE-clause filter (or the unfiltered
-    `q13_custdist` variant above) cannot express. The priority exclusion
-    stands in for the spec's o_comment NOT LIKE (fixture has no comment
-    column)."""
-    c = _t(spark, sf, "customer").select("c_custkey")
-    o = _t(spark, sf, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    ).select("o_orderkey", "o_custkey")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@_q(
-    "tpch_q18_large_volume",
-    """SELECT c.c_name, c.c_custkey, o.o_orderkey,
-       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
-       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(l_quantity) > 150)
-GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
-         o.o_totalprice""",
-)
-def q_tpch_q18_large_volume(spark, sf):
-    """TPC-H Q18 shape (large-volume orders): the IN-subquery is a
-    semi-join against the per-order quantity aggregate — the aggregate
-    runs once, map-side combined, and only qualifying orderkeys flow
-    into the main join (quantity sums are integral doubles < 2^53, so
-    the >150 gate is engine-exact). Differs from the pre-existing
-    `q18_volume` (plain join+HAVING, no customer attach): this is the
-    spec's IN-subquery form, exercising the subquery→left-semi
-    lowering plus the customer/date/totalprice projection."""
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q__"))
-        .filter(F.col("__q__") > 150)
-        .select(F.col("l_orderkey").alias("__bk__"))
-    )
-    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    qualifying = li.join(
-        big, li["l_orderkey"] == F.col("__bk__"), "left_semi"
-    )
-    return (
-        qualifying.join(o, qualifying["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            "o_totalprice",
-        )
-        .agg(_fsum("l_quantity", "total_qty", dp=0))
-    )
-
-
-@_q(
-    "tpch_q2_min_cost",
-    """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
-FROM part p
-JOIN lineitem l ON l.l_partkey = p.p_partkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-WHERE p.p_size = 15
-  AND s.s_acctbal = (
-    SELECT MIN(s2.s_acctbal)
-    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-    WHERE l2.l_partkey = p.p_partkey)""",
-)
-def q_tpch_q2_min_cost(spark, sf):
-    """TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
-    decorrelates into a per-part window minimum over the distinct
-    (part, supplier) pairs — supplycost proxied by s_acctbal since the
-    fixture has no partsupp. No arithmetic, so double equality is safe."""
-    p = (
-        _t(spark, sf, "part")
-        .filter(F.col("p_size") == 15)
-        .select("p_partkey", "p_name")
-    )
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    pairs = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .select("p_partkey", "p_name", "l_suppkey")
-        .distinct()
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-    )
-    w = Window.partitionBy("p_partkey")
-    return (
-        pairs.withColumn("__min_bal__", F.min("s_acctbal").over(w))
-        .filter(F.col("s_acctbal") == F.col("__min_bal__"))
-        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
-    )
-
-
-@_q(
-    "tpch_q16_supplier_cnt",
-    """SELECT p.p_brand, p.p_type, p.p_size,
-       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
-FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
-WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
-  AND p.p_size IN (1, 5, 10, 15, 20)
-  AND l.l_suppkey NOT IN (
-    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
-GROUP BY p.p_brand, p.p_type, p.p_size""",
-)
-def q_tpch_q16_supplier_cnt(spark, sf):
-    """TPC-H Q16 shape (supplier count by part attributes): negated
-    filters + IN-list on the dim, complaint suppliers (negative
-    balance, standing in for the LIKE '%Complaints%' comment scan)
-    removed by an anti join before the distinct count."""
-    p = (
-        _t(spark, sf, "part")
-        .filter(
-            (F.col("p_brand") != "Brand#1")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 5, 10, 15, 20)
-        )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
-    complaints = (
-        _t(spark, sf, "supplier")
-        .filter(F.col("s_acctbal") < 0.0)
-        .select("s_suppkey")
-    )
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(complaints), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@_q(
-    "tpch_q20_promotion",
-    """SELECT s.s_name, s.s_acctbal
-FROM supplier s
-WHERE s.s_suppkey IN (
-    SELECT l.l_suppkey
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_name LIKE 'red%'
-      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l.l_suppkey
-    HAVING CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS DOUBLE) > 300.0)""",
-)
-def q_tpch_q20_promotion(spark, sf):
-    """TPC-H Q20 shape (promotion candidates): IN over a grouped
-    HAVING subquery — heavy shipper of red parts in 1997 (availqty
-    threshold proxied by shipped quantity; no partsupp in fixture).
-    Compiles to agg -> filter -> left-semi join."""
-    p = (
-        _t(spark, sf, "part")
-        .filter(F.col("p_name").like("red%"))
-        .select("p_partkey")
-    )
-    li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).select("l_partkey", "l_suppkey", "l_quantity")
-    heavy = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy("l_suppkey")
-        .agg(_fsum("l_quantity", "__qty__", dp=0))
-        .filter(F.col("__qty__") > 300.0)
-        .select("l_suppkey")
-    )
-    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-    return (
-        s.join(F.broadcast(heavy), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
-        .select("s_name", "s_acctbal")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-corpus curation: benchmark decontamination, context-window
-# packing
-# ---------------------------------------------------------------------------
-
-#: stand-in for a benchmark-suite n-gram blocklist (eval contamination)
-DECONTAM_TRIGRAMS = (
-    "big order scan", "window fast query", "table key filter",
-    "stream table hash", "sort table scan", "part filter scan",
-    "row value spark", "group slow spark",
-)
-
-@_q(
-    "decontaminate",
-    """WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-grams AS (
-  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-  FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS u(i)),
-bad AS (
-  SELECT DISTINCT doc_id FROM grams
-  WHERE g IN ('big order scan','window fast query','table key filter',
-              'stream table hash','sort table scan','part filter scan',
-              'row value spark','group slow spark'))
-SELECT d.doc_id, d.lang, d.source, d.n_chars
-FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)""",
-)
-def q_decontaminate(spark, sf):
-    """Benchmark decontamination: drop any document containing a
-    blocklisted token 3-gram (the standard eval-set-overlap removal in
-    training-corpus pipelines). Scale path: docs explode to 3-grams,
-    the blocklist (small even for full benchmark suites) broadcasts
-    into a semi join, and the contaminated-id set anti-joins back —
-    no shuffle of the corpus itself."""
-    docs = _t(spark, sf, "documents")
-    d2 = docs.withColumn("__toks__", F.split("text", " "))
-    grams = F.when(
-        F.size("__toks__") >= 3,
-        F.expr(
-            "transform(sequence(0, size(__toks__)-3), "
-            "i -> concat_ws(' ', __toks__[i], __toks__[i+1], __toks__[i+2]))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    gdf = d2.select("doc_id", F.explode(grams).alias("g"))
-    block = spark.createDataFrame(
-        [(g,) for g in DECONTAM_TRIGRAMS], "g string"
-    )
-    contaminated = (
-        gdf.join(F.broadcast(block), "g", "left_semi").select("doc_id").distinct()
-    )
-    return docs.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-@_q(
-    "pack_sequences",
-    """WITH t AS (
-  SELECT doc_id, source, n_chars,
-         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM documents)
-SELECT source, CAST(FLOOR((cum - n_chars) / 4096.0) AS BIGINT) AS bin_id,
-       COUNT(*) AS n_docs, SUM(n_chars) AS fill_chars
-FROM t GROUP BY source, bin_id""",
-)
-def q_pack_sequences(spark, sf):
-    """Context-window packing: deterministic contiguous fill — docs in
-    doc_id order drop into 4096-char bins per source (bin = floor of
-    the chars consumed before the doc / budget). Partitioned by source
-    so the running sum never needs a global single-partition sort; at
-    100 TB any hash bucket column serves the same role."""
-    docs = _t(spark, sf, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.sum("n_chars").over(w)
-    bin_id = F.floor((cum - F.col("n_chars")) / F.lit(4096.0))
-    return (
-        docs.select(
-            "source", "n_chars", bin_id.alias("bin_id")
-        )
-        .groupBy("source", "bin_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("fill_chars"),
-        )
-    )
-
-
-@_q(
-    "quality_filter_gopher",
-    """WITH t AS (
-  SELECT doc_id,
-         string_split_regex(lower(text), '\\s+') AS toks,
-         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
-         length(text) AS chars
-  FROM documents
-), m AS (
-  SELECT doc_id,
-         CAST(len(toks) AS INTEGER) AS word_count,
-         ROUND(CAST(nonspace AS DOUBLE) / len(toks), 6) AS mean_word_len,
-         CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_word_len,
-         CAST(len(list_filter(toks, x -> list_contains(
-           ['the','and','of','to','in','is','that','it','for','with'], x)))
-           AS INTEGER) AS stop_hits,
-         ROUND(CASE WHEN chars > 0 THEN CAST(digits AS DOUBLE) / chars
-                    ELSE 0.0 END, 6) AS digit_ratio
-  FROM t)
-SELECT doc_id, word_count, mean_word_len, max_word_len, stop_hits, digit_ratio,
-       (word_count BETWEEN 10 AND 10000) AS r_word_count,
-       (mean_word_len BETWEEN 2.0 AND 10.0) AS r_mean_word_len,
-       (max_word_len <= 20) AS r_max_word_len,
-       (stop_hits >= 1) AS r_stopwords,
-       (digit_ratio < 0.2) AS r_digit_ratio,
-       ((word_count BETWEEN 10 AND 10000)
-        AND (mean_word_len BETWEEN 2.0 AND 10.0)
-        AND (max_word_len <= 20) AND (stop_hits >= 1)
-        AND (digit_ratio < 0.2)) AS keep
-FROM m""",
-)
-def q_quality_filter_gopher(spark, sf):
-    """B53 extension: Gopher-rule quality filtering (Rae et al. 2021)
-    with per-rule attribution columns — the standard cheap pre-filter
-    pass of a training-data pipeline. Single scan, zero shuffle, pure
-    codegen (`.explain` shows one WholeStageCodegen over the parquet
-    scan with only doc_id/text read)."""
-    return TX.gopher_quality(_t(spark, sf, "documents"))
-
-
-@_q(
-    "scan_binary_files",
-    """SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
-       md5(text) AS payload_md5
-FROM documents WHERE doc_id < 400 AND length(text) > 0""",
-)
-def q_scan_binary_files(spark, sf):
-    """B1/B54: raw binary-asset ingest through Spark's ``binaryFile``
-    source — the path a multimodal pipeline takes for image/audio files
-    on object storage. Fixture prep exports a deterministic subset of
-    documents as one ``<doc_id>.bin`` per row (executor-side
-    ``foreachPartition``, nothing driver-collected), then the measured
-    query lists + scans them back and checks payload integrity by md5
-    against the source-of-truth table. Staleness-guarded like the IVF
-    at-rest layout: the export is rebuilt when the fixture parquet is
-    newer than its _SUCCESS sentinel."""
-    from lookup_transform_spark.sources import (
-        read_binary_files,
-        write_binary_files,
-    )
-
-    path = scratch_path("bin_assets", sf)
-    if _stale_guard(spark, path, os.path.join(sf, "documents.parquet")):
-        docs = (
-            _t(spark, sf, "documents")
-            # length > 0 on BOTH sides (oracle below matches): Spark's
-            # binaryFile source drops zero-length files, so an empty
-            # text would round-trip as a silently missing row
-            .filter((F.col("doc_id") < 400) & (F.length("text") > 0))
-            .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-        )
-        write_binary_files(docs, path)
-    bf = read_binary_files(spark, path, glob="*.bin")
-    return bf.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        F.col("length").alias("payload_len"),
-        F.md5(F.col("content")).alias("payload_md5"),
-    )
-
-
-from lookup_transform_spark.operators.clustering_oracle import (
-    kmeans_oracle_sql,
-    semantic_dedup_oracle_sql,
-)
-
-
-@_q("kmeans_embeddings", kmeans_oracle_sql(k=8, iters=5, dim=64))
-def q_kmeans_embeddings(spark, sf):
-    """Extension tier (iterative algorithms, with dedup_clusters):
-    distributed Lloyd's k-means over the embedding corpus — per-cluster
-    sizes. Oracle-exact since r9 (VERDICT r8 #5): the fixed iteration
-    budget + deterministic init + integer-exact dp=7 centroid sums that
-    made the operator order-independent also make it independently
-    recomputable — Lloyd's unrolled into chained DuckDB CTEs
-    (operators/clustering_oracle.py; a recursive CTE can't hold the
-    per-round mean aggregate). Assignments additionally pinned vs a
-    pure-numpy replica in tests/test_clustering.py."""
-    from lookup_transform_spark.operators.clustering import kmeans_assign
-
-    emb = _t(spark, sf, "embeddings")
-    assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=5)
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .orderBy("cluster_id")
-    )
-
-
-@_q("dedup_semantic", semantic_dedup_oracle_sql(iters=3, threshold=0.4, dim=64))
-def q_dedup_semantic(spark, sf):
-    """B51 extension: SemDeDup — semantic near-dup removal by k-means
-    clustering + within-cluster cosine (Abbas et al. 2023).
-    Oracle-exact since r9 (VERDICT r8 #5): the unrolled-Lloyd's CTE
-    chain (shared with kmeans_embeddings, data-dependent k inlined as
-    a scalar subquery) plus within-cluster cosine in plain SQL — the
-    operator already rounds sims to 6 dp before thresholding
-    (clustering.py:cluster_dups), which is what makes the float column
-    cross-engine comparable. Also pinned vs a numpy replica and an
-    exact all-pairs recall floor in tests/test_clustering.py."""
-    from lookup_transform_spark.operators.clustering import (
-        semantic_dedup_pairs,
-    )
-
-    emb = _t(spark, sf, "embeddings")
-    # k scales with the corpus so a cluster (~n/k rows) keeps its
-    # similarity tile worker-sized: n/k ~ 2k rows -> ~32 MB float64
-    # tile. This is the knob the operator docstring prescribes — at
-    # 100 TB you raise k, never the per-worker tile.
-    n = emb.count()
-    k = max(8, min(256, n // 2000))
-    return semantic_dedup_pairs(
-        emb, "vec_id", "embedding", k=k, iters=3, threshold=0.4,
-        max_cluster_size=20_000,
-    )
-
-
-@_q(
-    "sketch_topk_rollup",
-    """WITH toks AS (
-  SELECT lang, (doc_id % 16)::BIGINT AS shard, t.tok AS tok
-  FROM documents,
-       UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
-              x -> x != '')) AS t(tok)
-),
-cnts AS (
-  SELECT lang, shard, tok, COUNT(*) AS c FROM toks GROUP BY lang, shard, tok
-),
-ranked AS (
-  SELECT lang, shard, tok, c,
-         ROW_NUMBER() OVER (PARTITION BY lang, shard
-                            ORDER BY c DESC, tok ASC) AS rn
-  FROM cnts
-),
-leaf_drop AS (
-  SELECT lang, shard,
-         COALESCE(MAX(CASE WHEN rn = 201 THEN c END), 0)::BIGINT AS drop_max
-  FROM ranked GROUP BY lang, shard
-),
-kept AS (SELECT lang, shard, tok, c FROM ranked WHERE rn <= 200),
-tot AS (
-  SELECT lang, SUM(drop_max)::BIGINT AS all_drop FROM leaf_drop GROUP BY lang
-),
-perkey AS (
-  SELECT k.lang, k.tok, SUM(k.c)::BIGINT AS cnt_lo,
-         SUM(d.drop_max)::BIGINT AS present_drop
-  FROM kept k
-  JOIN leaf_drop d ON d.lang = k.lang AND d.shard = k.shard
-  GROUP BY k.lang, k.tok
-),
-final AS (
-  SELECT p.lang, p.tok AS key, p.cnt_lo,
-         (p.cnt_lo + t.all_drop - p.present_drop)::BIGINT AS cnt_hi,
-         ROW_NUMBER() OVER (PARTITION BY p.lang
-                            ORDER BY p.cnt_lo DESC, p.tok ASC) AS rank
-  FROM perkey p JOIN tot t USING (lang)
-)
-SELECT lang, key, cnt_lo, cnt_hi, CAST(rank AS INTEGER) AS rank
-FROM final WHERE rank <= 10""",
-)
-def q_sketch_topk_rollup(spark, sf):
-    """B32 extension (r9): MERGEABLE top-k / heavy hitters — the
-    frequent-items member of the sketch family (HLL = distinct,
-    qsketch = quantiles). Per-(lang, doc-shard) summaries keep each
-    shard's EXACT top-200 tokens plus the largest dropped count; the
-    rollup sums kept counts and derives a per-key certainty interval
-    [cnt_lo, cnt_hi] from the drop bounds — O(groups·m) summary rows
-    at rest, the corpus never rescanned for later top-k queries.
-    Oracle-exact BY CONSTRUCTION: unlike SpaceSaving/Misra-Gries
-    (whose summaries depend on arrival order inside a partition), the
-    shard assignment is a pure row function and each shard summary is
-    an exact truncated count — every number integer arithmetic an
-    independent engine reproduces bit-for-bit. The bound-correctness
-    and exactness-when-m-covers-vocabulary properties are pinned in
-    tests/test_sketches.py."""
-    from lookup_transform_spark.operators.sketches import (
-        topk_merge,
-        topk_sketch,
-    )
-
-    d = _t(spark, sf, "documents")
-    toks = d.select(
-        "lang",
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda x: x != "",
-            )
-        ).alias("tok"),
-    )
-    leaves = topk_sketch(
-        toks, ["lang"], "tok", F.col("doc_id") % 16, m=200
-    )
-    return topk_merge(leaves, ["lang"], k=10)
-
-
-from lookup_transform_spark.operators.sketches_oracle import (
-    hll_portable_oracle_sql,
-)
-
-
-@_q(
-    "sketch_hll_portable",
-    hll_portable_oracle_sql("documents", "source", "lang", "doc_id"),
-)
-def q_sketch_hll_portable(spark, sf):
-    """B32 extension (r9): the distinct-count sketch in an ORACLE-EXACT
-    form — md5-derived HLL registers (integer-exact: hex-slice bucket +
-    base-2-string bit length, no float log in the register path),
-    per-(source, lang) leaves rolled up to per-source by per-bucket
-    MAX, estimates 3-dp rounded on both sides. Complements
-    ``sketch_hll_rollup`` (Spark's binary hll_sketch_agg — the faster
-    production path, engine-specific by nature and rows-only forever);
-    this one proves the distributed rollup's VALUES against an
-    independent engine, completing the oracle-exact sketch family
-    (quantiles r9, heavy hitters r9, distinct counts here). Merge
-    transparency (per-bucket MAX is associative) is what lets the
-    oracle group the raw keys directly; merge ≡ rebuild and the ~1.6%
-    accuracy bound are pinned in tests/test_sketches.py."""
-    from lookup_transform_spark.operators.sketches import (
-        hll_portable_distinct,
-    )
-
-    d = _t(spark, sf, "documents")
-    # two partial-aggregated shuffles, no map packaging: inside ONE
-    # query the leaf->merge layering is physically meaningless (MAX
-    # collapses across grains); the layered sketch/merge/estimate API
-    # is the at-rest surface, and layered == direct is pinned in tests
-    return hll_portable_distinct(d, ["source"], "doc_id").orderBy("source")
-
-
-@_q(
-    "stream_sketch_rollup",
-    hll_portable_oracle_sql("documents", "lang", "batch", "doc_id"),
-)
-def q_stream_sketch_rollup(spark, sf):
-    """B61/B32 crossover (r10): STREAMING sketch maintenance — the
-    shape a 100 TB ingest actually runs. Documents arrive in 4 staged
-    batches; each micro-batch writes ONE tiny portable-HLL leaf row per
-    lang (4096 integer registers) to an at-rest summary, and the
-    distinct-count read merges the standing leaves (per-bucket MAX)
-    without ever rescanning the corpus. Oracle-EXACT despite being a
-    multi-batch streaming side effect: registers are integer-exact and
-    MAX is associative + commutative, so the merged estimate is a pure
-    function of the arrived key SET — independent of trigger
-    decomposition, batch order, and retries (per-batch-dir overwrite;
-    a double-delivered leaf is absorbed by MAX and n_rows reads the
-    dir set, never appends). Decomposition independence and
-    stream ≡ direct-batch equality pinned in tests/test_streaming.py;
-    the leaf/merge algebra itself in tests/test_sketches.py.
-
-    Shares ONE maintenance loop + work dir with
-    ``stream_quantile_rollup`` (r11 fusion, VERDICT r10 #4): each
-    micro-batch emits both families' leaves in a single pass, and
-    whichever query of the pair runs second verifies the maintenance
-    marker and reads its standing summary without re-staging."""
-    from lookup_transform_spark.streaming.sketch_rollup import (
-        stream_sketch_rollup,
-    )
-
-    work = scratch_path("stream_sketchpair", sf)
-    out = stream_sketch_rollup(spark, sf, work, group_col="lang")
-    return out.orderBy("lang")
-
-
-from lookup_transform_spark.operators.sketches_oracle import (  # noqa: E402
-    qsketch_oracle_sql as _qsketch_oracle_sql,
-)
-
-
-@_q(
-    "stream_quantile_rollup",
-    _qsketch_oracle_sql(
-        "documents", "lang", "(n_chars::DOUBLE)", [0.5, 0.95, 0.99]
-    ),
-)
-def q_stream_quantile_rollup(spark, sf):
-    """B61/B32 crossover (r10): the quantile member's STREAMING
-    maintenance form, completing the pair with `stream_sketch_rollup` —
-    every mergeable sketch in the family now has both an at-rest batch
-    rollup and a continuous-ingest form. Each micro-batch writes one
-    log-bucketed histogram leaf per lang; per-lang p50/p95/p99 read
-    from the merged buckets without rescanning the corpus. Oracle-EXACT
-    by the same argument as the HLL form: integer bucket counts under
-    an associative+commutative SUM are trigger-decomposition- and
-    retry-independent (per-batch-dir overwrite). The double cast on
-    n_chars is mirrored verbatim in the oracle's value expression
-    (log_bucket's isnan guard needs a floating type). Decomposition
-    independence and stream ≡ direct pinned in tests/test_streaming.py.
-
-    Shares ONE maintenance loop + work dir with
-    ``stream_sketch_rollup`` (r11 fusion, VERDICT r10 #4)."""
-    from lookup_transform_spark.streaming.sketch_rollup import (
-        stream_quantile_rollup,
-    )
-
-    work = scratch_path("stream_sketchpair", sf)
-    out = stream_quantile_rollup(spark, sf, work)
-    return out.orderBy("lang")
-
-
-@_q("sketch_hll_rollup")
-def q_sketch_hll_rollup(spark, sf):
-    """B32 extension: MERGEABLE sketch rollup — the 100 TB
-    pre-aggregation idiom. Per-(source, lang) HLL sketches are built
-    with one pass (hll_sketch_agg), then rolled up to per-source totals
-    by merging the BINARY sketches (hll_union_agg) — distinct-count
-    rollups without rescanning or re-shuffling raw data. At rest the
-    leaf sketches would be a tiny parquet table maintained per
-    partition-ingest; any slice union is then sketch-merge cheap.
-    Rows-only (HLL estimates are engine-specific); the estimate-vs-
-    exact tolerance is pinned in tests/test_property.py."""
-    d = _t(spark, sf, "documents")
-    leaf = d.groupBy("source", "lang").agg(
-        F.hll_sketch_agg("doc_id").alias("sk"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    return (
-        leaf.groupBy("source")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
-            F.sum("n_rows").alias("n_rows"),
-        )
-        .orderBy("source")
-    )
-
-
-@_q(
-    "join_bloom_semi",
-    """SELECT l.l_returnflag, COUNT(*) AS n_lines,
-       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
-         AS revenue
-FROM lineitem l
-WHERE l.l_orderkey IN (
-  SELECT o_orderkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-    AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-    AND o_totalprice > 150000.0)
-GROUP BY l.l_returnflag""",
-)
-def q_join_bloom_semi(spark, sf):
-    """B37 extension: size-routed semi join (operators/bloomjoin.py,
-    ``semi_join_auto``) — revenue of lineitems belonging to high-value
-    orders of one quarter.
-
-    r7 routing (VERDICT r6 #7): the Bloom prefilter only pays in ONE
-    regime — a key set too big to broadcast probing a much larger fact
-    (A/B measured in scripts/bloom_ab_probe.py, recorded in PLANS.md).
-    Here the filtered key set is small, so the router takes the plain
-    broadcast semi join (zero fact shuffle, zero Python) — the round-6
-    bench ran the bloom path unconditionally and paid 17.8× vs the
-    oracle for machinery this shape never needed. When the key-side
-    estimate exceeds the broadcast budget the router builds the 1 MiB
-    bitmap (one pass, tree-merged), broadcasts it, and probes the fact
-    scan BEFORE the join exchange so the shuffle carries only probable
-    matches; the closing exact semi join removes Bloom false positives,
-    keeping every path bit-identical to the SQL oracle. That is the
-    100 TB shape Spark's own runtime bloom injection can't reach
-    without CBO statistics (a filtered scan keeps its unfiltered
-    sizeInBytes, so the creation-side gate never opens — measured in
-    round 5; see PLANS.md)."""
-    from lookup_transform_spark.operators.bloomjoin import semi_join_auto
-
-    o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-        & (F.col("o_totalprice") > 150000.0)
-    ).select("o_orderkey")
-    li = _t(spark, sf, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
-    )
-    sj = semi_join_auto(li, o, "l_orderkey", "o_orderkey")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return sj.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        _fsum(rev, "revenue", dp=4),
-    )
-
-
-from lookup_transform_spark.operators.sketches_oracle import qsketch_oracle_sql
-
-
-@_q(
-    "sketch_quantile_rollup",
-    qsketch_oracle_sql("events", "event_type", "value", [0.5, 0.95, 0.99]),
-)
-def q_sketch_quantile_rollup(spark, sf):
-    """B32 extension: MERGEABLE quantile rollup, the percentile twin of
-    ``sketch_hll_rollup``. Exact percentiles are selection-based —
-    per-slice p95s over 100 TB either rescan raw values per slice or
-    keep a mergeable summary. Here: per-(event_type, user-shard)
-    log-bucketed histogram sketches (one partial-aggregated shuffle of
-    (group, bucket) pairs, O(groups×buckets) shuffle volume), rolled up
-    to per-event_type by summing bucket counts — raw events are read
-    once and never re-shuffled, and unlike GK/KLL the merge is
-    order-independent and lossless (sketch(A∪B) == merge of sketches,
-    pinned in tests/test_sketches.py). p50/p95/p99 read from geometric
-    bucket midpoints, within sqrt(1.04) ≈ ±2% of the exact quantile
-    (also pinned). Oracle-exact since r9 (VERDICT r8 #5): the log(base)
-    divisor is a plan literal the oracle embeds verbatim, and the
-    emitted midpoints are 6-dp rounded on both sides — see
-    operators/sketches_oracle.py for the full libm-exposure argument."""
-    from lookup_transform_spark.operators.sketches import (
-        qsketch,
-        qsketch_merge,
-        qsketch_quantiles,
-    )
-
-    ev = _events(spark, sf).select(
-        "event_type", (F.col("user_id") % 16).alias("shard"), "value"
-    )
-    leaf = qsketch(ev, ["event_type", "shard"], "value")
-    rolled = qsketch_merge(leaf, ["event_type"])
-    q = qsketch_quantiles(rolled, ["event_type"], [0.5, 0.95, 0.99])
-    # 6-dp rounding on the emitted midpoints (mirrored in the oracle):
-    # absorbs pow()'s last-ulp cross-engine freedom, nine orders of
-    # magnitude inside the sketch's own ±2% error bound
-    return q.select(
-        "event_type",
-        "n_rows",
-        *[F.round(c, 6).alias(c) for c in ("p50", "p95", "p99")],
-    ).orderBy("event_type")
+_load_tiers()

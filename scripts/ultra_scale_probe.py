@@ -71,9 +71,21 @@ def build(spark, out: str, copies: dict[str, int]) -> None:
             )
         if table == "lineitem":
             return df.withColumn("l_orderkey", F.col("l_orderkey") + off)
+        if table == "documents":
+            # id-shifted EXACT text copies: the realistic boilerplate
+            # shape at corpus scale, and it exercises the precluster
+            # path (each text collapses to one banding representative,
+            # so candidate volume stays O(reps·bands) while the star
+            # output grows linearly with copies)
+            return df.withColumn("doc_id", F.col("doc_id") + off)
+        if table == "embeddings":
+            return df.withColumn("vec_id", F.col("vec_id") + off)
         raise ValueError(table)
 
-    files = {"customer": 4, "orders": 16, "lineitem": 32}
+    files = {
+        "customer": 4, "orders": 16, "lineitem": 32,
+        "documents": 16, "embeddings": 8,
+    }
     for table, n_copies in copies.items():
         marker = f"{out}/_done_{table}_{n_copies}"
         if os.path.exists(marker):
@@ -158,7 +170,8 @@ def main() -> None:
     spark = get_spark("ultra-scale-probe")
     if "--skip-build" not in sys.argv:
         build(spark, OUT512,
-              {"customer": 512, "orders": 16, "lineitem": 16})
+              {"customer": 512, "orders": 16, "lineitem": 16,
+               "documents": 16, "embeddings": 16})
         build(spark, OUT1024, {"customer": 1024, "orders": 32})
 
     out = {
@@ -170,10 +183,18 @@ def main() -> None:
     }
     # growth table: the flagship trio at 32x and 512x; lookup alone at
     # 1024x (its tables are the only ones built there)
+    # r11 (VERDICT r10 #8): the two flagship curation operators join
+    # the growth table — 512x documents (2.56M docs, exact-copy
+    # boilerplate) for MinHash-LSH, 512x embeddings (3.07M vectors)
+    # for the at-rest IVF probe (its first 512x run builds the
+    # partitioned layout; min-of-REPEATS reports the steady-state
+    # probe, the write-once/probe-many contract)
     for name, scales in (
         ("lookup", (("32x", BASE32), ("512x", OUT512), ("1024x", OUT1024))),
         ("lookup_big", (("32x", BASE32), ("512x", OUT512))),
         ("lookup_skew_salted", (("32x", BASE32), ("512x", OUT512))),
+        ("dedup_minhash", (("32x", BASE32), ("512x", OUT512))),
+        ("simsearch_ivf_pruned", (("32x", BASE32), ("512x", OUT512))),
     ):
         out["queries"][name] = {}
         for label, sf_dir in scales:
