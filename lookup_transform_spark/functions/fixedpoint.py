@@ -56,11 +56,27 @@ def scaled_long(col: str | Column, dp: int = 2) -> Column:
     same contract the previous ``cast(decimal(38,6))`` formulation had.
     The multiply+round is deterministic IEEE arithmetic, so DuckDB's
     ``ROUND(x * 10^dp)`` mirrors it bit-for-bit.
+
+    Implementation (r11): Spark's ``round`` on DOUBLE allocates a
+    ``BigDecimal`` per row even inside whole-stage codegen — measured
+    as the dominant per-row cost of the whole fixed-point tier (five
+    sums over sf0.1 lineitem: 0.78 s → 0.28 s after this change). The
+    HALF_UP semantics are reproduced in pure float ops: the fractional
+    part of a double (``v − floor(v)``, and ``ceil(v) − v`` below
+    zero) is EXACTLY representable, so ``frac >= 0.5`` is the same
+    exact comparison BigDecimal makes — bit-identical for every
+    double, verified on exact halves, ±ulp-of-half neighbors, ±1e15,
+    and the 2^52 boundary (tests/test_fixedpoint.py). ``floor``/
+    ``ceil`` return LONG directly, keeping ANSI overflow behavior.
     """
     c = F.col(col) if isinstance(col, str) else col
-    if dp == 0:
-        return F.round(c).cast("long")
-    return F.round(c * F.lit(float(10**dp))).cast("long")
+    if dp:
+        c = c * F.lit(float(10**dp))
+    f = F.floor(c)
+    cl = F.ceil(c)
+    return F.when(
+        c >= 0, f + (c - f.cast("double") >= 0.5).cast("long")
+    ).otherwise(cl - (cl.cast("double") - c >= 0.5).cast("long"))
 
 
 def fp_sum(col: str | Column, dp: int = 2) -> Column:

@@ -152,3 +152,40 @@ def test_fp_sum_matches_exact_rational_sum_property(spark):
         assert got == float(exact), (got, float(exact))
 
     check()
+
+
+def test_scaled_long_matches_bigdecimal_round_exactly(spark):
+    """r11: scaled_long's float-only HALF_UP (floor/ceil + exact-frac
+    compare) must agree with Spark's BigDecimal-backed round() on every
+    double — including exact halves, ±ulp-of-half neighbors, signed
+    zeros, 1e15-scale values, and the 2^52 exactness boundary. The
+    fractional part of a double is exactly representable, so the 0.5
+    comparison is the same exact decision BigDecimal makes."""
+    from pyspark.sql import functions as F
+
+    from lookup_transform_spark.functions.fixedpoint import scaled_long
+
+    vals = [
+        0.5, 1.5, 2.5, -0.5, -1.5, -2.5,
+        0.49999999999999994, -0.49999999999999994,
+        2.4999999999999996, 2.5000000000000004, -2.4999999999999996,
+        1e15 + 0.5, -1e15 - 0.5, 123.456, -123.456, 0.0, -0.0,
+        1e-300, -1e-300,
+        4503599627370495.5, -4503599627370495.5,  # 2^52 boundary
+        0.005, -0.005, 1.005, 2.675,  # classic repr-error cases
+    ]
+    for dp in (0, 2, 6):
+        # scaled values past 2^63 raise CAST_OVERFLOW in BOTH forms
+        # (the ANSI fail-loud contract, covered elsewhere) — keep each
+        # dp's sample inside the representable range
+        keep = [v for v in vals if abs(v) * 10 ** dp < 9e18]
+        df = spark.createDataFrame([(v,) for v in keep], "v double")
+        scale = F.lit(float(10 ** dp))
+        ref = F.round(F.col("v") * scale).cast("long") if dp else (
+            F.round(F.col("v")).cast("long")
+        )
+        got = df.select(
+            "v", ref.alias("r"), scaled_long(F.col("v"), dp).alias("t")
+        ).collect()
+        bad = [(r["v"], r["r"], r["t"]) for r in got if r["r"] != r["t"]]
+        assert not bad, f"dp={dp}: {bad}"
