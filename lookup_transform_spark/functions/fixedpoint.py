@@ -69,7 +69,9 @@ def scaled_long(col: str | Column, dp: int = 2) -> Column:
     and the 2^52 boundary (tests/test_fixedpoint.py). ``floor``/
     ``ceil`` return LONG directly, keeping ANSI overflow behavior.
     """
-    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        return F.expr(_scaled_sql(col, dp))
+    c = col
     if dp:
         c = c * F.lit(float(10**dp))
     f = F.floor(c)
@@ -77,6 +79,28 @@ def scaled_long(col: str | Column, dp: int = 2) -> Column:
     return F.when(
         c >= 0, f + (c - f.cast("double") >= 0.5).cast("long")
     ).otherwise(cl - (cl.cast("double") - c >= 0.5).cast("long"))
+
+
+def _scaled_sql(expr_sql: str, dp: int) -> str:
+    """The ``scaled_long`` expression as ONE SQL string. A str ``col``
+    is a column name or any SQL scalar expression.
+
+    Why strings (r11): building this tree Column-by-Column costs ~18
+    py4j round-trips per call — with five moment sums per query that is
+    ~0.1 s of pure socket latency in PLAN BUILD, the driver-side cost
+    FLOOR_PROFILE.json measured at up to 50% of sub-second walls. One
+    ``F.expr`` is one round-trip; Catalyst parses the identical tree
+    (same FLOOR/CEIL/CASE ops, so values are bit-identical — the
+    DuckDB oracle re-verifies every query built on this)."""
+    x = f"({expr_sql})"
+    if dp:
+        x = f"({x} * {float(10 ** dp)!r}D)"
+    return (
+        f"CASE WHEN {x} >= 0 THEN FLOOR({x}) + "
+        f"CAST(({x} - CAST(FLOOR({x}) AS DOUBLE)) >= 0.5 AS BIGINT) "
+        f"ELSE CEIL({x}) - "
+        f"CAST((CAST(CEIL({x}) AS DOUBLE) - {x}) >= 0.5 AS BIGINT) END"
+    )
 
 
 def fp_sum(col: str | Column, dp: int = 2) -> Column:
@@ -87,6 +111,12 @@ def fp_sum(col: str | Column, dp: int = 2) -> Column:
 
     Oracle mirror: ``SUM(CAST(ROUND(x * 10^dp) AS BIGINT)) / 10^dp.0``.
     """
+    if isinstance(col, str):
+        # one py4j round-trip for the whole aggregate (see _scaled_sql)
+        s = f"SUM({_scaled_sql(col, dp)})"
+        if dp == 0:
+            return F.expr(f"CAST({s} AS DOUBLE)")
+        return F.expr(f"({s} / {float(10 ** dp)!r}D)")
     s = F.sum(scaled_long(col, dp))
     if dp == 0:
         return s.cast("double")
@@ -120,24 +150,26 @@ def fp_sum_stable(
     """
     pid = F.spark_partition_id().alias("__fp_pid__")
     partials = [
-        F.sum(scaled_long(c, dp)).alias(f"__fp_{alias}__")
+        (
+            F.expr(f"SUM({_scaled_sql(c, dp)})")
+            if isinstance(c, str)
+            else F.sum(scaled_long(c, dp))
+        ).alias(f"__fp_{alias}__")
         for alias, (c, dp) in sums.items()
     ]
     if count_alias:
         partials.append(F.count(F.lit(1)).alias("__fp_n__"))
     stage1 = df.groupBy(*group_cols, pid).agg(*partials)
 
+    # one-round-trip string form of the decimal merge (same CAST/divide
+    # tree the Column form built; see _scaled_sql for the rationale)
     finals = [
-        (
-            F.sum(F.col(f"__fp_{alias}__").cast("decimal(38,0)"))
-            / F.lit(10**dp).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias(alias)
-        if dp
-        else F.sum(F.col(f"__fp_{alias}__").cast("decimal(38,0)"))
-        .cast("double")
-        .alias(alias)
+        F.expr(
+            f"CAST(SUM(CAST(__fp_{alias}__ AS DECIMAL(38,0)))"
+            f" / CAST({10 ** dp} AS DECIMAL(38,6)) AS DOUBLE)"
+            if dp
+            else f"CAST(SUM(CAST(__fp_{alias}__ AS DECIMAL(38,0))) AS DOUBLE)"
+        ).alias(alias)
         for alias, (c, dp) in sums.items()
     ]
     if count_alias:

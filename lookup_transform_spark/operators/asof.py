@@ -136,15 +136,23 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     out_names = [v + suffix for v in value_fields]
 
+    # Every multi-column projection below is built as SQL STRINGS and
+    # issued through one selectExpr — the Column-by-Column form cost
+    # ~700 py4j round-trips per asof_join (~0.2 s of pure socket
+    # latency per PLAN BUILD, ×3 for nearest; FLOOR_PROFILE.json's
+    # plan-build finding). The parsed trees are identical, so results
+    # are unchanged (oracle-verified on all six asof/range queries).
     packed_type = T.StructType(
         [T.StructField(o, right.schema[v].dataType, True)
          for v, o in zip(value_fields, out_names)]
     )
-    left_tagged = left.select(
-        *[F.col(c) for c in left.columns],
-        F.col(left_ts).alias("__ts__"),
-        F.lit(1).alias("__tag__"),
-        F.lit(None).cast(packed_type).alias("__v__"),
+    packed_ddl = packed_type.simpleString()
+    lcols = [f"`{c}`" for c in left.columns]
+    left_tagged = left.selectExpr(
+        *lcols,
+        f"`{left_ts}` AS __ts__",
+        "1 AS __tag__",
+        f"CAST(NULL AS {packed_ddl}) AS __v__",
     )
     # NULL right_ts rows can never be "at or before/after" any left ts —
     # unfiltered they sort NULLS-FIRST (asc) ahead of every real row and
@@ -156,20 +164,23 @@ def asof_join(
     # pandas merge_asof) treats NULL = NULL as no match. Right rows with
     # any NULL key are invisible; left rows with any NULL key are masked
     # to the no-match shape below.
-    keys_ok = F.lit(True)
-    for k in keys:
-        keys_ok = keys_ok & F.col(k).isNotNull()
+    keys_ok_sql = " AND ".join(f"`{k}` IS NOT NULL" for k in keys)
+    left_schema = left.schema
+    packed_fields = ", ".join(
+        f"'{o}', `{v}`" for v, o in zip(value_fields, out_names)
+    )
     right_tagged = right.filter(
-        F.col(right_ts).isNotNull() & keys_ok
-    ).select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          if c not in keys else F.col(c)
-          for c in left.columns],
-        F.col(right_ts).alias("__ts__"),
-        F.lit(0).alias("__tag__"),
-        F.struct(
-            *[F.col(v).alias(o) for v, o in zip(value_fields, out_names)]
-        ).alias("__v__"),
+        f"`{right_ts}` IS NOT NULL AND {keys_ok_sql}"
+    ).selectExpr(
+        *[
+            f"`{c}`"
+            if c in keys
+            else f"CAST(NULL AS {left_schema[c].dataType.simpleString()}) AS `{c}`"
+            for c in left.columns
+        ],
+        f"`{right_ts}` AS __ts__",
+        "0 AS __tag__",
+        f"named_struct({packed_fields}) AS __v__",
     )
 
     unioned = left_tagged.unionByName(right_tagged)
@@ -177,22 +188,21 @@ def asof_join(
     # struct sorts last and therefore wins last(); left rows all carry a
     # null struct so their relative order is immaterial. Skipped (order
     # left arbitrary, as in DuckDB) when a value field is non-orderable.
-    ts_order = (
-        F.col("__ts__").asc() if direction == "backward"
-        else F.col("__ts__").desc()
-    )
-    order = [ts_order, F.col("__tag__").asc()]
+    # SQL default null ordering matches the Column API: ASC = NULLS
+    # FIRST, DESC = NULLS LAST.
+    order_sql = "__ts__ ASC" if direction == "backward" else "__ts__ DESC"
+    order_sql += ", __tag__ ASC"
     if _orderable(packed_type):
-        order.append(F.col("__v__").asc_nulls_first())
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        order_sql += ", __v__ ASC NULLS FIRST"
+    over = (
+        f"OVER (PARTITION BY {', '.join(f'`{k}`' for k in keys)} "
+        f"ORDER BY {order_sql} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = unioned.select(
-        *[F.col(c) for c in left.columns],
-        F.col("__tag__"),
-        F.last(F.col("__v__"), ignorenulls=True).over(w).alias("__v__"),
+    carried = unioned.selectExpr(
+        *lcols,
+        "__tag__",
+        f"last(__v__, true) {over} AS __v__",
     )
     # a left row with NULL left_ts has no position on the axis: in the
     # forward (desc) pass it would sort NULLS-LAST behind every right
@@ -201,16 +211,13 @@ def asof_join(
     # symmetry). A NULL join key masks the same way — right null-key
     # rows are already filtered above, so the mask is belt-and-braces
     # for the equi-join never-match contract.
-    matchable = F.col(left_ts).isNotNull() & keys_ok
-    return (
-        carried.filter(F.col("__tag__") == 1)
-        .select(
-            *[F.col(c) for c in left.columns],
-            *[
-                F.when(matchable, F.col("__v__").getField(o)).alias(o)
-                for o in out_names
-            ],
-        )
+    matchable_sql = f"(`{left_ts}` IS NOT NULL AND {keys_ok_sql})"
+    return carried.filter("__tag__ = 1").selectExpr(
+        *lcols,
+        *[
+            f"CASE WHEN {matchable_sql} THEN __v__.`{o}` END AS `{o}`"
+            for o in out_names
+        ],
     )
 
 

@@ -332,21 +332,20 @@ def topk_merge(leaves: DataFrame, group_cols: list[str], k: int = 10) -> DataFra
     whose cnt_lo exceeds every other key's cnt_hi is PROVABLY the
     heavy hitter; the [lo, hi] columns make that check a query.
 
-    The summary is ``localCheckpoint``-ed first: the merge consumes it
-    on two branches (per-key sums and the group drop totals), and
-    Spark re-evaluates an un-materialized lineage once PER consumer —
-    without this, the direct pipeline scans the raw corpus twice
-    (measured; no ReusedExchange forms). Summary rows are
-    O(groups·shards·m) by construction, so the checkpoint is
-    bounded-size at any input scale — the same argument that makes
-    the at-rest leaf table tiny."""
-    leaves = leaves.localCheckpoint()
-    exploded = leaves.select(
-        *group_cols, "__shard__", "drop_max",
+    The group drop total rides a WINDOW over the summary rows (one row
+    per (group, shard)) instead of a second aggregate branch + join:
+    the r9-r10 form ``localCheckpoint``-ed the summary so its two
+    consumers didn't each re-scan the raw corpus, but the checkpoint is
+    an eager job at PLAN-BUILD time (~0.5 s of the bench wall) and the
+    join a second exchange. With the total carried on each summary row
+    there is ONE consumer — no checkpoint, no join, fully lazy — and
+    the window shuffles only O(groups·shards) summary rows (r11)."""
+    wg = Window.partitionBy(*group_cols)
+    exploded = leaves.withColumn(
+        "__all_drop__", F.sum("drop_max").over(wg)
+    ).select(
+        *group_cols, "drop_max", "__all_drop__",
         F.explode_outer("entries").alias("__k__", "__c__"),
-    )
-    totals = leaves.groupBy(*group_cols).agg(
-        F.sum("drop_max").alias("__all_drop__")
     )
     per_key = (
         exploded.filter(F.col("__k__").isNotNull())
@@ -354,9 +353,11 @@ def topk_merge(leaves: DataFrame, group_cols: list[str], k: int = 10) -> DataFra
         .agg(
             F.sum("__c__").alias("cnt_lo"),
             F.sum("drop_max").alias("__present_drop__"),
+            # constant within the group — max() just carries it through
+            F.max("__all_drop__").alias("__all_drop__"),
         )
     )
-    bounded = per_key.join(totals, group_cols).select(
+    bounded = per_key.select(
         *group_cols,
         F.col("__k__").alias("key"),
         "cnt_lo",

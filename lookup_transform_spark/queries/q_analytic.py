@@ -122,7 +122,7 @@ def q_q10_returned(spark, sf):
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
@@ -161,7 +161,7 @@ def q_q7_volume_shipping(spark, sf):
     n = _t(spark, sf, "nation")
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         s.join(li, s["s_suppkey"] == li["l_suppkey"])
         .join(o, o["o_orderkey"] == li["l_orderkey"])
@@ -431,7 +431,7 @@ def q_embedding_centroids(spark, sf):
         .groupBy("label", (F.col("pos") + 1).cast("int").alias("idx"))
         .agg(
             F.round(
-                (F.sum(scaled_long(F.col("v").cast("double"), 10))
+                (F.sum(scaled_long("CAST(v AS DOUBLE)", 10))
                  / F.lit(10000000000.0)) / F.count(F.lit(1)), 5
             ).alias("centroid_val")
         )

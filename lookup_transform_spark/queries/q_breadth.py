@@ -378,7 +378,7 @@ def q_tpch_q3_shipping(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
@@ -414,7 +414,7 @@ def q_tpch_q5_local_supplier(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])

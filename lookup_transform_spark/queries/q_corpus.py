@@ -531,7 +531,7 @@ def q_join_bloom_semi(spark, sf):
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
     sj = semi_join_auto(li, o, "l_orderkey", "o_orderkey")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = "l_extendedprice * (1 - l_discount)"
     return sj.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),
         _fsum(rev, "revenue", dp=4),

@@ -159,7 +159,7 @@ def q_anomaly_zscore(spark, sf):
     stats = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         fp_sum("value", 6).alias("sv"),
-        fp_sum(F.col("value") * F.col("value"), 6).alias("svv"),
+        fp_sum("value * value", 6).alias("svv"),
     )
     n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
     var = (svv - sv * sv / n) / (n - 1)
@@ -288,7 +288,7 @@ def q_tpch_q6_forecast(spark, sf):
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        fp_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
+        fp_sum("l_extendedprice * l_discount", 4).alias("revenue")
     )
 
 
@@ -313,7 +313,7 @@ def q_tpch_q14_promo(spark, sf):
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
     )
     p = _t(spark, sf, "part").select("p_partkey", "p_type")
-    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    rev = scaled_long("l_extendedprice * (1 - l_discount)", 4)
     zero = F.lit(0).cast("long")
     j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     return j.agg(
@@ -356,7 +356,7 @@ def q_tpch_q19_disjunctive(spark, sf):
         | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
     )
     return j.filter(disj).agg(
-        _fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", dp=4)
+        _fsum("l_extendedprice * (1 - l_discount)", "revenue", dp=4)
     )
 
 

@@ -68,8 +68,8 @@ def q_tpch_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"({disc_price}) * (1 + l_tax)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _fsum("l_quantity", "sum_qty", dp=0),
         _fsum("l_extendedprice", "sum_base_price", dp=2),

@@ -344,16 +344,16 @@ def q_agg_corr(spark, sf):
     from lookup_transform_spark.functions.fixedpoint import fp_sum_stable
 
     li = _t(spark, sf, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    q, p = "l_quantity", "l_extendedprice"
     s = fp_sum_stable(
         li,
         ["l_returnflag"],
         {
             "sx": (q, 0),
             "sy": (p, 2),
-            "sxx": (q * q, 0),
-            "syy": (p * p, 2),
-            "sxy": (q * p, 2),
+            "sxx": (f"{q} * {q}", 0),
+            "syy": (f"{p} * {p}", 2),
+            "sxy": (f"{q} * {p}", 2),
         },
         count_alias="n",
     )

@@ -101,7 +101,7 @@ def q_tpch_q8_market_share(spark, sf):
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_nationkey"))
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     )
-    vol = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    vol = scaled_long("l_extendedprice * (1 - l_discount)", 4)
     zero = F.lit(0).cast("long")
     return (
         j.select(
@@ -155,9 +155,11 @@ def q_tpch_q9_profit(spark, sf):
     )
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
-    amount = scaled_long(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
-    ) - scaled_long(0.1 * F.col("p_retailprice") * F.col("l_quantity"), 6)
+    # 0.1D: a bare 0.1 SQL literal parses as DECIMAL(1,1); the D suffix
+    # keeps it the IEEE double the Column form (lit(0.1)) used
+    amount = scaled_long("l_extendedprice * (1 - l_discount)", 6) - scaled_long(
+        "0.1D * p_retailprice * l_quantity", 6
+    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -276,7 +278,7 @@ def q_tpch_q15_top_supplier(spark, sf):
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             _fsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "l_extendedprice * (1 - l_discount)",
                 "total_revenue", dp=4,
             )
         )
@@ -431,7 +433,7 @@ def q_tpch_q7_volume(spark, sf):
     pair = (F.col("supp_nation") == "NATION_1") & (
         F.col("cust_nation") == "NATION_2"
     ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = "l_extendedprice * (1 - l_discount)"
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -481,7 +483,7 @@ def q_tpch_q10_returned(spark, sf):
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])

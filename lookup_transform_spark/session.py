@@ -79,6 +79,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call to capture the
+        # Python call site and push it to the JVM (PySparkCurrentOrigin)
+        # for error enrichment — one extra py4j round-trip per call.
+        # Plan BUILD is up to 50% of sub-second query walls
+        # (FLOOR_PROFILE.json), and the capture is pure diagnostic
+        # sugar; disabling it cut the measured build total of a 6-query
+        # floor sample ~2.5x (1.9->0.8 s, interleaved A/B, r11). The
+        # flag is read once per Python process and cached, so it must
+        # be set at session-build time, not per query.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
