@@ -302,15 +302,16 @@ def test_zorder_write_files_have_disjoint_z_ranges(spark, tmp_path):
 
 
 def test_decontaminate_never_shuffles_corpus(spark):
-    # the blocklist broadcasts into a LeftSemi over exploded 3-grams and
-    # the contaminated-id set broadcasts back into a LeftAnti; the only
-    # hash exchange in the plan is the distinct over contaminated ids
-    # (O(contaminated docs)) — the corpus itself is never repartitioned
+    # r11: the blocklist is a plan literal inside a short-circuiting
+    # exists() — the whole query is one scan + filter projection: no
+    # joins, no explode, and ZERO exchanges (the r7-r10 explode +
+    # broadcast-semi + distinct + broadcast-anti form paid one hash
+    # exchange and a second corpus scan)
     df = registry.QUERIES["decontaminate"](spark, SF)
     plan = explain_str(df, "simple")
-    assert "LeftSemi, BuildRight" in plan
-    assert "LeftAnti, BuildRight" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Exchange" not in plan
 
 
 def test_dedup_repartition_gated_on_input_width(spark):
