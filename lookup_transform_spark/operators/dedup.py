@@ -323,23 +323,90 @@ def minhash_signature_from_hashes(
     return _make_perm_min(num_hashes, seed)(base)
 
 
+_ROW_GROUP_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _parquet_row_groups(path: str) -> int | None:
+    """Row-group count of one parquet file (footer read, cached by
+    (path, size, mtime) so regenerated fixtures re-read)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_size, st.st_mtime_ns)
+    n = _ROW_GROUP_CACHE.get(key)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return None
+        _ROW_GROUP_CACHE[key] = n
+    return n
+
+
+def _effective_input_slices(df: DataFrame) -> int | None:
+    """Upper bound on how many scan tasks can actually PRODUCE rows.
+
+    Spark assigns each parquet ROW GROUP to the one byte-range split
+    containing its midpoint, so a single-row-group file yields rows in
+    exactly one task no matter how many splits the planner cuts —
+    ``getNumPartitions`` counts splits and says "wide" while every row
+    sits in one task (measured at sf0.1: 32 splits, 1 task with rows,
+    the whole signature stage serialized on one core). Driver-side
+    footer reads, bounded and cached. ``None`` = undetermined
+    (non-parquet source, many files, Spark Connect) — caller falls back
+    to the split count.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    # many files are many independent tasks already; footer reads would
+    # cost more than they inform
+    if not files or len(files) > 64:
+        return None
+    total = 0
+    for uri in files:
+        if not uri.endswith(".parquet"):
+            return None
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        n = _parquet_row_groups(path)
+        if n is None:
+            return None
+        total += n
+    return total
+
+
 def _ensure_parallel(df: DataFrame, key_col: str) -> DataFrame:
     """Repartition ONLY when the input arrives narrower than the
     cluster's parallelism (e.g. a small parquet read as one split) so a
     CPU-bound signature stage isn't serialized on one core. When the
-    scan already has enough splits — the normal case on a real corpus —
-    this is a no-op: an unconditional repartition would be a gratuitous
-    full shuffle of the corpus at 100 TB.
+    scan already has enough effective slices — the normal case on a
+    real corpus, where files carry many ~128 MB row groups — this is a
+    no-op: an unconditional repartition would be a gratuitous full
+    shuffle of the corpus at 100 TB.
+
+    Narrowness is judged by EFFECTIVE row-bearing slices (parquet row
+    groups, see ``_effective_input_slices``), not byte-range splits:
+    the split count of a single-row-group file says 32 while every row
+    lands in one task (r12 — this check being split-based serialized
+    the whole text/shingle tier on one core at bench scale).
     """
     try:
         n = df.sparkSession.sparkContext.defaultParallelism
-        narrow = df.rdd.getNumPartitions() < n
     except Exception:
-        # Spark Connect exposes neither sparkContext nor .rdd — let the
-        # planner keep its own width rather than crash every dedup
-        # operator before it does any work
+        # Spark Connect exposes no sparkContext — let the planner keep
+        # its own width rather than crash every dedup operator
         return df
-    if not narrow:
+    slices = _effective_input_slices(df)
+    if slices is None:
+        try:
+            slices = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+    if slices >= n:
         return df
     return df.repartition(n, F.col(key_col))
 
@@ -500,13 +567,18 @@ def minhash_lsh_pairs(
     O(docs·bands·cap). None disables the cap.
     """
     rows_per_band = _validate_banding(num_hashes, bands)
-    # spread signature computation across cores: a small parquet arrives
-    # as one input split, but the per-doc hashing is the expensive part.
-    # Gated — already-wide inputs pass through unshuffled.
-    docs = _ensure_parallel(docs, id_col)
     star = None
     if precluster_exact:
+        # the precluster's width-pinned fingerprint repartition already
+        # spreads everything downstream — an _ensure_parallel exchange
+        # in front of it would be a second, redundant shuffle (r12:
+        # the row-group-aware narrowness check actually fires now)
         docs, star = _exact_precluster(docs, id_col, text_col)
+    else:
+        # spread signature computation across cores: a small parquet
+        # arrives row-bearing in one task, but the per-doc hashing is
+        # the expensive part. Gated — wide inputs pass through.
+        docs = _ensure_parallel(docs, id_col)
     # ONE shingle computation feeds both the signature and the verify
     # stage (they are the two scans of the corpus this operator makes);
     # the numeric combine is ~5× the string-shingle formulation
@@ -845,10 +917,13 @@ def simhash_pairs(
             "with hamming < chunks — raise chunks instead"
         )
     chunk_bits = bits // chunks
-    docs = _ensure_parallel(docs, id_col)
     star = None
     if precluster_exact:
+        # precluster's width-pinned repartition spreads downstream work;
+        # a prior _ensure_parallel exchange would be redundant (r12)
         docs, star = _exact_precluster(docs, id_col, text_col)
+    else:
+        docs = _ensure_parallel(docs, id_col)
     # NULL text never pairs (r8 review): its tokenless signature is the
     # constant all-ones empty_sig, so every NULL-text doc would collide
     # at hamming 0 with every other — an unverifiable "duplicate" claim
@@ -1051,6 +1126,9 @@ def substring_spans(
     (``fingerprint_rolling``) is the content-defined variant of the same
     sampling.
     """
+    # explode+substring at compute width (gated, r12): a single-row-
+    # group input runs the whole window-sampling pass in one scan task
+    docs = _ensure_parallel(docs, id_col)
     pos = F.explode(
         F.sequence(
             F.lit(1),
@@ -1099,6 +1177,9 @@ def substring_dup_rate(
     boilerplate span shared by a million docs is one window partition
     of 1M fixed-width rows, never a candidate pair set.
     """
+    # explode+substring+hash at compute width (gated, r12 — same
+    # single-row-group argument as substring_spans)
+    docs = _ensure_parallel(docs, id_col)
     pos = F.explode(
         F.sequence(
             F.lit(1),

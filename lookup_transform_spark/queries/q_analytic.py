@@ -250,7 +250,9 @@ def q_tfidf_top_terms(spark, sf):
     different ln() paths order identically in both engines."""
     d = _t(spark, sf, "documents")
     n_docs = d.count()
-    tok = d.select(
+    # tokenize+explode at compute width (gated, r12): the single-row-
+    # group fixture fed the whole token stream from one scan task
+    tok = DD._ensure_parallel(d, "doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
     )
@@ -289,8 +291,11 @@ def bm25_per_doc(spark, sf, terms):
     over the split, no explode, no token-stream shuffle). One split per
     row: whole-stage codegen's subexpression elimination shares the
     ``split()`` across the six uses (pinned in tests/test_plans.py).
-    Output is ~40 bytes/doc regardless of document size."""
-    d = _t(spark, sf, "documents")
+    Output is ~40 bytes/doc regardless of document size. The scan is
+    spread to compute width first (gated, r12): the single-row-group
+    fixture serialized the five filter passes on one core; no-op at
+    scale."""
+    d = DD._ensure_parallel(_t(spark, sf, "documents"), "doc_id")
     toks = F.split(F.lower(F.col("text")), r"\s+")
 
     def eq(term):  # 1-arg lambda: a 2-arg one would bind (elem, index)

@@ -94,8 +94,16 @@ SELECT doc_id,
 FROM t""",
 )
 def q_text_stats(spark, sf):
-    """B53: token counts, punctuation ratio, quality score, fingerprint."""
-    return TX.text_stats(_t(spark, sf, "documents"))
+    """B53: token counts, punctuation ratio, quality score, fingerprint.
+
+    The scan is spread to compute width first (gated, r12): the fixture
+    parquet carries ONE row group, so every row lands in one scan task
+    and the whole regex/tokenize pass serialized on a single core —
+    0.38 → 0.20 s measured; at scale the gate never fires (row groups
+    ≥ cores) and no shuffle is added."""
+    return TX.text_stats(
+        DD._ensure_parallel(_t(spark, sf, "documents"), "doc_id")
+    )
 
 
 @_q(
@@ -199,8 +207,14 @@ SELECT doc_id,
 FROM s""",
 )
 def q_lang_id(spark, sf):
-    """B53: stopword-heuristic language ID (ties → alphabetically first)."""
-    return _t(spark, sf, "documents").select(
+    """B53: stopword-heuristic language ID (ties → alphabetically first).
+
+    Spread to compute width first (gated, r12): the 4-language
+    stopword-filter pass is the most CPU-heavy single-scan query in the
+    text tier and the single-row-group fixture serialized it on one
+    core — 1.09 → 0.29 s measured; the gate is a no-op on multi-row-
+    group inputs (real corpora)."""
+    return DD._ensure_parallel(_t(spark, sf, "documents"), "doc_id").select(
         "doc_id", TX.lang_id("text").alias("lang_pred")
     )
 
